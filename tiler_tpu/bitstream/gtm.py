@@ -1,0 +1,307 @@
+"""GTM bitstream container: header structs, command grammar, writer, parser.
+
+Layout (reference structs at /root/reference/main.pas:103-139, writer at
+main.pas:4529-4763, reader semantics defined by the JS player
+/root/reference/decoders/htmljs/gtm.player.js):
+
+  [GTMHeader 40B] [GTMKeyFrameInfo 28B] * KFCount  [lzma stream] * KFCount
+
+Command stream: 16-bit little-endian words, low 6 bits = opcode, high
+10 bits = attrs. Tilemap attrs pack palette<<2 | VMirror<<1 | HMirror.
+The writer here is numpy-vectorized: skip runs and tilemap items are
+emitted by computing per-cell word offsets and scattering, instead of the
+reference's per-cell loop (main.pas:4677-4719).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import struct
+
+import numpy as np
+
+from .lzma_codec import lzma_compress_alone, lzma_decompress_concat
+
+TILE_W = 8
+TILE_BYTES = TILE_W * TILE_W
+
+CMD_BITS = 6          # round(log2(64)) commands (main.pas:4531-4532)
+ATTR_BITS = 16 - CMD_BITS
+MAX_BLK_SKIP = 1 << ATTR_BITS  # 1024 (main.pas:4535)
+
+
+class GTMCommand(enum.IntEnum):
+    SKIP_BLOCK = 0
+    SHORT_TILE_IDX = 1
+    LONG_TILE_IDX = 2
+    LOAD_PALETTE = 3
+    FRAME_END = 28
+    TILE_SET = 29
+    SET_DIMENSIONS = 30
+    EXTENDED = 31
+
+
+_HEADER_FMT = '<4sIIIIIIIII'   # 40 bytes
+_KFINFO_FMT = '<4sIIIIII'      # 28 bytes
+HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+KFINFO_SIZE = struct.calcsize(_KFINFO_FMT)
+
+
+@dataclasses.dataclass
+class GTMHeader:
+    width: int
+    height: int
+    kf_count: int
+    frame_count: int
+    average_bytes_per_sec: int = 0
+    kf_max_bytes_per_sec: int = 0
+    encoder_version: int = 1
+    whole_header_size: int = 0
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            _HEADER_FMT, b'GTMv', HEADER_SIZE - 8, self.whole_header_size,
+            self.encoder_version, self.width, self.height, self.kf_count,
+            self.frame_count, self.average_bytes_per_sec,
+            self.kf_max_bytes_per_sec)
+
+    @classmethod
+    def unpack(cls, buf: bytes) -> 'GTMHeader':
+        (fourcc, _riff, whole, ver, w, h, kfc, frc, avg, kfmax) = \
+            struct.unpack_from(_HEADER_FMT, buf)
+        if fourcc != b'GTMv':
+            raise ValueError('not a GTM stream (bad FourCC)')
+        return cls(width=w, height=h, kf_count=kfc, frame_count=frc,
+                   average_bytes_per_sec=avg, kf_max_bytes_per_sec=kfmax,
+                   encoder_version=ver, whole_header_size=whole)
+
+
+@dataclasses.dataclass
+class GTMKeyFrameInfo:
+    kf_index: int
+    frame_index: int
+    raw_size: int = 0
+    compressed_size: int = 0
+    timecode_ms: int = 0
+
+    def pack(self) -> bytes:
+        return struct.pack(_KFINFO_FMT, b'GTMk', KFINFO_SIZE - 8,
+                           self.kf_index, self.frame_index, self.raw_size,
+                           self.compressed_size, self.timecode_ms)
+
+    @classmethod
+    def unpack(cls, buf: bytes, offset: int = 0) -> 'GTMKeyFrameInfo':
+        (fourcc, _riff, kfi, fri, raw, comp, tc) = \
+            struct.unpack_from(_KFINFO_FMT, buf, offset)
+        if fourcc != b'GTMk':
+            raise ValueError('bad keyframe info FourCC')
+        return cls(kf_index=kfi, frame_index=fri, raw_size=raw,
+                   compressed_size=comp, timecode_ms=tc)
+
+
+def _cmd_word(cmd: int, data: int) -> bytes:
+    assert data < (1 << ATTR_BITS) and cmd < (1 << CMD_BITS)
+    return struct.pack('<H', (data << CMD_BITS) | cmd)
+
+
+def emit_tileset(tiles_pal: np.ndarray, palette_size: int,
+                 tilemap_w: int, tilemap_h: int, fps: float) -> bytes:
+    """gtSetDimensions + gtTileSet sections (main.pas:4603-4622)."""
+    n = tiles_pal.shape[0]
+    out = [
+        _cmd_word(GTMCommand.SET_DIMENSIONS, 0),
+        struct.pack('<HHII', tilemap_w, tilemap_h,
+                    int(round(1000 * 1000 * 1000 / fps)), n),
+        _cmd_word(GTMCommand.TILE_SET, palette_size),
+        struct.pack('<II', 0, n - 1),
+        np.ascontiguousarray(tiles_pal, dtype=np.uint8).tobytes(),
+    ]
+    return b''.join(out)
+
+
+def emit_kf_palettes(palettes_rgb: np.ndarray) -> bytes:
+    """gtLoadPalette per palette (main.pas:4589-4601).
+
+    palettes_rgb: [palette_count, palette_size, 3] uint8.
+    """
+    pal_count, pal_size, _ = palettes_rgb.shape
+    out = []
+    rgba = np.concatenate(
+        [palettes_rgb,
+         np.full((pal_count, pal_size, 1), 255, np.uint8)], axis=-1)
+    for j in range(pal_count):
+        out.append(_cmd_word(GTMCommand.LOAD_PALETTE, 0))
+        out.append(bytes((j, 0)))
+        out.append(rgba[j].tobytes())
+    return b''.join(out)
+
+
+def emit_frame(tile_idx: np.ndarray, pal_idx: np.ndarray,
+               hmir: np.ndarray, vmir: np.ndarray,
+               smoothed: np.ndarray, kf_end: bool) -> bytes:
+    """One frame's tilemap command words (main.pas:4671-4726), vectorized.
+
+    All inputs are flat [tilemap_size] arrays in row-major cell order.
+    Smoothed cells become gtSkipBlock runs (chunked to 1024); the rest
+    become gtShort/LongTileIdx with attrs palette<<2|vmir<<1|hmir.
+    """
+    tile_idx = np.asarray(tile_idx, np.int64).ravel()
+    pal_idx = np.asarray(pal_idx, np.int64).ravel()
+    hmir = np.asarray(hmir, bool).ravel()
+    vmir = np.asarray(vmir, bool).ravel()
+    sm = np.asarray(smoothed, bool).ravel()
+    s = tile_idx.size
+
+    # position of each cell inside its smoothed run
+    pos = np.arange(s)
+    if sm.any():
+        run_start = sm & np.concatenate(([True], ~sm[:-1]))
+        run_no = np.cumsum(run_start) - 1  # valid where sm
+        starts_pos = np.flatnonzero(run_start)
+        safe_no = np.clip(run_no, 0, starts_pos.size - 1)
+        pos_in_run = np.where(sm, pos - starts_pos[safe_no], 0)
+        run_len = np.bincount(run_no[sm])
+        rem = np.where(sm, run_len[safe_no] - pos_in_run, 0)
+    else:
+        pos_in_run = np.zeros(s, np.int64)
+        rem = np.zeros(s, np.int64)
+
+    chunk_start = sm & (pos_in_run % MAX_BLK_SKIP == 0)
+    skip_count = np.minimum(rem, MAX_BLK_SKIP)
+
+    is_long = (~sm) & (tile_idx >= (1 << 16))
+    is_short = (~sm) & ~is_long
+
+    # words per cell: skip chunk start=1, short=2, long=3, else 0
+    words = (chunk_start.astype(np.int64) + is_short * 2 + is_long * 3)
+    offs = np.concatenate(([0], np.cumsum(words)[:-1]))
+    total = int(words.sum())
+    buf = np.zeros(total, np.uint16)
+
+    attrs = (pal_idx << 2) | (vmir.astype(np.int64) << 1) | hmir.astype(np.int64)
+
+    cs = np.flatnonzero(chunk_start)
+    buf[offs[cs]] = (((skip_count[cs] - 1) << CMD_BITS)
+                     | GTMCommand.SKIP_BLOCK).astype(np.uint16)
+
+    sh = np.flatnonzero(is_short)
+    buf[offs[sh]] = ((attrs[sh] << CMD_BITS) | GTMCommand.SHORT_TILE_IDX
+                     ).astype(np.uint16)
+    buf[offs[sh] + 1] = tile_idx[sh].astype(np.uint16)
+
+    lg = np.flatnonzero(is_long)
+    buf[offs[lg]] = ((attrs[lg] << CMD_BITS) | GTMCommand.LONG_TILE_IDX
+                     ).astype(np.uint16)
+    buf[offs[lg] + 1] = (tile_idx[lg] & 0xffff).astype(np.uint16)
+    buf[offs[lg] + 2] = (tile_idx[lg] >> 16).astype(np.uint16)
+
+    return buf.tobytes() + _cmd_word(GTMCommand.FRAME_END, int(kf_end))
+
+
+class GTMWriter:
+    """Assembles a complete GTM file from encoded state.
+
+    Usage: construct, then add_keyframe(...) per keyframe in order, then
+    tobytes(). Statistics (bytes/sec header fields, per-KF sizes) follow
+    main.pas:4727-4757.
+    """
+
+    def __init__(self, width: int, height: int, fps: float,
+                 tiles_pal: np.ndarray, palette_size: int,
+                 frame_count: int, kf_count: int, fast_lzma: bool = False):
+        self.fps = fps
+        self.fast_lzma = fast_lzma
+        self.header = GTMHeader(width=width, height=height,
+                                kf_count=kf_count, frame_count=frame_count)
+        self.kf_infos: list[GTMKeyFrameInfo] = []
+        self.streams: list[bytes] = []
+        tw, th = width // TILE_W, height // TILE_W
+        # First keyframe's stream is prefixed by dimensions + tileset.
+        self._pending = [emit_tileset(tiles_pal, palette_size, tw, th, fps)]
+
+    def add_keyframe(self, kf_index: int, start_frame: int, end_frame: int,
+                     palettes_rgb: np.ndarray, frames: list[dict]) -> None:
+        """frames: list of dicts with keys tile_idx, pal_idx, hmir, vmir,
+        smoothed (flat arrays), one per frame of this keyframe."""
+        parts = self._pending
+        self._pending = []
+        parts.append(emit_kf_palettes(palettes_rgb))
+        for k, fr in enumerate(frames):
+            parts.append(emit_frame(fr['tile_idx'], fr['pal_idx'],
+                                    fr['hmir'], fr['vmir'], fr['smoothed'],
+                                    kf_end=(k == len(frames) - 1)))
+        raw = b''.join(parts)
+        comp = lzma_compress_alone(raw, fast=self.fast_lzma)
+        self.streams.append(comp)
+        n_frames = end_frame - start_frame + 1
+        info = GTMKeyFrameInfo(
+            kf_index=kf_index, frame_index=start_frame,
+            raw_size=len(raw), compressed_size=len(comp),
+            timecode_ms=int(round(1000.0 * start_frame / self.fps)))
+        self.kf_infos.append(info)
+        # KFMaxBytesPerSec excludes KF 0 unless it is the only one
+        # (main.pas:4741-4742) because KF 0 carries the tileset burst.
+        if kf_index > 0 or self.header.kf_count == 1:
+            self.header.kf_max_bytes_per_sec = max(
+                self.header.kf_max_bytes_per_sec,
+                int(round(len(comp) * self.fps / n_frames)))
+        self.header.average_bytes_per_sec += len(comp)
+
+    def tobytes(self) -> bytes:
+        hdr = self.header
+        hdr.average_bytes_per_sec = int(round(
+            hdr.average_bytes_per_sec * self.fps / max(hdr.frame_count, 1)))
+        hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * len(self.kf_infos)
+        return b''.join([hdr.pack()] +
+                        [i.pack() for i in self.kf_infos] + self.streams)
+
+
+@dataclasses.dataclass
+class ParsedGTM:
+    header: GTMHeader
+    kf_infos: list[GTMKeyFrameInfo]
+    commands: bytes  # decompressed concatenated command stream
+
+
+def parse_gtm(data: bytes) -> ParsedGTM:
+    """Parses either the headered (GTMv) or the legacy headerless format.
+
+    The JS player rewinds and treats the whole file as LZMA data when the
+    FourCC is absent (gtm.player.js:136-138); the published demo streams use
+    that legacy form, so we accept it too (dimensions then come from the
+    gtSetDimensions command)."""
+    if data[:4] == b'GTMv':
+        header = GTMHeader.unpack(data)
+        infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
+                 for i in range(header.kf_count)]
+        whole = header.whole_header_size or (HEADER_SIZE +
+                                             KFINFO_SIZE * header.kf_count)
+        commands = lzma_decompress_concat(data[whole:])
+        return ParsedGTM(header=header, kf_infos=infos, commands=commands)
+    header = GTMHeader(width=0, height=0, kf_count=0, frame_count=0)
+    return ParsedGTM(header=header, kf_infos=[],
+                     commands=lzma_decompress_concat(data))
+
+
+def write_gts(path: str, tiles_pal: np.ndarray, palette_size: int) -> None:
+    """Standalone tileset file: palette-size byte + raw 64-byte tiles
+    (main.pas:4359-4367)."""
+    with open(path, 'wb') as f:
+        f.write(bytes([palette_size]))
+        f.write(np.ascontiguousarray(tiles_pal, np.uint8).tobytes())
+
+
+def read_gts(path: str) -> tuple[np.ndarray, int]:
+    """Reads a GTS tileset; returns (tiles [N,8,8] uint8, palette_size).
+
+    Handles both headerless legacy files (size % 64 == 0 -> palette size 64)
+    and palette-size-prefixed files (main.pas:4428-4431)."""
+    raw = open(path, 'rb').read()
+    if len(raw) % TILE_BYTES == 0:
+        pal_size = TILE_BYTES
+        body = raw
+    else:
+        pal_size = raw[0]
+        body = raw[1:]
+    tiles = np.frombuffer(body, np.uint8).reshape(-1, TILE_W, TILE_W)
+    return tiles.copy(), pal_size

@@ -1,0 +1,52 @@
+"""LZMA framing for GTM keyframe streams.
+
+The reference spawns `lzma.exe e src dst -lc8 -eos` per keyframe
+(/root/reference/extern.pas:202-240) producing LZMA-alone streams (13-byte
+header: props byte, dict-size dword, 8-byte unknown size) terminated by an
+end-of-stream marker, concatenated back to back after the GTM header. The
+bundled JS player re-reads a header whenever the previous stream finished
+(/root/reference/decoders/htmljs/lzma.js:692-721), so any valid LZMA-alone
+framing decodes; liblzma cannot encode lc=8 (lc+lp<=4), so we emit the
+default lc=3 lp=0 pb=2 — the player reads lc/lp/pb from the props byte.
+"""
+from __future__ import annotations
+
+import lzma
+
+
+_FILTERS = [{'id': lzma.FILTER_LZMA1, 'preset': 9 | lzma.PRESET_EXTREME}]
+
+
+def lzma_compress_alone(data: bytes, fast: bool = False) -> bytes:
+    """Compress one keyframe's command stream as a standalone .lzma stream."""
+    filters = [{'id': lzma.FILTER_LZMA1, 'preset': 1}] if fast else _FILTERS
+    comp = lzma.LZMACompressor(format=lzma.FORMAT_ALONE, filters=filters)
+    return comp.compress(data) + comp.flush()
+
+
+def lzma_decompress_concat(data: bytes) -> bytes:
+    """Decompress a concatenation of LZMA-alone streams (one per keyframe).
+
+    Streams with lc+lp<=4 go through liblzma; lc=8 streams (the reference's
+    `-lc8` output) go through the native C++ decoder in tiler_tpu.native.
+    """
+    out = []
+    rest = data
+    while len(rest) >= 13:
+        props = rest[0]
+        lc = props % 9
+        lp = (props // 9) % 5
+        if lc + lp <= 4:
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_ALONE)
+            out.append(dec.decompress(rest))
+            if not dec.eof:
+                break  # truncated final stream: return what we have
+            rest = dec.unused_data
+        else:
+            from ..native import lzma_decode_alone
+            chunk, consumed = lzma_decode_alone(rest)
+            out.append(chunk)
+            if consumed <= 0:
+                break
+            rest = rest[consumed:]
+    return b''.join(out)

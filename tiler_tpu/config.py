@@ -1,0 +1,78 @@
+"""Typed encoder configuration.
+
+Replaces the reference's GUI state (main.lfm control defaults, read at step
+start, e.g. main.pas:1021-1022, 886-890, 962-964, 1356) with a single
+dataclass. Defaults follow the shipped .lfm values: 16-color palettes x 128,
+Knoll dithering, wavelet features, DL3 quantizer, FT quality Medium,
+temporal smoothing 20/1000, VAR 95%, Yliluoma mix 4, DL BPC 7.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class FTQuality(enum.IntEnum):
+    """Frame-tiling candidate expansion quality (main.pas:141)."""
+    FAST = 0
+    MEDIUM = 1
+    SLOW = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    # palette shape (cbxPalSize / cbxPalCount)
+    tile_palette_size: int = 16
+    palette_count: int = 128
+
+    # tile budget: max_tiles<=0 means auto from qb_tiles (main.pas:1023,1432-1439)
+    qb_tiles: float = 2.0
+    max_tiles: int = 0
+
+    # dithering (chkUseTK, cbxYilMix, chkDitheringGamma)
+    use_thomas_knoll: bool = True
+    yliluoma_mix: int = 4
+    dithering_gamma: bool = False
+
+    # palette quantization (chkUseDL3, cbxDLBPC, sePalVAR)
+    use_dl3: bool = True
+    dl3_bpc: int = 7
+    pal_var: float = 0.95
+
+    # psychovisual features (chkUseWL)
+    use_wavelets: bool = True
+
+    # frame tiling (cbxFTQ, chkFTGamma)
+    ft_quality: FTQuality = FTQuality.MEDIUM
+    ft_gamma: bool = False
+    ft_palette_tol: float = 0.05
+
+    # temporal smoothing (seTempoSmoo/1000)
+    smoothing_strength: float = 0.020
+
+    # gammas (seEncGamma, seVisGamma)
+    encoder_gamma: float = 2.0
+    visual_gamma: float = 0.6
+
+    # ingestion
+    start_frame: int = 0
+    frame_count: int = 0  # 0 = autodetect
+    scaling: float = 1.0
+    fps: float = 24.0
+
+    # kmodes restarts (cRandomKModesCount, main.pas:21)
+    kmodes_restarts: int = 7
+
+    # GTS tileset reload instead of global tiling (chkReload)
+    reload_tileset: str | None = None
+
+    # pipeline range (cbxStartStep/cbxEndStep): names from constants.ENCODER_STEPS
+    start_step: str = 'load'
+    end_step: str = 'save'
+
+    def dithering_gamma_lut(self) -> int:
+        """-1 = linear, 0 = encoder gamma LUT index (main.pas:886)."""
+        return 0 if self.dithering_gamma else -1
+
+    def ft_gamma_lut(self) -> int:
+        return 0 if self.ft_gamma else -1
