@@ -9,6 +9,12 @@ if 'xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
 
+import jax  # noqa: E402
+
+# The axon site hook pins jax_platforms to 'axon,cpu', overriding the env
+# var; force CPU explicitly so tests never touch the TPU tunnel.
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
