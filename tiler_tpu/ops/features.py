@@ -55,13 +55,15 @@ def wavelet_matrix() -> np.ndarray:
 
 @functools.cache
 def feature_basis(use_wavelets: bool, q_weighting: bool):
-    """Returns (B [64,64] f32, weights [3,64] f32) for the feature matmul."""
+    """Returns (B [64,64] f32, weights [3,64] f32) numpy arrays for the
+    feature matmul (numpy, not device arrays: this is called from inside jit
+    traces, where cached tracers would leak)."""
     if use_wavelets:
-        return jnp.asarray(wavelet_matrix()), jnp.ones((3, 64), jnp.float32)
+        return wavelet_matrix(), np.ones((3, 64), np.float32)
     w = UV_RATIO.reshape(1, 64) * np.ones((3, 1), np.float32)
     if q_weighting:
         w = w * DCT_QUANT.reshape(3, 64)
-    return jnp.asarray(DCT_BASIS_FLAT), jnp.asarray(w.astype(np.float32))
+    return DCT_BASIS_FLAT, w.astype(np.float32)
 
 
 def mirror_tiles(tiles, hmir, vmir):
