@@ -192,14 +192,53 @@ def devise_best_mixing_plan_thomas_knoll(palette, col, luma_pal):
     s = src.copy()
     e = np.zeros(3, np.int64)
     plan = np.zeros(64, np.int64)
+
+    def trunc_div(x, d):  # Pascal div
+        return np.where(x < 0, -((-x) // d), x // d)
+
     for c in range(64):
-        t = s + (e * 9) // 100
+        t = s + trunc_div(e * 9, 100)
         pens = [color_compare(t[0], t[1], t[2], p[0], p[1], p[2])
                 for p in palette]
         chosen = int(np.argmin(pens))  # first minimum wins (strict <)
         plan[c] = chosen
         e += s - palette[chosen]
     # stable sort by palette luma (PlanCompareLuma, main.pas:1544-1555)
+    order = np.argsort([luma_pal[p] for p in plan], kind='stable')
+    return plan[order]
+
+
+def devise_best_mixing_plan_yliluoma(palette, col, luma_pal, mixed):
+    """Scalar Yliluoma-2 planner (main.pas:1753-1794 fallback path)."""
+    so_far = [0, 0, 0]
+    plan = []
+    while len(plan) < mixed:
+        plan_count = len(plan)
+        max_test = max(1, plan_count)
+        least = None
+        chosen, chosen_amount = 0, 1
+        for index in range(len(palette)):
+            s = list(so_far)
+            add = [int(palette[index][0]), int(palette[index][1]),
+                   int(palette[index][2])]
+            for t in range(plan_count + 1, plan_count + max_test + 1):
+                s[0] += add[0]
+                s[1] += add[1]
+                s[2] += add[2]
+                add[0] += 1
+                add[1] += 1
+                add[2] += 1
+                pen = color_compare(col[0], col[1], col[2],
+                                    s[0] // t, s[1] // t, s[2] // t)
+                if least is None or pen < least:
+                    least = pen
+                    chosen = index
+                    chosen_amount = t - plan_count
+        chosen_amount = min(chosen_amount, 256 - plan_count)
+        plan.extend([chosen] * chosen_amount)
+        for c in range(3):
+            so_far[c] += int(palette[chosen][c]) * chosen_amount
+    plan = np.array(plan)
     order = np.argsort([luma_pal[p] for p in plan], kind='stable')
     return plan[order]
 

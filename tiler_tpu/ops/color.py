@@ -66,6 +66,14 @@ def luma_int(rgb_u8):
             x[..., 2] * BLUE_MUL) // LUMA_DIV
 
 
+def luma_raw(rgb_u8):
+    """Undivided integer luma r*2126+g*7152+b*722 — the mixing-plan sort key
+    (Plan.LumaPal, main.pas:1519)."""
+    x = np.asarray(rgb_u8, np.int64)
+    return (x[..., 0] * RED_MUL + x[..., 1] * GREEN_MUL +
+            x[..., 2] * BLUE_MUL)
+
+
 def color_compare_i32(rgb1, rgb2):
     """ColorCompare (main.pas:1557-1571), vectorized int32 JAX version.
 

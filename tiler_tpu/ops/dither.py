@@ -1,0 +1,206 @@
+"""Ordered dithering: Thomas Knoll pattern dithering and Yliluoma-2 mixing
+plans, batched over all pixels of all tiles.
+
+Reference: DeviseBestMixingPlanThomasKnoll (/root/reference/main.pas:
+1828-1875), DeviseBestMixingPlanYliluoma (main.pas:1573-1826, SSE3 inner
+loop at 1602-1752), DitherTile (main.pas:1998-2068), per-color plan caches
+(main.pas:2010-2053).
+
+TPU-first design: the reference serializes per pixel and caches per color
+behind spinlocks; here every pixel's 64-step Knoll plan is an independent
+lax.scan lane — [n_pixels] lanes x [palette] penalty argmins per step, all
+int32 on the VPU — so no cache, no locks, deterministic. The plan sort by
+palette luma becomes a batched argsort; only the Bayer-selected rank is
+gathered per pixel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DITHERING_MAP, TILE_W
+from .color import color_compare_i32, jax_div_trunc
+
+_BAYER = DITHERING_MAP.reshape(TILE_W, TILE_W)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _knoll_plans(cols, pal, luma_pal):
+    """cols [M,3] i32 pixels; pal [M,S,3] i32 per-pixel palette;
+    luma_pal [M,S] i32. Returns sorted plans [M,64] i32 (palette indices,
+    luma-ascending)."""
+    s = cols.astype(jnp.int32)
+
+    def step(e, _):
+        t = s + jax_div_trunc(e * 9, 100)
+        pens = color_compare_i32(t[:, None, :], pal)  # [M,S]
+        chosen = jnp.argmin(pens, axis=1)  # first min wins, as in Pascal
+        picked = jnp.take_along_axis(pal, chosen[:, None, None], axis=1)[:, 0]
+        e = e + s - picked
+        return e, chosen
+
+    e0 = jnp.zeros_like(s)
+    _, plans = jax.lax.scan(step, e0, None, length=64)  # [64, M]
+    plans = plans.T  # [M, 64]
+    keys = jnp.take_along_axis(luma_pal, plans, axis=1)
+    order = jnp.argsort(keys, axis=1, stable=True)
+    return jnp.take_along_axis(plans, order, axis=1)
+
+
+def knoll_dither_tiles(tiles_rgb, palettes_rgb, chunk: int = 16384):
+    """Dither tiles with the Knoll planner.
+
+    tiles_rgb: [N,8,8,3] uint8; palettes_rgb: [N,S,3] uint8 (palette chosen
+    per tile). Returns [N,8,8] uint8 palette indices.
+
+    Each pixel's plan entry is picked at Bayer rank cDitheringMap[y*8+x]
+    (main.pas:2012-2018). Chunked over tiles to bound the [M,64]-plan
+    footprint.
+    """
+    tiles_rgb = np.asarray(tiles_rgb)
+    palettes_rgb = np.asarray(palettes_rgb)
+    n, s_size = tiles_rgb.shape[0], palettes_rgb.shape[1]
+    from .color import luma_raw
+    bayer_flat = jnp.asarray(_BAYER.reshape(-1))
+
+    out = np.empty((n, TILE_W, TILE_W), np.uint8)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        t = jnp.asarray(tiles_rgb[lo:hi], jnp.int32)  # [C,8,8,3]
+        pal = jnp.asarray(palettes_rgb[lo:hi], jnp.int32)  # [C,S,3]
+        c = hi - lo
+        cols = t.reshape(c * 64, 3)
+        pal_px = jnp.repeat(pal, 64, axis=0)  # [C*64,S,3]
+        luma = jnp.asarray(
+            luma_raw(palettes_rgb[lo:hi]), jnp.int32)  # [C,S]
+        luma_px = jnp.repeat(luma, 64, axis=0)
+        plans = _knoll_plans(cols, pal_px, luma_px)  # [C*64, 64]
+        sel = jnp.take_along_axis(
+            plans, jnp.tile(bayer_flat, (c,))[:, None], axis=1)[:, 0]
+        out[lo:hi] = np.asarray(sel, np.uint8).reshape(c, TILE_W, TILE_W)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=('mixed_colors',))
+def _yliluoma_plans(cols, pal, luma_pal, mixed_colors: int):
+    """Yliluoma-2 mixing plans (scalar semantics of main.pas:1753-1794).
+
+    cols [M,3] i32; pal [M,S,3] i32; returns (plans [M,L] sorted by luma,
+    counts [M]) with L = mixed_colors.
+    """
+    m, s_size, _ = pal.shape
+    L = mixed_colors                  # loop runs while plan_count < L
+    L_buf = max(2 * mixed_colors - 1, 1)  # plans can overshoot to 2L-2
+
+    def step(carry, _):
+        so_far, plan, plan_count = carry
+        active = plan_count < L  # Pascal: while plan_count < Y2MixedColors
+        max_test = jnp.maximum(plan_count, 1)  # [M]
+        # candidate avg after adding `chosen` k times with the +1-per-step
+        # ramp the reference applies to `add` (main.pas:1766-1772)
+        t_rng = jnp.arange(1, L + 1)[None, None, :, None]  # k = t-plan_count
+        add0 = pal[:, :, None, :]
+        ramp = (t_rng * (t_rng - 1)) // 2
+        sums = (so_far[:, None, None, :] + add0 * t_rng + ramp)
+        tot = plan_count[:, None, None, None] + t_rng
+        cand = sums // tot  # values are >= 0 so // == Pascal div
+        pens = color_compare_i32(cols[:, None, None, :], cand)  # [M,S,L]
+        t_idx = jnp.arange(L)[None, None, :]
+        valid = t_idx < max_test[:, None, None]
+        pens = jnp.where(valid, pens, jnp.int32(2**31 - 1))
+        flat = pens.reshape(m, -1)  # palette-major, t-minor = Pascal order
+        best = jnp.argmin(flat, axis=1)
+        chosen = (best // L).astype(jnp.int32)
+        amount = (best % L + 1).astype(jnp.int32)
+        amount = jnp.where(active, amount, 0)
+        picked = jnp.take_along_axis(pal, chosen[:, None, None], axis=1)[:, 0]
+        pos = jnp.arange(L_buf)[None, :]
+        write = (pos >= plan_count[:, None]) & \
+            (pos < (plan_count + amount)[:, None])
+        plan = jnp.where(write, chosen[:, None], plan)
+        so_far = so_far + picked * amount[:, None]
+        plan_count = plan_count + amount
+        return (so_far, plan, plan_count), None
+
+    so_far = jnp.zeros_like(cols)
+    plan = jnp.zeros((m, L_buf), jnp.int32)
+    plan_count = jnp.zeros((m,), jnp.int32)
+    (so_far, plan, plan_count), _ = jax.lax.scan(
+        step, (so_far, plan, plan_count), None, length=L)
+
+    # sort only the first plan_count entries: entries beyond the count get
+    # an infinite key so they sink to the end without affecting ranks
+    keys = jnp.take_along_axis(luma_pal, plan, axis=1)
+    pos = jnp.arange(L_buf)[None, :]
+    keys = jnp.where(pos < plan_count[:, None], keys, jnp.int32(2**31 - 1))
+    order = jnp.argsort(keys, axis=1, stable=True)
+    plan = jnp.take_along_axis(plan, order, axis=1)
+    return plan, plan_count
+
+
+def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,
+                          chunk: int = 8192):
+    """Yliluoma-2 dithering (main.pas:2055-2066): per pixel, pick
+    list[(bayer*count)>>6] from the luma-sorted mixing plan."""
+    tiles_rgb = np.asarray(tiles_rgb)
+    palettes_rgb = np.asarray(palettes_rgb)
+    from .color import luma_raw
+    n = tiles_rgb.shape[0]
+    bayer_flat = jnp.asarray(_BAYER.reshape(-1))
+    out = np.empty((n, TILE_W, TILE_W), np.uint8)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        c = hi - lo
+        t = jnp.asarray(tiles_rgb[lo:hi], jnp.int32)
+        pal = jnp.repeat(jnp.asarray(palettes_rgb[lo:hi], jnp.int32),
+                         64, axis=0)
+        luma = jnp.repeat(jnp.asarray(luma_raw(palettes_rgb[lo:hi]),
+                                      jnp.int32), 64, axis=0)
+        cols = t.reshape(c * 64, 3)
+        plans, counts = _yliluoma_plans(cols, pal, luma, mixed_colors)
+        mv = (jnp.tile(bayer_flat, (c,)) * counts) >> 6
+        sel = jnp.take_along_axis(plans, mv[:, None], axis=1)[:, 0]
+        out[lo:hi] = np.asarray(sel, np.uint8).reshape(c, TILE_W, TILE_W)
+    return out
+
+
+def floyd_steinberg_posterize(frame_rgb: np.ndarray,
+                              bits_per_comp: int = 8) -> np.ndarray:
+    """Whole-frame serpentine-free FS error diffusion to bits_per_comp
+    (DitherFloydSteinberg, main.pas:1966-1996).
+
+    At the default cBitsPerComp=8 Posterize() is the identity and the error
+    is always zero, so this returns the input unchanged — the reference runs
+    the same loop with all-zero quant error. The generic path is a faithful
+    sequential host implementation for lower bit depths.
+    """
+    if bits_per_comp >= 8:
+        return frame_rgb
+    h, w, _ = frame_rgb.shape
+    cvt_pre = (1 << bits_per_comp) - 1
+    cvt_post = 256 // cvt_pre
+    px = frame_rgb.astype(np.int32).copy()
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                old = px[y, x, c]
+                new = min(255, ((old * cvt_pre) // 255) * cvt_post)
+                err = old - new
+                px[y, x, c] = new
+                xp = x + 1 if x < w - 1 else x
+                xm = x - 1 if x > 0 else x
+                yp = y + 1 if y < h - 1 else y
+                if xp != x:
+                    px[y, xp, c] = np.clip(px[y, xp, c] + (err * 7 >> 4),
+                                           0, 255)
+                if yp != y:
+                    px[yp, xm, c] = np.clip(px[yp, xm, c] + (err * 3 >> 4),
+                                            0, 255)
+                    px[yp, x, c] = np.clip(px[yp, x, c] + (err * 5 >> 4),
+                                           0, 255)
+                    px[yp, xp, c] = np.clip(px[yp, xp, c] + (err * 1 >> 4),
+                                            0, 255)
+    return px.astype(np.uint8)
