@@ -243,6 +243,154 @@ def devise_best_mixing_plan_yliluoma(palette, col, luma_pal, mixed):
     return plan[order]
 
 
+def var_quantize(colors_packed, counts, total_budget, pal_var,
+                 tile_palette_size, palette_count, pattern_row):
+    """Literal DoValueAtRiskBased (main.pas:2256-2394) with full O(n^2)
+    rescans. colors_packed/counts cover used colors only (count>0)."""
+    ents = []
+    for cp, cn in zip(colors_packed, counts):
+        r, g, b = cp & 0xff, (cp >> 8) & 0xff, (cp >> 16) & 0xff
+        h, s, v = rgb_to_hsv_int(int(r), int(g), int(b))
+        luma = (r * RED_MUL + g * GREEN_MUL + b * BLUE_MUL) // LUMA_DIV
+        ents.append(dict(count=int(cn), index=int(cp), hue=h, sat=s, val=v,
+                         luma=int(luma), r=int(r), g=int(g), b=int(b)))
+    ents.sort(key=lambda e: (-e['count'], e['hue'], e['val'], e['sat'],
+                             e['index']))
+    n = len(ents)
+
+    acc = round(total_budget * pal_var)
+    cml_pct = 0
+    for i, e in enumerate(ents):
+        acc -= e['count']
+        if acc <= 0:
+            cml_pct = i
+            break
+    cml_pct = max(cml_pct, min(n, tile_palette_size * palette_count))
+
+    best = None
+    while True:
+        if len(ents) <= cml_pct:
+            break
+        prev_best = best
+        best = None
+        best_i = -1
+        for i in range(1, len(ents)):
+            d = color_compare(ents[i]['r'], ents[i]['g'], ents[i]['b'],
+                              ents[i - 1]['r'], ents[i - 1]['g'],
+                              ents[i - 1]['b'])
+            if best is None or d < best:
+                best = d
+                best_i = i
+        if prev_best is not None and best == prev_best:
+            break
+        if best_i > 0:
+            ci, cj = ents[best_i], ents[best_i - 1]
+            acc2 = ci['count'] + cj['count']
+            for k in ('hue', 'sat', 'val', 'luma'):
+                ci[k] = (ci[k] * ci['count'] + cj[k] * cj['count']) // acc2
+            ci['count'] = acc2
+            r, g, b = hsv_to_rgb_int(ci['hue'], ci['sat'], ci['val'])
+            ci['r'], ci['g'], ci['b'] = r, g, b
+            ci['index'] = r | (g << 8) | (b << 16)
+            del ents[best_i - 1]
+
+    out = []
+    for i in range(tile_palette_size):
+        pos = int(round(pattern_row[i] * (len(ents) - 1)))
+        out.append(ents[pos]['index'])
+    return np.array(out, np.uint32)
+
+
+def dl3_quant(pixels_rgb, quant_to, bpc):
+    """Literal dl3quant (quantizer.c:437-663) for small inputs."""
+    mbpc = (1 << bpc) - 1
+    bins = {}
+    for (r, g, b) in pixels_rgb.reshape(-1, 3).astype(np.int64):
+        idx = (b * mbpc // 255) | ((g * mbpc // 255) << bpc) \
+            | ((r * mbpc // 255) << (2 * bpc))
+        e = bins.setdefault(idx, [0, 0, 0, 0])
+        e[0] += int(r)
+        e[1] += int(g)
+        e[2] += int(b)
+        e[3] += 1
+    t = []
+    for idx in sorted(bins):
+        r, g, b, c = bins[idx]
+        v2 = c >> 1
+        t.append(dict(r=r, g=g, b=b, n=c, rr=(r + v2) // c,
+                      gg=(g + v2) // c, bb=(b + v2) // c,
+                      err=np.inf, cc=0))
+
+    def calc_err(c1, c2):
+        a, bb_ = t[c1], t[c2]
+        p1, p2 = a['n'], bb_['n']
+        p3 = p1 + p2
+        r3 = (a['r'] + bb_['r'] + p3 // 2) // p3
+        g3 = (a['g'] + bb_['g'] + p3 // 2) // p3
+        b3 = (a['b'] + bb_['b'] + p3 // 2) // p3
+        d1 = np.float32((r3 - a['rr']) ** 2 + (g3 - a['gg']) ** 2 +
+                        (b3 - a['bb']) ** 2)
+        d2 = np.float32((bb_['rr'] - r3) ** 2 + (bb_['gg'] - g3) ** 2 +
+                        (bb_['bb'] - b3) ** 2)
+        return np.float32(np.float32(np.sqrt(d1)) * p1 +
+                          np.float32(np.sqrt(d2)) * p2)
+
+    def recount_next(i, tot):
+        err, c2 = np.inf, 0
+        for j in range(i + 1, tot):
+            e = calc_err(i, j)
+            if e < err:
+                err, c2 = e, j
+        t[i]['err'], t[i]['cc'] = err, c2
+
+    def recount_dist(c1, tot):
+        recount_next(c1, tot)
+        for i in range(c1):
+            if t[i]['cc'] == c1:
+                recount_next(i, tot)
+            else:
+                e = calc_err(i, c1)
+                if e < t[i]['err']:
+                    t[i]['err'], t[i]['cc'] = e, c1
+
+    tot = len(t)
+    if tot > quant_to:
+        for i in range(tot - 1):
+            recount_next(i, tot)
+        t[tot - 1]['err'] = np.inf
+        t[tot - 1]['cc'] = tot
+        while tot > quant_to:
+            err, c1 = np.inf, 0
+            for i in range(tot):
+                if t[i]['err'] < err:
+                    err, c1 = t[i]['err'], i
+            c2 = t[c1]['cc']
+            for k in 'rgb':
+                t[c2][k] += t[c1][k]
+            t[c2]['n'] += t[c1]['n']
+            v2 = t[c2]['n'] >> 1
+            t[c2]['rr'] = (t[c2]['r'] + v2) // t[c2]['n']
+            t[c2]['gg'] = (t[c2]['g'] + v2) // t[c2]['n']
+            t[c2]['bb'] = (t[c2]['b'] + v2) // t[c2]['n']
+            tot -= 1
+            t[c1] = dict(t[tot])
+            t[tot - 1]['err'] = np.inf
+            t[tot - 1]['cc'] = tot
+            for i in range(c1):
+                if t[i]['cc'] == tot:
+                    t[i]['cc'] = c1
+            for i in range(c1 + 1, tot):
+                if t[i]['cc'] == tot:
+                    recount_next(i, tot)
+            recount_dist(c1, tot)
+            if c2 != tot:
+                recount_dist(c2, tot)
+    pal = np.zeros((quant_to, 3), np.uint8)
+    for i in range(min(tot, quant_to)):
+        pal[i] = (t[i]['rr'], t[i]['gg'], t[i]['bb'])
+    return pal
+
+
 def rgb_to_hsv_int(r, g, b):
     """Integer HSV (main.pas:3496-3543), MulDiv semantics."""
     mx = max(r, g, b)

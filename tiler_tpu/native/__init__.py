@@ -13,7 +13,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_DIR, 'libtiler_native.so')
-_SOURCES = ['lzma1.cc', 'gtm_pack.cc']
+_SOURCES = ['lzma1.cc', 'dl3.cc', 'gtm_pack.cc']
 _lock = threading.Lock()
 _lib = None
 _build_error: Exception | None = None
@@ -59,6 +59,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_int)]
         lib.tiler_free.argtypes = [ctypes.c_void_p]
+        lib.tiler_dl3_quant.restype = ctypes.c_int
+        lib.tiler_dl3_quant.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -88,6 +92,19 @@ def lzma_decode_alone(data: bytes) -> tuple[bytes, int]:
     finally:
         lib.tiler_free(ptr)
     return out, consumed.value
+
+
+def dl3_quant(pixels_rgb, quant_to: int, lookup_bpc: int):
+    """Dennis Lee v3 palette from flat [M,3] uint8 pixels.
+
+    Returns ([quant_to,3] uint8 palette, n_produced)."""
+    import numpy as np
+    lib = get_lib()
+    px = np.ascontiguousarray(pixels_rgb, np.uint8)
+    out = np.zeros((quant_to, 3), np.uint8)
+    n = lib.tiler_dl3_quant(px.tobytes(), px.shape[0], quant_to, lookup_bpc,
+                            out.ctypes.data_as(ctypes.c_void_p))
+    return out, n
 
 
 def lzma_decode_concat(data: bytes) -> bytes:
