@@ -1,0 +1,158 @@
+"""Dither step: palette clustering (k-means over PsyV features), palette
+quantization (DL3 or VAR), palette finalization, and tile dithering with
+mirror canonicalization.
+
+Reference: btnDitherClick (/root/reference/main.pas:858-914) driving
+PrepareDitherTiles (main.pas:2097-2152), QuantizePalette (main.pas:
+2154-2433), FinishQuantizePalette (main.pas:2435-2480), FinishDitherTiles
+(main.pas:2482-2544) and PrepareTileMirrors (main.pas:4049-4069).
+
+TPU-first: per-keyframe feature extraction + k-means run as whole-array
+device programs; the per-(keyframe,palette) quantizers run on host (DL3 in
+C++, VAR with a heap); dithering is the batched Knoll/Yliluoma scan over
+every tile at once; the lazy per-keyframe mixing-plan caches, spinlocks and
+FramesLeft refcounts (main.pas:2488-2543) disappear — each phase is a bulk
+pass.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import TILE_W
+from ..ops import dither, features, palette
+from ..ops.kmeans import kmeans
+from .state import EncoderState
+
+
+def _dithering_gamma(cfg):
+    return cfg.encoder_gamma if cfg.dithering_gamma else None
+
+
+def prepare_dither_keyframe(state: EncoderState, k: int) -> None:
+    """PsyV(LAB) features of every referenced tile + k-means clustering into
+    palette_count groups (PrepareDitherTiles)."""
+    cfg = state.config
+    s, e = state.keyframes[k]
+    cell_tiles = state.tm_tile[s:e + 1].ravel()
+    tiles = state.tiles_rgb[cell_tiles]
+    if len(cell_tiles) > 1 and cfg.palette_count > 1:
+        feats = features.psyv_features_rgb(
+            tiles, gamma_value=_dithering_gamma(cfg), use_lab=True,
+            use_wavelets=cfg.use_wavelets)
+        labels, cents, _ = kmeans(feats, cfg.palette_count)
+        labels = np.asarray(labels)
+        state.palette_centroids[k] = np.asarray(cents)
+    else:
+        labels = np.zeros(len(cell_tiles), np.int32)
+    state.tile_dpi[cell_tiles] = labels
+
+
+def quantize_keyframe_palettes(state: EncoderState, k: int) -> np.ndarray:
+    """All palettes of keyframe k. Returns use counts [P] (by tile refs)."""
+    cfg = state.config
+    s, e = state.keyframes[k]
+    cell_tiles = state.tm_tile[s:e + 1].ravel()
+    active = state.tile_active[cell_tiles]
+    dpi = state.tile_dpi[cell_tiles]
+    use_counts = np.zeros(cfg.palette_count, np.int64)
+    pattern = palette.palette_pattern(cfg.palette_count,
+                                      cfg.tile_palette_size)
+    pal_indexes = np.zeros((cfg.palette_count, cfg.tile_palette_size),
+                           np.uint32)
+    total_budget = (e - s + 1) * state.tilemap_size * TILE_W * TILE_W
+
+    for p in range(cfg.palette_count):
+        sel = cell_tiles[active & (dpi == p)]
+        use_counts[p] = len(sel)
+        if cfg.use_dl3:
+            # DoDennisLeeV3 packs the selected tiles' FS pixels into a
+            # rectangle; the histogram only sees the pixel multiset, so we
+            # feed the tile pixels directly.
+            px = state.tiles_rgb[sel].reshape(-1, 3)
+            pal16 = palette.dl3_palette(px, cfg.tile_palette_size,
+                                        cfg.dl3_bpc)
+            entries = palette.rgb_to_packed(pal16)
+        else:
+            px = state.tiles_rgb[sel].reshape(-1, 3)
+            packed = palette.rgb_to_packed(px)
+            cols, counts = np.unique(packed, return_counts=True)
+            entries = palette.var_palette(
+                cols, counts.astype(np.int64), total_budget, cfg.pal_var,
+                cfg.tile_palette_size, cfg.palette_count, pattern[p])
+        pal_indexes[p] = palette.sort_palette_lhs(entries)
+
+    state.palettes_rgb[k] = palette.packed_to_rgb(pal_indexes)
+    return use_counts
+
+
+def finish_quantize_keyframe(state: EncoderState, k: int,
+                             use_counts: np.ndarray) -> None:
+    """Sort whole palettes by use count desc and remap DitheringPalIndex
+    (FinishQuantizePalette). Stable tie-break by original palette index
+    (the reference's unstable QuickSort order is arbitrary on ties)."""
+    cfg = state.config
+    order = np.lexsort((np.arange(cfg.palette_count), -use_counts))
+    lut = np.empty(cfg.palette_count, np.int32)
+    lut[order] = np.arange(cfg.palette_count)
+    state.palettes_rgb[k] = state.palettes_rgb[k][order]
+    state.palette_centroids[k] = state.palette_centroids[k][order]
+    s, e = state.keyframes[k]
+    cell_tiles = state.tm_tile[s:e + 1].ravel()
+    state.tile_dpi[cell_tiles] = lut[state.tile_dpi[cell_tiles]]
+
+
+def canonicalize_mirrors(tiles_pal: np.ndarray):
+    """PrepareTileMirrors (main.pas:4049-4069), batched: pick the mirror
+    whose source quadrant has the highest sum (first max in (vf,hf) scan
+    order), bake it into the stored pixels.
+
+    Returns (tiles_pal_baked, hmir [N] bool, vmir [N] bool)."""
+    n = tiles_pal.shape[0]
+    q = tiles_pal.astype(np.int64).reshape(n, 2, 4, 2, 4).sum((2, 4))
+    # scan order (vf,hf) = (0,0),(0,1),(1,0),(1,1); strict > keeps first max
+    sums = q.reshape(n, 4)  # [v*2+h]
+    best = np.argmax(sums, axis=1)  # first max wins
+    vf = (best >> 1).astype(bool)
+    hf = (best & 1).astype(bool)
+    out = tiles_pal.copy()
+    out[hf] = out[hf][:, :, ::-1]
+    out[vf] = out[vf][:, ::-1, :]
+    return out, hf, vf
+
+
+def run_dither(state: EncoderState) -> EncoderState:
+    cfg = state.config
+    n_kf = len(state.keyframes)
+    for k in range(n_kf):
+        prepare_dither_keyframe(state, k)
+    for k in range(n_kf):
+        counts = quantize_keyframe_palettes(state, k)
+        finish_quantize_keyframe(state, k, counts)
+
+    # batched dithering of every active referenced tile with its palette
+    kf_of = state.kf_of_frame()
+    tile_kf = np.repeat(kf_of, state.tilemap_size)  # identity layout
+    act = np.flatnonzero(state.tile_active)
+    dpi = np.maximum(state.tile_dpi[act], 0)
+    pals = state.palettes_rgb[tile_kf[act], dpi]  # [M,S,3]
+    if cfg.use_thomas_knoll:
+        dithered = dither.knoll_dither_tiles(state.tiles_rgb[act], pals)
+    else:
+        dithered = dither.yliluoma_dither_tiles(
+            state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)
+
+    baked, hf, vf = canonicalize_mirrors(dithered)
+    state.tiles_pal[act] = baked
+
+    # tilemap: palette choice + effective mirrors (= baked flags, so the
+    # decoder reconstructs the original orientation; see state.py docstring)
+    f, th, tw = state.tm_tile.shape
+    flat_tiles = state.tm_tile.reshape(-1)
+    state.tm_pal = state.tile_dpi[flat_tiles].reshape(f, th, tw).copy()
+    hmap = np.zeros(state.n_tiles, bool)
+    vmap = np.zeros(state.n_tiles, bool)
+    hmap[act] = hf
+    vmap[act] = vf
+    state.tm_h = hmap[flat_tiles].reshape(f, th, tw)
+    state.tm_v = vmap[flat_tiles].reshape(f, th, tw)
+    return state

@@ -1,0 +1,109 @@
+"""Encoder orchestrator: the btnRunAllClick equivalent
+(/root/reference/main.pas:1232-1272) with the reference's per-step
+wall-time reporting (ProgressRedraw, main.pas:3581-3631).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..config import EncoderConfig
+from ..constants import ENCODER_STEPS, equal_quality_tile_count
+from .state import EncoderState
+
+
+class Encoder:
+    def __init__(self, config: EncoderConfig | None = None):
+        self.config = config or EncoderConfig()
+        self.state = EncoderState(config=self.config)
+
+    # -- individual steps ---------------------------------------------------
+
+    def load(self, frames: np.ndarray, fps: float | None = None):
+        from .load import run_load
+        return self._timed('load', run_load, self.state, frames, fps)
+
+    def dither(self):
+        from .dither_step import run_dither
+        return self._timed('dither', run_dither, self.state)
+
+    def make_unique(self):
+        from .unique import run_make_unique
+        return self._timed('make_unique', run_make_unique, self.state)
+
+    def global_tiling(self):
+        from .global_tiling import run_global_tiling
+        return self._timed('global_tiling', run_global_tiling, self.state)
+
+    def frame_tiling(self):
+        from .frame_tiling import run_frame_tiling
+        return self._timed('frame_tiling', run_frame_tiling, self.state)
+
+    def reindex(self):
+        from .reindex import run_reindex
+        return self._timed('reindex', run_reindex, self.state)
+
+    def smooth(self):
+        from .smooth import run_smooth
+        return self._timed('smooth', run_smooth, self.state)
+
+    def save(self, fast_lzma: bool = False) -> bytes:
+        from .save import run_save
+        t0 = time.perf_counter()
+        blob = run_save(self.state, fast_lzma=fast_lzma)
+        self.state.step_times['save'] = time.perf_counter() - t0
+        self._report('save')
+        return blob
+
+    # -- drivers ------------------------------------------------------------
+
+    def max_tiles(self) -> int:
+        cfg = self.config
+        raw = self.state.n_frames * self.state.tilemap_size
+        if cfg.max_tiles > 0:
+            return min(cfg.max_tiles, raw)
+        return min(round(cfg.qb_tiles * equal_quality_tile_count(raw)), raw)
+
+    def run_all(self, frames: np.ndarray, fps: float | None = None,
+                fast_lzma: bool = False) -> bytes:
+        """Full pipeline Load..Save honoring start/end step config."""
+        cfg = self.config
+        first = ENCODER_STEPS.index(cfg.start_step)
+        last = ENCODER_STEPS.index(cfg.end_step)
+
+        def ok(step):
+            return first <= ENCODER_STEPS.index(step) <= last
+
+        blob = b''
+        if ok('load'):
+            self.load(frames, fps)
+        if ok('dither'):
+            self.dither()
+        if ok('make_unique'):
+            self.make_unique()
+        if ok('global_tiling'):
+            self.global_tiling()
+        if ok('frame_tiling'):
+            self.frame_tiling()
+        if ok('reindex'):
+            self.reindex()
+        if ok('smooth'):
+            self.smooth()
+        if ok('save'):
+            blob = self.save(fast_lzma=fast_lzma)
+        return blob
+
+    # -- internals ----------------------------------------------------------
+
+    def _timed(self, name, fn, *args):
+        t0 = time.perf_counter()
+        result = fn(*args)
+        self.state.step_times[name] = time.perf_counter() - t0
+        self._report(name)
+        return result
+
+    def _report(self, name):
+        t = self.state.step_times[name]
+        total = sum(self.state.step_times.values())
+        print(f'Step: {name:<14} Time: {t:8.3f}  All: {total:8.3f}')

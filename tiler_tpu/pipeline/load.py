@@ -1,0 +1,151 @@
+"""Load step: ingestion, tile split, FS posterize, keyframe detection.
+
+Reference: btnLoadClick (/root/reference/main.pas:984-1166), LoadFrame
+(main.pas:3211-3286), keyframe thresholds (main.pas:985-990), ffmpeg
+frontend (main.pas:4765-4800).
+
+TPU-first: frames land as one [F,H,W,3] array; the tile split is a reshape;
+inter-frame Pearson correlations for shot detection are computed for the
+whole clip in one batched device call, with only the trivial EWMA/threshold
+recurrence left on the host.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+from ..constants import (MAX_TILEMAP_H, MAX_TILEMAP_W,
+                         SHOT_TRANS_AVG_FRAMES, SHOT_TRANS_GRACE_PERIOD,
+                         SHOT_TRANS_HARD_THRES, SHOT_TRANS_MAX_TILES_PER_KF,
+                         SHOT_TRANS_SOFT_THRES, TILE_W)
+from ..ops import stats
+from ..ops.dither import floyd_steinberg_posterize
+from .state import EncoderState
+
+
+def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
+                      scale: float = 1.0) -> tuple[np.ndarray, float]:
+    """Extract frames with ffmpeg (DoExternalFFMpeg equivalent: frame-range
+    select + Lanczos scale + full-range rgb24). Returns (frames, fps)."""
+    ffmpeg = shutil.which('ffmpeg')
+    if ffmpeg is None:
+        raise RuntimeError('ffmpeg not available on this host')
+    tmp = tempfile.mkdtemp(prefix='tiler_png_')
+    sel = (f"select=between(n\\,{start_frame}\\,"
+           f"{start_frame + frame_count - 1 if frame_count > 0 else 2**30}),"
+           f"setpts=PTS-STARTPTS,scale=in_range=auto:out_range=full")
+    vf = f"{sel},scale=iw*{scale}:ih*{scale}:flags=lanczos"
+    proc = subprocess.run(
+        [ffmpeg, '-y', '-i', path, '-vf', vf, '-pix_fmt', 'rgb24',
+         os.path.join(tmp, '%04d.png')],
+        capture_output=True, text=True)
+    fps = 24.0
+    for tok in proc.stderr.split(' fps')[:1]:
+        try:
+            fps = float(tok.strip().rsplit(' ', 1)[-1])
+        except ValueError:
+            pass
+    frames = frames_from_pngs(os.path.join(tmp, '*.png'))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return frames, fps
+
+
+def frames_from_pngs(pattern: str) -> np.ndarray:
+    from PIL import Image
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(pattern)
+    return np.stack([np.asarray(Image.open(p).convert('RGB'))
+                     for p in paths])
+
+
+def split_into_tiles(frames: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """[F,H,W,3] -> [F*TH*TW, 8, 8, 3] in frame-major row-major cell order."""
+    f = frames.shape[0]
+    x = frames[:, :th * TILE_W, :tw * TILE_W]
+    x = x.reshape(f, th, TILE_W, tw, TILE_W, 3).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(f * th * tw, TILE_W, TILE_W, 3))
+
+
+def detect_keyframes(fs_pixels: np.ndarray, tilemap_size: int) -> np.ndarray:
+    """Shot-transition detection (main.pas:1099-1155).
+
+    Batched Pearson correlations on device; EWMA ratio thresholds on host.
+    Returns [K,2] inclusive frame ranges."""
+    f = len(fs_pixels)
+    if f == 1:
+        return np.array([[0, 0]], np.int32)
+    corr = np.asarray(stats.interframe_correlations(fs_pixels))
+    starts = [0]
+    av = -1.0
+    last_kf = 0
+    for i in range(1, f):
+        v = float(corr[i - 1])
+        if av == -1.0:
+            av = v
+        else:
+            av = av * (1.0 - 1.0 / SHOT_TRANS_AVG_FRAMES) + \
+                v * (1.0 / SHOT_TRANS_AVG_FRAMES)
+        ratio = max(0.01, v) / max(0.01, av)
+        is_kf = (ratio < SHOT_TRANS_HARD_THRES) or \
+            (ratio < SHOT_TRANS_SOFT_THRES and
+             (i - last_kf + 1) > SHOT_TRANS_GRACE_PERIOD) or \
+            ((i - last_kf + 1) * tilemap_size > SHOT_TRANS_MAX_TILES_PER_KF)
+        if is_kf:
+            starts.append(i)
+            av = -1.0
+            last_kf = i
+    starts.append(f)
+    return np.array([[starts[k], starts[k + 1] - 1]
+                     for k in range(len(starts) - 1)], np.int32)
+
+
+def run_load(state: EncoderState, frames: np.ndarray,
+             fps: float | None = None) -> EncoderState:
+    """Populate state from raw frames [F,H,W,3] uint8."""
+    cfg = state.config
+    if fps is not None:
+        state.fps = fps
+    f, h, w, _ = frames.shape
+    th = min(h // TILE_W, MAX_TILEMAP_H)
+    tw = min(w // TILE_W, MAX_TILEMAP_W)
+    if th == 0 or tw == 0:
+        raise ValueError('input smaller than one tile')
+    state.tilemap_h, state.tilemap_w = th, tw
+    frames = np.ascontiguousarray(frames[:, :th * TILE_W, :tw * TILE_W])
+    state.frames_rgb = frames
+
+    # whole-frame FS posterize (identity at the default 8 bits/comp)
+    from ..constants import BITS_PER_COMP
+    if BITS_PER_COMP >= 8:
+        state.fs_pixels = frames
+    else:
+        state.fs_pixels = np.stack(
+            [floyd_steinberg_posterize(fr, BITS_PER_COMP) for fr in frames])
+
+    # global tiles: one per tilemap cell, identity tilemap
+    state.tiles_rgb = split_into_tiles(frames, th, tw)
+    n = state.tiles_rgb.shape[0]
+    state.tiles_pal = np.zeros((n, TILE_W, TILE_W), np.uint8)
+    state.tile_active = np.ones(n, bool)
+    state.tile_use = np.ones(n, np.int64)
+    state.tile_dpi = np.full(n, -1, np.int32)
+
+    state.tm_tile = np.arange(n, dtype=np.int32).reshape(f, th, tw)
+    state.tm_pal = np.full((f, th, tw), -1, np.int32)
+    state.tm_h = np.zeros((f, th, tw), bool)
+    state.tm_v = np.zeros((f, th, tw), bool)
+
+    state.keyframes = detect_keyframes(state.fs_pixels, th * tw)
+    k = len(state.keyframes)
+    state.palettes_rgb = np.zeros(
+        (k, cfg.palette_count, cfg.tile_palette_size, 3), np.uint8)
+    state.palette_centroids = np.zeros(
+        (k, cfg.palette_count, 192), np.float32)
+    state.metrics['n_keyframes'] = k
+    return state
