@@ -1,0 +1,173 @@
+"""KModes clustering over uint8 tile signatures — the kmodes.pas replacement.
+
+Reference: TKModes.ComputeKModes (/root/reference/kmodes.pas:917-1060) with
+farthest-first init (kmodes.pas:698-776), the Hamming<<11 + L1 dissimilarity
+(kmodes.pas:239-250, SSE3 at kmodes.pas:316-596), per-attribute category
+frequency centroid updates (kmodes.pas:778-806), and empty-cluster repair.
+
+TPU-native design: the dissimilarity between [n,80] points and [k,80]
+centroids is one broadcast compare+abs-diff reduction on the VPU (int32);
+assignment is an argmin over k; the centroid update is a one-hot count
+einsum + argmax over modalities. The reference's ONLINE per-point moves
+(centroids updated after every reassignment) become batch Lloyd-style
+iterations — a deliberate redesign: same objective, deterministic, and the
+whole solver is a single jitted while_loop. Shapes are padded to buckets so
+recompiles are bounded; masked lanes never win an argmin/argmax.
+
+Divergences from the reference (documented):
+- batch instead of online updates (different trajectory, similar cost);
+- empty clusters are re-seeded with the point farthest from its assigned
+  centroid instead of a random member of the biggest cluster;
+- argmin tie-breaks take the first minimum (the SSE3 scan takes the last).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DISSIM_SUB_MATCHING_BITS, KMODES_FEATURE_COUNT
+
+_BIG = jnp.int32(2**30)
+
+
+def dissim_matrix(x, c):
+    """[n,A] uint8 points vs [k,A] uint8 centroids -> [n,k] int32
+    (Hamming<<11 + L1, kmodes.pas:239-250)."""
+    xi = x.astype(jnp.int32)[:, None, :]
+    ci = c.astype(jnp.int32)[None, :, :]
+    ham = jnp.sum((xi != ci).astype(jnp.int32), axis=-1)
+    l1 = jnp.sum(jnp.abs(xi - ci), axis=-1)
+    return (ham << DISSIM_SUB_MATCHING_BITS) + l1
+
+
+def _masked_dissim(x, c, valid_k):
+    d = dissim_matrix(x, c)
+    return jnp.where(valid_k[None, :], d, _BIG)
+
+
+def _farthest_first(x, k_pad, valid_n, start_point):
+    """Farthest-first centroids [k_pad, A] (kmodes.pas:698-776)."""
+    n = x.shape[0]
+    xi = x.astype(jnp.int32)
+
+    def dis_to(p):
+        d = jnp.sum((xi != p[None, :]).astype(jnp.int32), axis=1)
+        l1 = jnp.sum(jnp.abs(xi - p[None, :].astype(jnp.int32)), axis=1)
+        return (d << DISSIM_SUB_MATCHING_BITS) + l1
+
+    cents = jnp.zeros((k_pad, x.shape[1]), jnp.uint8)
+    cents = cents.at[0].set(x[start_point])
+    mind = jnp.where(valid_n, dis_to(xi[start_point]), -1)
+    mind = mind.at[start_point].set(-1)
+
+    def body(i, carry):
+        cents, mind = carry
+        far = jnp.argmax(mind)
+        cents = cents.at[i].set(x[far])
+        nd = dis_to(xi[far])
+        mind = jnp.where(valid_n, jnp.minimum(mind, nd), -1)
+        mind = mind.at[far].set(-1)
+        return cents, mind
+
+    cents, _ = jax.lax.fori_loop(1, k_pad, body, (cents, mind))
+    return cents
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('k_pad', 'n_modalities', 'max_iters'))
+def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
+                   n_modalities: int, max_iters: int):
+    n, a = x.shape
+    w = valid_n.astype(jnp.float32)
+
+    cents = _farthest_first(x, k_pad, valid_n, start_point)
+
+    def assign(cents):
+        d = _masked_dissim(x, cents, valid_k)
+        lab = jnp.argmin(d, axis=1).astype(jnp.int32)
+        # float32 accumulation: int32 would overflow for ~100k-point bins
+        cost = jnp.sum(jnp.where(valid_n, jnp.min(d, axis=1),
+                                 0).astype(jnp.float32))
+        return lab, cost
+
+    def update(cents, labels):
+        onehot_k = jax.nn.one_hot(labels, k_pad, dtype=jnp.float32) \
+            * w[:, None]
+        onehot_m = jax.nn.one_hot(x.astype(jnp.int32), n_modalities,
+                                  dtype=jnp.float32)  # [n,A,M]
+        counts = jnp.einsum('nk,nam->kam', onehot_k, onehot_m)
+        new_c = jnp.argmax(counts, axis=-1).astype(jnp.uint8)  # [k,A]
+        members = jnp.sum(onehot_k, axis=0)  # [k]
+        empty = (members == 0) & valid_k
+        # re-seed empty clusters with the currently worst-fit point
+        d_own = jnp.sum(
+            jnp.abs(x.astype(jnp.int32) -
+                    jnp.take(new_c, labels, axis=0).astype(jnp.int32)),
+            axis=1)
+        d_own = jnp.where(valid_n, d_own, -1)
+        worst = jnp.argmax(d_own)
+        new_c = jnp.where(empty[:, None], x[worst][None, :], new_c)
+        return new_c
+
+    labels, cost = assign(cents)
+
+    def cond(carry):
+        _, _, _, prev_cost, cost, moves, it = carry
+        improved = jnp.logical_and(cost < prev_cost, moves > 0)
+        return jnp.logical_and(improved, it < max_iters)
+
+    def body(carry):
+        cents, labels, _, _, cost, _, it = carry
+        cents = update(cents, labels)
+        new_labels, new_cost = assign(cents)
+        moves = jnp.sum(jnp.where(valid_n, new_labels != labels, False))
+        return (cents, new_labels, labels, cost, new_cost, moves, it + 1)
+
+    init = (cents, labels, labels, jnp.float32(jnp.inf),
+            cost, jnp.int32(1), jnp.int32(0))
+    cents, labels, _, _, cost, _, it = jax.lax.while_loop(cond, body, init)
+    cents = update(cents, labels)
+    labels, cost = assign(cents)
+    return labels, cents, cost
+
+
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p *= 2
+    return p
+
+
+def kmodes(x: np.ndarray, k: int, start_point: int, n_modalities: int,
+           max_iters: int = 100):
+    """Cluster [n, 80] uint8 rows into k groups.
+
+    Returns (labels [n] int32, centroids [k, 80] uint8)."""
+    n = x.shape[0]
+    assert 0 < k <= n
+    n_pad = _next_pow2(max(n, 8))
+    k_pad = _next_pow2(max(k, 2))
+    xp = np.zeros((n_pad, x.shape[1]), np.uint8)
+    xp[:n] = x
+    valid_n = np.zeros(n_pad, bool)
+    valid_n[:n] = True
+    valid_k = np.zeros(k_pad, bool)
+    valid_k[:k] = True
+    labels, cents, _cost = _kmodes_padded(
+        jnp.asarray(xp), jnp.asarray(valid_n), jnp.asarray(valid_k),
+        jnp.int32(start_point), k_pad, n_modalities, max_iters)
+    return np.asarray(labels)[:n], np.asarray(cents)[:k]
+
+
+def min_dissim_index_last(rows: np.ndarray, target: np.ndarray) -> int:
+    """GetMinMatchingDissim (kmodes.pas:598-612): index of the row with the
+    smallest dissimilarity to target; ties take the LAST row (the asm scan
+    uses <=)."""
+    r = rows.astype(np.int64)
+    t = target.astype(np.int64)
+    d = ((r != t).sum(1) << DISSIM_SUB_MATCHING_BITS) + np.abs(r - t).sum(1)
+    mins = np.flatnonzero(d == d.min())
+    return int(mins[-1])

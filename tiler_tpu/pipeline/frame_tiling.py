@@ -1,0 +1,159 @@
+"""FrameTiling step: remap every tilemap cell to the best (tile, palette,
+mirror) candidate from the reduced tileset.
+
+Reference: PrepareGlobalFT (/root/reference/main.pas:3736-3780) builds a
+64-dim kd-tree over active tiles x 4 mirror variants; PrepareFrameTiling
+(main.pas:3791-3967) marks candidate combos per keyframe via 8-NN bucket
+search expanded across palettes by quality level (UseOne main.pas:
+3802-3853, palette-centroid distances BuildPaletteCorrTriangle main.pas:
+3855-3867), then computes 192-dim PsyV features of every used combo
+(DoPsyV main.pas:3883-3919) and 1-NN-searches each cell's source-tile
+feature against them (DoFrameTiling main.pas:3992-4047).
+
+TPU-native: both searches are exact streaming distance matmuls (ops.knn);
+the per-keyframe lazy init/teardown critical sections and FramesLeft
+refcounts disappear — each keyframe is a bulk three-phase pass. Dataset
+entry order matches the reference's mirror walk (attrs 0,1,3,2 per tile)
+for tie-compatibility.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import FTQuality
+from ..constants import TILE_W
+from ..ops import features, knn
+from .load import split_into_tiles
+from .state import EncoderState
+
+_ATTR_ORDER = np.array([0, 1, 3, 2], np.int32)  # h|v<<1 per dataset slot
+
+
+def _ft_gamma(cfg):
+    return cfg.encoder_gamma if cfg.ft_gamma else None
+
+
+def build_global_dataset(state: EncoderState):
+    """[4A, 64] float32 mirrored PalPixels + maps to (tile, attrs)."""
+    act = np.flatnonzero(state.tile_active)
+    t = state.tiles_pal[act]  # [A,8,8]
+    variants = np.stack([
+        t,                    # attrs 0: no mirror
+        t[:, :, ::-1],        # attrs 1: H
+        t[:, ::-1, ::-1],     # attrs 3: HV
+        t[:, ::-1, :],        # attrs 2: V
+    ], axis=1)  # [A,4,8,8]
+    ds = variants.reshape(-1, TILE_W * TILE_W).astype(np.float32)
+    tile_of = np.repeat(act, 4)
+    attrs_of = np.tile(_ATTR_ORDER, len(act))
+    return ds, tile_of, attrs_of
+
+
+def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
+                    pal_mask: np.ndarray | None):
+    """Stage 1: bool[P, 4A] used-combo indicator for keyframe k."""
+    cfg = state.config
+    s, e = state.keyframes[k]
+    cell_tiles = state.tm_tile[s:e + 1].ravel()
+    cell_pals = state.tm_pal[s:e + 1].ravel()
+
+    uq_tiles, tile_inv = np.unique(cell_tiles, return_inverse=True)
+    queries = state.tiles_pal[uq_tiles].reshape(len(uq_tiles), -1) \
+        .astype(np.float32)
+    idxs, errs = knn.nearest_k(queries, ds, k=8)
+    # skip consecutive equal-error results (UseOne, main.pas:3832-3837)
+    keep = np.ones_like(errs, bool)
+    keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
+
+    used = np.zeros((cfg.palette_count, len(ds)), bool)
+    # unique (pal, tile) pairs drive the marking
+    pair_ids = cell_pals.astype(np.int64) * len(uq_tiles) + tile_inv
+    uq_pairs = np.unique(pair_ids)
+    pair_pal = (uq_pairs // len(uq_tiles)).astype(np.int64)
+    pair_tile_row = (uq_pairs % len(uq_tiles)).astype(np.int64)
+
+    for q in range(cfg.palette_count):
+        rows = pair_tile_row[pair_pal == q]
+        if rows.size == 0:
+            continue
+        marked = np.unique(idxs[rows][keep[rows]])
+        if cfg.ft_quality == FTQuality.FAST:
+            used[q, marked] = True
+        elif cfg.ft_quality == FTQuality.SLOW:
+            used[:, marked] = True
+        else:  # MEDIUM: palettes whose centroids are close to q's
+            used[np.ix_(pal_mask[:, q], marked)] = True
+    return used
+
+
+def palette_similarity_mask(state: EncoderState, k: int) -> np.ndarray:
+    """[P,P] bool: pal_mask[j,q] = centroid j close enough to q
+    (BuildPaletteCorrTriangle + APalTol test, main.pas:3843-3847)."""
+    cfg = state.config
+    c = state.palette_centroids[k].astype(np.float64)
+    d = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    finite = np.nan_to_num(d, nan=0.0, posinf=0.0)
+    highest = finite.max() if finite.size else 0.0
+    return d < cfg.ft_palette_tol * highest
+
+
+def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
+                       chunk: int = 65536):
+    """Stage 2: PsyV features of every used (pal, tile, mirror) combo."""
+    cfg = state.config
+    pal_idx, dentry = np.nonzero(used)
+    c = len(pal_idx)
+    tiles = tile_of[dentry]
+    attrs = attrs_of[dentry]
+    feats = np.empty((c, 192), np.float32)
+    for lo in range(0, c, chunk):
+        hi = min(c, lo + chunk)
+        tp = state.tiles_pal[tiles[lo:hi]]
+        pals = state.palettes_rgb[k, pal_idx[lo:hi]]
+        feats[lo:hi] = np.asarray(features.psyv_features_pal(
+            tp, pals, gamma_value=_ft_gamma(cfg),
+            use_wavelets=cfg.use_wavelets,
+            hmir=(attrs[lo:hi] & 1).astype(bool),
+            vmir=(attrs[lo:hi] & 2).astype(bool)))
+    return feats, pal_idx.astype(np.int32), tiles.astype(np.int32), attrs
+
+
+def run_frame_tiling(state: EncoderState) -> EncoderState:
+    cfg = state.config
+    ds, tile_of, attrs_of = build_global_dataset(state)
+    residual = 0.0
+    knn_sizes = []
+
+    for k in range(len(state.keyframes)):
+        s, e = state.keyframes[k]
+        pal_mask = palette_similarity_mask(state, k) \
+            if cfg.ft_quality == FTQuality.MEDIUM else None
+        used = mark_candidates(state, k, ds, tile_of, attrs_of, pal_mask)
+        feats, cand_pal, cand_tile, cand_attrs = candidate_features(
+            state, k, used, tile_of, attrs_of)
+        knn_sizes.append(len(feats))
+
+        # stage 3: per-cell queries from the source RGB tiles
+        src_tiles = split_into_tiles(state.frames_rgb[s:e + 1],
+                                     state.tilemap_h, state.tilemap_w)
+        q_feats = np.empty((len(src_tiles), 192), np.float32)
+        qchunk = 65536
+        for lo in range(0, len(src_tiles), qchunk):
+            hi = min(len(src_tiles), lo + qchunk)
+            q_feats[lo:hi] = np.asarray(features.psyv_features_rgb(
+                src_tiles[lo:hi], gamma_value=_ft_gamma(cfg),
+                use_wavelets=cfg.use_wavelets))
+
+        best_idx, best_err = knn.nearest_1(q_feats, feats)
+        shape = (e - s + 1, state.tilemap_h, state.tilemap_w)
+        state.tm_tile[s:e + 1] = cand_tile[best_idx].reshape(shape)
+        state.tm_pal[s:e + 1] = cand_pal[best_idx].reshape(shape)
+        state.tm_h[s:e + 1] = (cand_attrs[best_idx] & 1).astype(bool) \
+            .reshape(shape)
+        state.tm_v[s:e + 1] = (cand_attrs[best_idx] & 2).astype(bool) \
+            .reshape(shape)
+        residual += float(best_err.sum())
+
+    state.metrics['ft_residual_err'] = residual
+    state.metrics['ft_knn_sizes'] = knn_sizes
+    return state

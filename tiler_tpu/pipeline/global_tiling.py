@@ -1,0 +1,147 @@
+"""GlobalTiling step: reduce the global tileset to a budget with KModes.
+
+Reference: DoGlobalTiling (/root/reference/main.pas:4256-4370):
+per-tile 80-byte signatures (64 palette indices + 16 zone-occupancy flags,
+WriteTileDatasetLine main.pas:4167-4183, GetTilePalZoneThres
+main.pas:4142-4165); tiles binned by DitheringPalIndex; the tile budget is
+shared across bins proportional to EqualQualityTileCount(bin size)
+(main.pas:4319-4328); KModes per bin; each cluster is replaced by the
+member closest to its centroid and the rest merge into it
+(DoKModes main.pas:4195-4254); finally global MakeUnique + Reindex and a
+GTS tileset dump. GTS reload (ReloadPreviousTiling, main.pas:4372-4470)
+replaces each tile with its nearest line from a previous tileset.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.gtm import read_gts, write_gts
+from ..constants import (KMODES_FEATURE_COUNT, KMODES_ZONE_COUNT, TILE_W,
+                         equal_quality_tile_count)
+from ..ops.kmodes import kmodes, min_dissim_index_last
+from .reindex import run_reindex
+from .state import EncoderState
+from .unique import run_make_unique
+
+
+def tile_signatures(tiles_pal: np.ndarray, tile_palette_size: int
+                    ) -> np.ndarray:
+    """[N,8,8] uint8 -> [N,80] uint8 KModes feature lines."""
+    n = tiles_pal.shape[0]
+    flat = tiles_pal.reshape(n, 64).astype(np.int64)
+    zone_of = flat * KMODES_ZONE_COUNT // tile_palette_size  # [N,64]
+    acc = np.zeros((n, KMODES_ZONE_COUNT), np.int64)
+    np.add.at(acc, (np.arange(n)[:, None], zone_of), 1)
+    thres = tile_palette_size // KMODES_ZONE_COUNT
+    zones = (acc > thres).astype(np.uint8)
+    return np.concatenate([tiles_pal.reshape(n, 64), zones],
+                          axis=1).astype(np.uint8)
+
+
+def run_global_tiling(state: EncoderState,
+                      desired_tiles: int | None = None,
+                      gts_out: str | None = None) -> EncoderState:
+    cfg = state.config
+    if cfg.reload_tileset:
+        return run_reload_tiling(state, cfg.reload_tileset)
+
+    if desired_tiles is None:
+        raw = state.n_frames * state.tilemap_size
+        budget = cfg.max_tiles if cfg.max_tiles > 0 else \
+            round(cfg.qb_tiles * equal_quality_tile_count(raw))
+        desired_tiles = min(budget, raw)
+
+    act = np.flatnonzero(state.tile_active)
+    sigs = tile_signatures(state.tiles_pal[act], cfg.tile_palette_size)
+    dpi = state.tile_dpi[act]
+
+    # bin by DitheringPalIndex; budget share ~ EqualQualityTileCount
+    bin_sizes = np.bincount(np.maximum(dpi, 0), minlength=cfg.palette_count)
+    eqtc = np.array([equal_quality_tile_count(s) for s in bin_sizes])
+    share = desired_tiles / max(eqtc.sum(), 1)
+    cluster_counts = np.ceil(eqtc * share).astype(np.int64)
+
+    merges = 0
+    fwd = np.arange(state.n_tiles)
+    for p in range(cfg.palette_count):
+        sel = np.flatnonzero(dpi == p)
+        n_bin, k = len(sel), int(cluster_counts[p])
+        if n_bin == 0 or n_bin <= k or k == 0:
+            continue
+        bin_sigs = sigs[sel]
+        # starting point: line with the smallest byte sum (last min wins,
+        # main.pas:4301-4308 uses <=)
+        sums = bin_sigs.astype(np.int64).sum(1)
+        mins = np.flatnonzero(sums == sums.min())
+        start = int(mins[-1])
+        labels, cents = kmodes(bin_sigs, k, start, cfg.tile_palette_size)
+        # replace each cluster by its member closest to the centroid
+        global_idx = act[sel]
+        for j in range(k):
+            members = np.flatnonzero(labels == j)
+            if len(members) < 2:
+                continue
+            win_local = min_dissim_index_last(bin_sigs[members], cents[j])
+            winner = global_idx[members[win_local]]
+            loser_mask = np.ones(len(members), bool)
+            loser_mask[win_local] = False
+            losers = global_idx[members[loser_mask]]
+            state.tile_use[winner] += state.tile_use[losers].sum()
+            state.tile_use[losers] = 0
+            state.tile_active[losers] = False
+            fwd[losers] = winner  # winners stay active: no chains
+            merges += len(losers)
+
+    state.tm_tile = fwd[state.tm_tile].astype(np.int32)
+    state.metrics['global_tiling_merged'] = merges
+    run_make_unique(state)
+    run_reindex(state)
+    if gts_out:
+        n_active = int(state.tile_active.sum())
+        write_gts(gts_out, state.tiles_pal[:n_active],
+                  cfg.tile_palette_size)
+    return state
+
+
+def run_reload_tiling(state: EncoderState, gts_path: str) -> EncoderState:
+    """ReloadPreviousTiling: overwrite each active tile's pixels with the
+    nearest tile from a previous GTS tileset, matched on signatures within
+    the same PalSigni bin when possible (main.pas:4372-4470)."""
+    cfg = state.config
+    gts_tiles, gts_pal_size = read_gts(gts_path)
+    # rescale palette indices to the current palette size (main.pas:4436-4438)
+    scaled = (gts_tiles.astype(np.int64) * cfg.tile_palette_size
+              // gts_pal_size).astype(np.uint8)
+    ds_sigs = tile_signatures(scaled, cfg.tile_palette_size)
+    # PalSigni of dataset lines: min over zones of (64 - zone count)
+    ds_signi = _pal_signi(scaled, cfg.tile_palette_size)
+
+    act = np.flatnonzero(state.tile_active)
+    sigs = tile_signatures(state.tiles_pal[act], cfg.tile_palette_size)
+    signi = _pal_signi(state.tiles_pal[act], cfg.tile_palette_size)
+
+    bins: dict[int, np.ndarray] = {}
+    for s in np.unique(ds_signi):
+        bins[int(s)] = np.flatnonzero(ds_signi == s)
+
+    from ..ops.kmodes import dissim_matrix
+    import jax.numpy as jnp
+    for i, ti in enumerate(act):
+        cand = bins.get(int(signi[i]))
+        pool = ds_sigs[cand] if cand is not None and len(cand) else ds_sigs
+        pool_tiles = scaled[cand] if cand is not None and len(cand) \
+            else scaled
+        j = min_dissim_index_last(pool, sigs[i])
+        state.tiles_pal[ti] = pool_tiles[j]
+
+    run_make_unique(state)
+    return state
+
+
+def _pal_signi(tiles_pal: np.ndarray, tile_palette_size: int) -> np.ndarray:
+    n = tiles_pal.shape[0]
+    flat = tiles_pal.reshape(n, 64).astype(np.int64)
+    zone_of = flat * KMODES_ZONE_COUNT // tile_palette_size
+    acc = np.zeros((n, KMODES_ZONE_COUNT), np.int64)
+    np.add.at(acc, (np.arange(n)[:, None], zone_of), 1)
+    return (64 - acc).min(axis=1)
