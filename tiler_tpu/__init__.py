@@ -7,4 +7,28 @@ structural map of the reference this mirrors.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-time compiles through the
+    TPU tunnel can take minutes with high variance; cached reloads take
+    ~0.1s. Opt out with TILER_NO_COMPILE_CACHE=1."""
+    if _os.environ.get('TILER_NO_COMPILE_CACHE') == '1':
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            'JAX_COMPILATION_CACHE_DIR',
+            _os.path.expanduser('~/.cache/tiler_tpu_xla'))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from .config import EncoderConfig, FTQuality  # noqa: F401

@@ -27,6 +27,20 @@ from .color import color_compare_i32, jax_div_trunc
 _BAYER = DITHERING_MAP.reshape(TILE_W, TILE_W)
 
 
+def _pad_pow2(n: int, minimum: int = 256) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pad_rows(arr, n_pad):
+    if arr.shape[0] == n_pad:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((n_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)])
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _knoll_plans(cols, pal, luma_pal):
     """cols [M,3] i32 pixels; pal [M,S,3] i32 per-pixel palette;
@@ -69,18 +83,20 @@ def knoll_dither_tiles(tiles_rgb, palettes_rgb, chunk: int = 16384):
     out = np.empty((n, TILE_W, TILE_W), np.uint8)
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
-        t = jnp.asarray(tiles_rgb[lo:hi], jnp.int32)  # [C,8,8,3]
-        pal = jnp.asarray(palettes_rgb[lo:hi], jnp.int32)  # [C,S,3]
         c = hi - lo
-        cols = t.reshape(c * 64, 3)
+        cp = _pad_pow2(c)
+        t = jnp.asarray(_pad_rows(tiles_rgb[lo:hi], cp), jnp.int32)
+        palc = _pad_rows(palettes_rgb[lo:hi], cp)
+        pal = jnp.asarray(palc, jnp.int32)  # [C,S,3]
+        cols = t.reshape(cp * 64, 3)
         pal_px = jnp.repeat(pal, 64, axis=0)  # [C*64,S,3]
-        luma = jnp.asarray(
-            luma_raw(palettes_rgb[lo:hi]), jnp.int32)  # [C,S]
+        luma = jnp.asarray(luma_raw(palc), jnp.int32)  # [C,S]
         luma_px = jnp.repeat(luma, 64, axis=0)
         plans = _knoll_plans(cols, pal_px, luma_px)  # [C*64, 64]
         sel = jnp.take_along_axis(
-            plans, jnp.tile(bayer_flat, (c,))[:, None], axis=1)[:, 0]
-        out[lo:hi] = np.asarray(sel, np.uint8).reshape(c, TILE_W, TILE_W)
+            plans, jnp.tile(bayer_flat, (cp,))[:, None], axis=1)[:, 0]
+        out[lo:hi] = np.asarray(sel, np.uint8).reshape(
+            cp, TILE_W, TILE_W)[:c]
     return out
 
 
@@ -154,16 +170,17 @@ def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
         c = hi - lo
-        t = jnp.asarray(tiles_rgb[lo:hi], jnp.int32)
-        pal = jnp.repeat(jnp.asarray(palettes_rgb[lo:hi], jnp.int32),
-                         64, axis=0)
-        luma = jnp.repeat(jnp.asarray(luma_raw(palettes_rgb[lo:hi]),
-                                      jnp.int32), 64, axis=0)
-        cols = t.reshape(c * 64, 3)
+        cp = _pad_pow2(c)
+        t = jnp.asarray(_pad_rows(tiles_rgb[lo:hi], cp), jnp.int32)
+        palc = _pad_rows(palettes_rgb[lo:hi], cp)
+        pal = jnp.repeat(jnp.asarray(palc, jnp.int32), 64, axis=0)
+        luma = jnp.repeat(jnp.asarray(luma_raw(palc), jnp.int32), 64, axis=0)
+        cols = t.reshape(cp * 64, 3)
         plans, counts = _yliluoma_plans(cols, pal, luma, mixed_colors)
-        mv = (jnp.tile(bayer_flat, (c,)) * counts) >> 6
+        mv = (jnp.tile(bayer_flat, (cp,)) * counts) >> 6
         sel = jnp.take_along_axis(plans, mv[:, None], axis=1)[:, 0]
-        out[lo:hi] = np.asarray(sel, np.uint8).reshape(c, TILE_W, TILE_W)
+        out[lo:hi] = np.asarray(sel, np.uint8).reshape(
+            cp, TILE_W, TILE_W)[:c]
     return out
 
 

@@ -106,16 +106,38 @@ def psyv_from_cpn(cpn, use_wavelets: bool = False, q_weighting: bool = False):
     return coeff.reshape(n, TILE_DCT_SIZE)
 
 
+def pad_pow2(n: int, minimum: int = 256) -> int:
+    """Round a batch size up to a power of two (bounds jit recompiles to
+    log(N) shape buckets — varying batch sizes would otherwise trigger a
+    fresh XLA compile per call)."""
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pad_batch(arr, n_pad):
+    pad = n_pad - arr.shape[0]
+    if pad == 0:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+
 def psyv_features_rgb(tiles_rgb, gamma_value=None, use_lab=False,
                       use_wavelets=False, q_weighting=False,
                       hmir=None, vmir=None):
     """Full PsyV path from RGB tiles [N,8,8,3] uint8 -> [N,192] f32."""
-    t = jnp.asarray(tiles_rgb)
+    tiles_rgb = np.asarray(tiles_rgb)
+    n = tiles_rgb.shape[0]
+    n_pad = pad_pow2(n)
+    t = jnp.asarray(_pad_batch(tiles_rgb, n_pad))
     if hmir is not None:
-        t = mirror_tiles(t, jnp.asarray(hmir), jnp.asarray(vmir))
+        t = mirror_tiles(t, jnp.asarray(_pad_batch(np.asarray(hmir), n_pad)),
+                         jnp.asarray(_pad_batch(np.asarray(vmir), n_pad)))
     cpn = rgb_tiles_to_cpn(t, gamma_value, use_lab)
     return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
-                         q_weighting=q_weighting)
+                         q_weighting=q_weighting)[:n]
 
 
 def psyv_features_pal(tiles_pal, palettes_rgb, gamma_value=None,
@@ -125,9 +147,14 @@ def psyv_features_pal(tiles_pal, palettes_rgb, gamma_value=None,
 
     Mirrors are applied to the index plane before the palette LUT, matching
     the reference's on-the-fly mirrored reads (main.pas:3036-3047)."""
-    t = jnp.asarray(tiles_pal)
+    tiles_pal = np.asarray(tiles_pal)
+    n = tiles_pal.shape[0]
+    n_pad = pad_pow2(n)
+    t = jnp.asarray(_pad_batch(tiles_pal, n_pad))
+    pals = jnp.asarray(_pad_batch(np.asarray(palettes_rgb), n_pad))
     if hmir is not None:
-        t = mirror_tiles(t, jnp.asarray(hmir), jnp.asarray(vmir))
-    cpn = pal_tiles_to_cpn(t, jnp.asarray(palettes_rgb), gamma_value, use_lab)
+        t = mirror_tiles(t, jnp.asarray(_pad_batch(np.asarray(hmir), n_pad)),
+                         jnp.asarray(_pad_batch(np.asarray(vmir), n_pad)))
+    cpn = pal_tiles_to_cpn(t, pals, gamma_value, use_lab)
     return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
-                         q_weighting=q_weighting)
+                         q_weighting=q_weighting)[:n]

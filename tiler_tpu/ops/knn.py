@@ -18,6 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pad_pow2(n: int, minimum: int = 1024) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pad_q(q, n_pad):
+    if q.shape[0] == n_pad:
+        return q
+    return np.concatenate(
+        [q, np.zeros((n_pad - q.shape[0], q.shape[1]), q.dtype)])
+
+
 @functools.partial(jax.jit, donate_argnums=(3, 4))
 def _argmin_step(q, q2, cand_chunk, best_err, best_idx, base):
     """One candidate chunk: update running (best_err, best_idx)."""
@@ -40,10 +54,11 @@ def nearest_1(queries: np.ndarray, candidates: np.ndarray,
     out_err = np.empty(n_q, np.float32)
     for qs in range(0, n_q, q_chunk):
         qe = min(n_q, qs + q_chunk)
-        q = jnp.asarray(q_all[qs:qe])
+        qp = _pad_pow2(qe - qs)
+        q = jnp.asarray(_pad_q(q_all[qs:qe], qp))
         q2 = jnp.sum(q * q, axis=1)
-        best_err = jnp.full(qe - qs, jnp.inf, jnp.float32)
-        best_idx = jnp.zeros(qe - qs, jnp.int32)
+        best_err = jnp.full(qp, jnp.inf, jnp.float32)
+        best_idx = jnp.zeros(qp, jnp.int32)
         for cs in range(0, n_c, c_chunk):
             ce = min(n_c, cs + c_chunk)
             chunk = c_all[cs:ce]
@@ -54,8 +69,8 @@ def nearest_1(queries: np.ndarray, candidates: np.ndarray,
             best_err, best_idx = _argmin_step(
                 q, q2, jnp.asarray(chunk), best_err, best_idx,
                 jnp.int32(cs))
-        out_idx[qs:qe] = np.asarray(best_idx)
-        out_err[qs:qe] = np.asarray(best_err)
+        out_idx[qs:qe] = np.asarray(best_idx)[:qe - qs]
+        out_err[qs:qe] = np.asarray(best_err)[:qe - qs]
     return out_idx, out_err
 
 
@@ -84,10 +99,11 @@ def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
     out_err = np.empty((n_q, k), np.float32)
     for qs in range(0, n_q, q_chunk):
         qe = min(n_q, qs + q_chunk)
-        q = jnp.asarray(q_all[qs:qe])
+        qp = _pad_pow2(qe - qs)
+        q = jnp.asarray(_pad_q(q_all[qs:qe], qp))
         q2 = jnp.sum(q * q, axis=1)
-        best_err = jnp.full((qe - qs, k), jnp.inf, jnp.float32)
-        best_idx = jnp.zeros((qe - qs, k), jnp.int32)
+        best_err = jnp.full((qp, k), jnp.inf, jnp.float32)
+        best_idx = jnp.zeros((qp, k), jnp.int32)
         for cs in range(0, n_c, c_chunk):
             ce = min(n_c, cs + c_chunk)
             chunk = c_all[cs:ce]
@@ -101,7 +117,7 @@ def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
         # ensure ascending order (top_k returns descending on negated)
         order = jnp.argsort(best_err, axis=1, stable=True)
         out_idx[qs:qe] = np.asarray(
-            jnp.take_along_axis(best_idx, order, axis=1))
+            jnp.take_along_axis(best_idx, order, axis=1))[:qe - qs]
         out_err[qs:qe] = np.asarray(
-            jnp.take_along_axis(best_err, order, axis=1))
+            jnp.take_along_axis(best_err, order, axis=1))[:qe - qs]
     return out_idx, out_err
