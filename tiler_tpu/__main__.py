@@ -1,0 +1,184 @@
+"""Command-line driver: encode / decode / inspect GTM streams.
+
+The reference is GUI-driven (main.lfm); this CLI exposes the same knob set
+through flags (SURVEY.md §5.6) plus decode and stream inspection.
+
+Examples:
+  python -m tiler_tpu encode in_%04d.png out.gtm --palette-count 128
+  python -m tiler_tpu encode clip.npy out.gtm --start-step load --end-step save
+  python -m tiler_tpu decode out.gtm frames_out.npy
+  python -m tiler_tpu info out.gtm
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_encode_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument('--palette-size', type=int, default=16)
+    p.add_argument('--palette-count', type=int, default=128)
+    p.add_argument('--qb-tiles', type=float, default=2.0)
+    p.add_argument('--max-tiles', type=int, default=0)
+    p.add_argument('--yliluoma', action='store_true',
+                   help='Yliluoma-2 dithering instead of Thomas Knoll')
+    p.add_argument('--yil-mix', type=int, default=4)
+    p.add_argument('--use-var', action='store_true',
+                   help='Value-at-Risk quantizer instead of Dennis Lee v3')
+    p.add_argument('--dl-bpc', type=int, default=7)
+    p.add_argument('--pal-var', type=float, default=95.0)
+    p.add_argument('--no-wavelets', action='store_true')
+    p.add_argument('--ft-quality', choices=['fast', 'medium', 'slow'],
+                   default='medium')
+    p.add_argument('--smoothing', type=float, default=20.0,
+                   help='temporal smoothing strength / 1000')
+    p.add_argument('--enc-gamma', type=float, default=2.0)
+    p.add_argument('--dithering-gamma', action='store_true')
+    p.add_argument('--ft-gamma', action='store_true')
+    p.add_argument('--fps', type=float, default=24.0)
+    p.add_argument('--start-frame', type=int, default=0)
+    p.add_argument('--frame-count', type=int, default=0)
+    p.add_argument('--scaling', type=float, default=1.0)
+    p.add_argument('--reload-gts', default=None,
+                   help='reuse a previous GTS tileset instead of KModes')
+    p.add_argument('--gts-out', default=None, help='dump tileset as GTS')
+    p.add_argument('--start-step', default='load')
+    p.add_argument('--end-step', default='save')
+    p.add_argument('--checkpoint', default=None,
+                   help='write a resumable state checkpoint after encoding')
+    p.add_argument('--resume', default=None,
+                   help='resume from a state checkpoint')
+    p.add_argument('--fast-lzma', action='store_true')
+
+
+def _config_from_args(a) -> 'EncoderConfig':
+    from .config import EncoderConfig, FTQuality
+    return EncoderConfig(
+        tile_palette_size=a.palette_size, palette_count=a.palette_count,
+        qb_tiles=a.qb_tiles, max_tiles=a.max_tiles,
+        use_thomas_knoll=not a.yliluoma, yliluoma_mix=a.yil_mix,
+        use_dl3=not a.use_var, dl3_bpc=a.dl_bpc, pal_var=a.pal_var / 100.0,
+        use_wavelets=not a.no_wavelets,
+        ft_quality=FTQuality[a.ft_quality.upper()],
+        smoothing_strength=a.smoothing / 1000.0,
+        encoder_gamma=a.enc_gamma, dithering_gamma=a.dithering_gamma,
+        ft_gamma=a.ft_gamma, fps=a.fps, start_frame=a.start_frame,
+        frame_count=a.frame_count, scaling=a.scaling,
+        reload_tileset=a.reload_gts,
+        start_step=a.start_step, end_step=a.end_step)
+
+
+def _load_input(path: str, a):
+    from .pipeline import load as load_mod
+    if path.endswith('.npy'):
+        return np.load(path), a.fps
+    if '%' in path or path.endswith('.png'):
+        pattern = path if '%' not in path else path.replace('%04d', '*')
+        return load_mod.frames_from_pngs(pattern), a.fps
+    return load_mod.frames_from_video(path, a.start_frame, a.frame_count,
+                                      a.scaling)
+
+
+def cmd_encode(a) -> int:
+    from .pipeline.encoder import Encoder
+    from .render import reconstruction_psnr
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    enc = Encoder(_config_from_args(a))
+    if a.resume:
+        enc.state = load_checkpoint(a.resume)
+        enc.state = dataclass_replace_config(enc.state, enc.config)
+        frames = enc.state.frames_rgb
+        fps = enc.state.fps
+    else:
+        frames, fps = _load_input(a.input, a)
+    blob = enc.run_all(frames, fps=fps, fast_lzma=a.fast_lzma)
+    if a.gts_out and enc.state.tile_active is not None:
+        from .bitstream.gtm import write_gts
+        n_act = int(enc.state.tile_active.sum())
+        write_gts(a.gts_out, enc.state.tiles_pal[:n_act],
+                  enc.config.tile_palette_size)
+    if blob:
+        open(a.output, 'wb').write(blob)
+    if a.checkpoint:
+        save_checkpoint(a.checkpoint, enc.state)
+    metrics = dict(enc.state.metrics)
+    try:
+        metrics['psnr'] = round(reconstruction_psnr(enc.state), 3)
+    except Exception:  # noqa: BLE001
+        pass
+    metrics['step_times'] = {k: round(v, 3)
+                             for k, v in enc.state.step_times.items()}
+    print(json.dumps(metrics))
+    return 0
+
+
+def dataclass_replace_config(state, config):
+    state.config = config
+    return state
+
+
+def cmd_decode(a) -> int:
+    from .decode import decode_video
+    data = open(a.input, 'rb').read()
+    frames, stream = decode_video(data)
+    if a.output.endswith('.npy'):
+        np.save(a.output, frames)
+    else:
+        from PIL import Image
+        for i, fr in enumerate(frames):
+            Image.fromarray(fr).save(a.output % i if '%' in a.output
+                                     else f'{a.output}.{i:04d}.png')
+    print(json.dumps(dict(frames=len(frames), width=stream.width,
+                          height=stream.height,
+                          tiles=int(stream.tiles.shape[0]))))
+    return 0
+
+
+def cmd_info(a) -> int:
+    from .bitstream.gtm import parse_gtm
+    from .decode import interpret_commands
+    data = open(a.input, 'rb').read()
+    parsed = parse_gtm(data)
+    s = interpret_commands(parsed)
+    info = dict(
+        width=s.width, height=s.height, frames=len(s.frames),
+        tiles=int(s.tiles.shape[0]), frame_len_ns=s.frame_len_ns,
+        kf_count=parsed.header.kf_count or
+        sum(1 for f in s.frames if f.kf_end),
+        file_bytes=len(data),
+        commands_bytes=len(parsed.commands),
+        avg_bytes_per_sec=parsed.header.average_bytes_per_sec,
+        kf_max_bytes_per_sec=parsed.header.kf_max_bytes_per_sec)
+    print(json.dumps(info))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog='tiler_tpu')
+    sub = ap.add_subparsers(dest='cmd', required=True)
+
+    pe = sub.add_parser('encode', help='encode video to GTM')
+    pe.add_argument('input', help='.npy clip, PNG pattern, or video file')
+    pe.add_argument('output', help='output .gtm path')
+    _add_encode_flags(pe)
+    pe.set_defaults(fn=cmd_encode)
+
+    pd = sub.add_parser('decode', help='decode GTM to frames')
+    pd.add_argument('input')
+    pd.add_argument('output', help='.npy or PNG pattern with %%d')
+    pd.set_defaults(fn=cmd_decode)
+
+    pi = sub.add_parser('info', help='inspect a GTM stream')
+    pi.add_argument('input')
+    pi.set_defaults(fn=cmd_info)
+
+    a = ap.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == '__main__':
+    sys.exit(main())

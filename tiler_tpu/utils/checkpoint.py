@@ -1,0 +1,57 @@
+"""Inter-step checkpointing: serialize the whole EncoderState so any
+pipeline step can resume from disk.
+
+The reference's resume story is (a) the GTS tileset file and (b) the
+start/end-step driver over in-memory state (SURVEY.md §5.4,
+main.pas:1232-1272); here every step boundary can checkpoint to one
+compressed npz.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+
+from ..config import EncoderConfig, FTQuality
+from ..pipeline.state import EncoderState
+
+_ARRAY_FIELDS = [
+    'frames_rgb', 'fs_pixels', 'tm_tile', 'tm_pal', 'tm_h', 'tm_v',
+    'stm_tile', 'stm_pal', 'stm_h', 'stm_v', 'stm_smooth',
+    'tiles_rgb', 'tiles_pal', 'tile_active', 'tile_use', 'tile_dpi',
+    'keyframes', 'palettes_rgb', 'palette_centroids',
+]
+
+
+def save_checkpoint(path: str, state: EncoderState) -> None:
+    arrays = {}
+    for f in _ARRAY_FIELDS:
+        v = getattr(state, f)
+        if v is not None:
+            arrays[f] = v
+    cfg = dataclasses.asdict(state.config)
+    cfg['ft_quality'] = int(state.config.ft_quality)
+    meta = dict(config=cfg, fps=state.fps, tilemap_w=state.tilemap_w,
+                tilemap_h=state.tilemap_h, step_times=state.step_times,
+                metrics={k: v for k, v in state.metrics.items()
+                         if isinstance(v, (int, float, str, list))})
+    np.savez_compressed(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), np.uint8), **arrays)
+
+
+def load_checkpoint(path: str) -> EncoderState:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z['__meta__']).decode())
+        cfg_d = meta['config']
+        cfg_d['ft_quality'] = FTQuality(cfg_d['ft_quality'])
+        state = EncoderState(config=EncoderConfig(**cfg_d))
+        state.fps = meta['fps']
+        state.tilemap_w = meta['tilemap_w']
+        state.tilemap_h = meta['tilemap_h']
+        state.step_times = dict(meta.get('step_times', {}))
+        state.metrics = dict(meta.get('metrics', {}))
+        for f in _ARRAY_FIELDS:
+            if f in z:
+                setattr(state, f, z[f])
+    return state
