@@ -1,0 +1,33 @@
+"""Pallas kernels vs their jnp fallbacks (interpreter mode on CPU)."""
+import numpy as np
+
+from tiler_tpu.ops import knn, kmodes, pallas_kernels as pk
+
+
+def test_nearest1_pallas_matches_fallback(rng):
+    q = rng.normal(0, 1, (300, 192)).astype(np.float32)
+    c = rng.normal(0, 1, (700, 192)).astype(np.float32)
+    idx_p, err_p = pk.nearest_1_pallas(q, c, bq=256, bc=256)
+    idx_f, err_f = knn.nearest_1(q, c)
+    # float assoc differences can flip exact argmin on near-ties; verify
+    # by distance values instead of indices
+    d_p = ((q - c[idx_p]) ** 2).sum(1)
+    d_f = ((q - c[idx_f]) ** 2).sum(1)
+    np.testing.assert_allclose(d_p, d_f, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(err_p, d_p, rtol=1e-2, atol=1e-1)
+
+
+def test_nearest1_pallas_exact_small():
+    q = np.eye(8, 192, dtype=np.float32) * 5
+    c = np.eye(8, 192, dtype=np.float32) * 5.1
+    idx, err = pk.nearest_1_pallas(q, c, bq=8, bc=8)
+    np.testing.assert_array_equal(idx, np.arange(8))
+
+
+def test_kmodes_dissim_pallas_matches(rng):
+    x = rng.integers(0, 16, (100, 80)).astype(np.uint8)
+    c = rng.integers(0, 16, (16, 80)).astype(np.uint8)
+    got = pk.kmodes_dissim_pallas(x, c, bn=64)
+    import jax.numpy as jnp
+    want = np.asarray(kmodes.dissim_matrix(jnp.asarray(x), jnp.asarray(c)))
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,154 @@
+"""Pallas TPU kernels for the codec's hot loops.
+
+1. `nearest_1_pallas` — fused flash-style exact 1-NN: query blocks stay in
+   VMEM, candidate chunks stream through the grid, a running (err, idx)
+   pair lives in the output block. The [Q,C] distance matrix never touches
+   HBM. This replaces the reference's per-cell ANN kd-tree walk
+   (/root/reference/main.pas:4027) at MXU speed.
+2. `kmodes_dissim_pallas` — the uint8 Hamming<<11 + L1 distance matrix
+   (kmodes.pas:239-250 / the SSE3 scan at kmodes.pas:316-453) as a VPU
+   kernel over int32 lanes.
+
+Both have jnp fallbacks (ops.knn / ops.kmodes); `use_pallas()` gates on
+the backend so CPU tests run the kernels in interpreter mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+# ---------------------------------------------------------------------------
+# Fused streaming 1-NN
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(q_ref, c_ref, err_ref, idx_ref):
+    """Grid (qi, cj): candidates chunk j against query block qi.
+
+    err/idx output blocks are revisited for every j (index map pins them to
+    qi), so they act as running-min accumulators across the candidate walk.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        err_ref[:] = jnp.full_like(err_ref, jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    q = q_ref[:]                      # [BQ, D]
+    c = c_ref[:]                      # [BC, D]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)        # [BQ, 1]
+    c2 = jnp.sum(c * c, axis=1, keepdims=True).T      # [1, BC]
+    d = q2 + c2 - 2.0 * jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    local_idx = jnp.argmin(d, axis=1)                 # [BQ]
+    local_err = jnp.min(d, axis=1)
+    base = j * c.shape[0]
+    better = local_err < err_ref[:]
+    err_ref[:] = jnp.where(better, local_err, err_ref[:])
+    idx_ref[:] = jnp.where(better, local_idx.astype(jnp.int32) + base,
+                           idx_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bc', 'interpret'))
+def _nn_call(q, c, bq: int, bc: int, interpret: bool):
+    nq, d_dim = q.shape
+    nc = c.shape[0]
+    grid = (nq // bq, nc // bc)
+    return pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, d_dim), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq,), jnp.float32),
+            jax.ShapeDtypeStruct((nq,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, c)
+
+
+def nearest_1_pallas(queries: np.ndarray, candidates: np.ndarray,
+                     bq: int = 1024, bc: int = 2048):
+    """Exact 1-NN via the fused Pallas kernel.
+
+    Returns (idx [Q] i32, err [Q] f32 squared L2). Inputs are padded to
+    block multiples; padding candidates sit at +1e9 per component so they
+    never win.
+    """
+    q = np.asarray(queries, np.float32)
+    c = np.asarray(candidates, np.float32)
+    nq, nc = len(q), len(c)
+    nq_p = -(-nq // bq) * bq
+    nc_p = -(-nc // bc) * bc
+    if nq_p != nq:
+        q = np.concatenate([q, np.zeros((nq_p - nq, q.shape[1]), q.dtype)])
+    if nc_p != nc:
+        c = np.concatenate(
+            [c, np.full((nc_p - nc, c.shape[1]), 1e9, c.dtype)])
+    err, idx = _nn_call(jnp.asarray(q), jnp.asarray(c), bq, bc, _interpret())
+    return np.asarray(idx)[:nq], np.asarray(err)[:nq]
+
+
+# ---------------------------------------------------------------------------
+# KModes dissimilarity matrix
+# ---------------------------------------------------------------------------
+
+def _dissim_kernel(x_ref, c_ref, out_ref):
+    x = x_ref[:].astype(jnp.int32)[:, None, :]   # [BN, 1, A]
+    c = c_ref[:].astype(jnp.int32)[None, :, :]   # [1, K, A]
+    ham = jnp.sum((x != c).astype(jnp.int32), axis=-1)
+    l1 = jnp.sum(jnp.abs(x - c), axis=-1)
+    out_ref[:] = (ham << 11) + l1
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+def _dissim_call(x, c, bn: int, interpret: bool):
+    n, a = x.shape
+    k = c.shape[0]
+    return pl.pallas_call(
+        _dissim_kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, a), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, a), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k), jnp.int32),
+        interpret=interpret,
+    )(x, c)
+
+
+def kmodes_dissim_pallas(x: np.ndarray, cents: np.ndarray, bn: int = 512):
+    """[n,A] x [k,A] uint8 -> [n,k] int32 Hamming<<11 + L1."""
+    n = len(x)
+    n_p = -(-n // bn) * bn
+    xp = np.asarray(x, np.uint8)
+    if n_p != n:
+        xp = np.concatenate(
+            [xp, np.zeros((n_p - n, x.shape[1]), np.uint8)])
+    out = _dissim_call(jnp.asarray(xp), jnp.asarray(np.asarray(cents,
+                                                              np.uint8)),
+                       bn, _interpret())
+    return np.asarray(out)[:n]
