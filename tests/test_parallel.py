@@ -1,0 +1,70 @@
+"""Sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from tiler_tpu.parallel import mesh as pmesh
+from tiler_tpu.parallel import sharded_ops
+from tiler_tpu.parallel.distributed import assign_gops_to_hosts
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return pmesh.make_mesh(8)
+
+
+def test_mesh_shape(mesh8):
+    assert dict(zip(mesh8.axis_names, mesh8.devices.shape)) == \
+        {'gop': 2, 'frame': 4}
+
+
+def test_sharded_features_match_single(rng, mesh8):
+    tiles = rng.integers(0, 256, (500, 8, 8, 3)).astype(np.uint8)
+    from tiler_tpu.ops import features
+    want = np.asarray(features.psyv_features_rgb(tiles, use_wavelets=True))
+    got = sharded_ops.sharded_psyv_features(mesh8, tiles, use_wavelets=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_kmeans_shard_invariance(rng, mesh8):
+    """N-device k-means must equal the 1-device run (order-independent
+    reductions; SURVEY.md §4d)."""
+    centers = rng.normal(0, 10, (4, 32))
+    pts = np.concatenate(
+        [c + rng.normal(0, .1, (64, 32)) for c in centers]).astype(np.float32)
+    mesh1 = pmesh.make_mesh(1)
+    lab8, c8 = sharded_ops.sharded_kmeans(mesh8, pts, 4)
+    lab1, c1 = sharded_ops.sharded_kmeans(mesh1, pts, 4)
+    np.testing.assert_array_equal(lab8, lab1)
+    np.testing.assert_allclose(c8, c1, rtol=1e-5, atol=1e-5)
+    # and it actually clusters
+    for g in range(4):
+        assert len(np.unique(lab8[g * 64:(g + 1) * 64])) == 1
+
+
+def test_sharded_nearest_matches_single(rng, mesh8):
+    q = rng.normal(0, 1, (300, 64)).astype(np.float32)
+    c = rng.normal(0, 1, (900, 64)).astype(np.float32)
+    idx8, err8 = sharded_ops.sharded_nearest_1(mesh8, q, c)
+    from tiler_tpu.ops import knn
+    idx1, err1 = knn.nearest_1(q, c)
+    d8 = ((q - c[idx8]) ** 2).sum(1)
+    d1 = ((q - c[idx1]) ** 2).sum(1)
+    np.testing.assert_allclose(d8, d1, rtol=1e-4, atol=1e-3)
+
+
+def test_gop_assignment_balanced():
+    kfs = np.array([[0, 9], [10, 99], [100, 149], [150, 159]])
+    owner = assign_gops_to_hosts(kfs, 2)
+    sizes = kfs[:, 1] - kfs[:, 0] + 1
+    loads = [sizes[owner == h].sum() for h in range(2)]
+    assert abs(loads[0] - loads[1]) <= 50
+
+
+def test_dryrun_entrypoints():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    idx, err = fn(*args)
+    assert idx.shape == (args[0].shape[0],)
+    g.dryrun_multichip(8)

@@ -127,8 +127,18 @@ def _pad_batch(arr, n_pad):
 def psyv_features_rgb(tiles_rgb, gamma_value=None, use_lab=False,
                       use_wavelets=False, q_weighting=False,
                       hmir=None, vmir=None):
-    """Full PsyV path from RGB tiles [N,8,8,3] uint8 -> [N,192] f32."""
-    tiles_rgb = np.asarray(tiles_rgb)
+    """Full PsyV path from RGB tiles [N,8,8,3] uint8 -> [N,192] f32.
+
+    Host numpy inputs are padded to pow2 batch buckets (compile bounding);
+    traced/jax inputs pass through untouched so the function composes
+    inside jit/shard_map."""
+    if not isinstance(tiles_rgb, np.ndarray):
+        t = tiles_rgb
+        if hmir is not None:
+            t = mirror_tiles(t, hmir, vmir)
+        cpn = rgb_tiles_to_cpn(t, gamma_value, use_lab)
+        return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
+                             q_weighting=q_weighting)
     n = tiles_rgb.shape[0]
     n_pad = pad_pow2(n)
     t = jnp.asarray(_pad_batch(tiles_rgb, n_pad))
