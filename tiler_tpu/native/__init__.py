@@ -63,6 +63,25 @@ def get_lib():
         lib.tiler_dl3_quant.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]
+        lib.tiler_gtm_parse.restype = ctypes.c_void_p
+        lib.tiler_gtm_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int)]
+        lib.tiler_gtm_free.argtypes = [ctypes.c_void_p]
+        lib.tiler_gtm_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.tiler_gtm_tiles.restype = ctypes.c_void_p
+        lib.tiler_gtm_tiles.argtypes = [ctypes.c_void_p]
+        lib.tiler_gtm_frame.restype = ctypes.c_int
+        lib.tiler_gtm_frame.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.tiler_gtm_palettes.restype = ctypes.c_void_p
+        lib.tiler_gtm_palettes.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -105,6 +124,64 @@ def dl3_quant(pixels_rgb, quant_to: int, lookup_bpc: int):
     n = lib.tiler_dl3_quant(px.tobytes(), px.shape[0], quant_to, lookup_bpc,
                             out.ctypes.data_as(ctypes.c_void_p))
     return out, n
+
+
+def gtm_parse_commands(commands: bytes):
+    """Parse a decompressed GTM command stream natively.
+
+    Returns (tilemap_w, tilemap_h, frame_ns, pal_size, tiles [N,8,8] u8,
+    frames: list of (pos i32[], tile i32[], attrs i32[], kf_end bool,
+    palettes [256, pal_size, 4] u8)). Arrays are copies (handle is freed)."""
+    import numpy as np
+    lib = get_lib()
+    status = ctypes.c_int()
+    h = lib.tiler_gtm_parse(commands, len(commands), ctypes.byref(status))
+    if not h:
+        raise ValueError('gtm parse failed (null handle)')
+    try:
+        if status.value != 0:
+            raise ValueError(f'gtm parse failed (status {status.value})')
+        tw = ctypes.c_int32()
+        th = ctypes.c_int32()
+        ns = ctypes.c_int64()
+        tc = ctypes.c_int64()
+        ps = ctypes.c_int32()
+        nf = ctypes.c_int32()
+        lib.tiler_gtm_info(h, ctypes.byref(tw), ctypes.byref(th),
+                           ctypes.byref(ns), ctypes.byref(tc),
+                           ctypes.byref(ps), ctypes.byref(nf))
+        tiles_ptr = lib.tiler_gtm_tiles(h)
+        n_tiles = max(tc.value, 0)
+        tiles = np.frombuffer(
+            ctypes.string_at(tiles_ptr, n_tiles * 64), np.uint8
+        ).reshape(n_tiles, 8, 8).copy() if n_tiles else \
+            np.zeros((0, 8, 8), np.uint8)
+        frames = []
+        for f in range(nf.value):
+            pp = ctypes.c_void_p()
+            tp = ctypes.c_void_p()
+            ap = ctypes.c_void_p()
+            n = ctypes.c_int32()
+            kfe = ctypes.c_int32()
+            lib.tiler_gtm_frame(h, f, ctypes.byref(pp), ctypes.byref(tp),
+                                ctypes.byref(ap), ctypes.byref(n),
+                                ctypes.byref(kfe))
+            cnt = n.value
+
+            def arr(ptr):
+                if cnt == 0:
+                    return np.zeros(0, np.int32)
+                return np.frombuffer(ctypes.string_at(ptr, cnt * 4),
+                                     np.int32).copy()
+            pal_ptr = lib.tiler_gtm_palettes(h, f)
+            pals = np.frombuffer(
+                ctypes.string_at(pal_ptr, 256 * max(ps.value, 1) * 4),
+                np.uint8).reshape(256, max(ps.value, 1), 4).copy()
+            frames.append((arr(pp.value), arr(tp.value), arr(ap.value),
+                           bool(kfe.value), pals))
+        return (tw.value, th.value, ns.value, ps.value, tiles, frames)
+    finally:
+        lib.tiler_gtm_free(h)
 
 
 def lzma_decode_concat(data: bytes) -> bytes:
