@@ -33,8 +33,9 @@ def encode_fps(frames):
     from tiler_tpu.config import EncoderConfig
     from tiler_tpu.pipeline.encoder import Encoder
     cfg = EncoderConfig(palette_count=32, tile_palette_size=16)
-    # warmup: populate XLA compile caches on a prefix
-    Encoder(cfg).run_all(frames[:WARM_F], fps=24.0, fast_lzma=True)
+    # warmup at the SAME shapes: shape-bucketed kernels compile here so
+    # the timed run measures steady-state throughput
+    Encoder(cfg).run_all(frames, fps=24.0, fast_lzma=True)
     enc = Encoder(cfg)
     t0 = time.perf_counter()
     enc.run_all(frames, fps=24.0, fast_lzma=True)

@@ -41,6 +41,24 @@ def _pad_rows(arr, n_pad):
         [arr, np.zeros((n_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)])
 
 
+@jax.jit
+def _knoll_chunk(tiles_u8, pal_u8):
+    """Fused per-chunk Knoll dither: [C,8,8,3] u8 + [C,S,3] u8 -> [C,8,8]
+    u8 — one dispatch, uint8 transfers only."""
+    c = tiles_u8.shape[0]
+    t = tiles_u8.astype(jnp.int32)
+    pal = pal_u8.astype(jnp.int32)
+    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
+    cols = t.reshape(c * 64, 3)
+    pal_px = jnp.repeat(pal, 64, axis=0)
+    luma_px = jnp.repeat(luma, 64, axis=0)
+    plans = _knoll_plans(cols, pal_px, luma_px)
+    bayer = jnp.asarray(_BAYER.reshape(-1))
+    sel = jnp.take_along_axis(
+        plans, jnp.tile(bayer, (c,))[:, None], axis=1)[:, 0]
+    return sel.astype(jnp.uint8).reshape(c, TILE_W, TILE_W)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _knoll_plans(cols, pal, luma_pal):
     """cols [M,3] i32 pixels; pal [M,S,3] i32 per-pixel palette;
@@ -76,27 +94,15 @@ def knoll_dither_tiles(tiles_rgb, palettes_rgb, chunk: int = 16384):
     """
     tiles_rgb = np.asarray(tiles_rgb)
     palettes_rgb = np.asarray(palettes_rgb)
-    n, s_size = tiles_rgb.shape[0], palettes_rgb.shape[1]
-    from .color import luma_raw
-    bayer_flat = jnp.asarray(_BAYER.reshape(-1))
-
+    n = tiles_rgb.shape[0]
     out = np.empty((n, TILE_W, TILE_W), np.uint8)
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
         c = hi - lo
         cp = _pad_pow2(c)
-        t = jnp.asarray(_pad_rows(tiles_rgb[lo:hi], cp), jnp.int32)
-        palc = _pad_rows(palettes_rgb[lo:hi], cp)
-        pal = jnp.asarray(palc, jnp.int32)  # [C,S,3]
-        cols = t.reshape(cp * 64, 3)
-        pal_px = jnp.repeat(pal, 64, axis=0)  # [C*64,S,3]
-        luma = jnp.asarray(luma_raw(palc), jnp.int32)  # [C,S]
-        luma_px = jnp.repeat(luma, 64, axis=0)
-        plans = _knoll_plans(cols, pal_px, luma_px)  # [C*64, 64]
-        sel = jnp.take_along_axis(
-            plans, jnp.tile(bayer_flat, (cp,))[:, None], axis=1)[:, 0]
-        out[lo:hi] = np.asarray(sel, np.uint8).reshape(
-            cp, TILE_W, TILE_W)[:c]
+        res = _knoll_chunk(_pad_rows(tiles_rgb[lo:hi], cp),
+                           _pad_rows(palettes_rgb[lo:hi], cp))
+        out[lo:hi] = np.asarray(res)[:c]
     return out
 
 

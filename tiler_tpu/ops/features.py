@@ -124,30 +124,55 @@ def _pad_batch(arr, n_pad):
         [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
 
+@functools.partial(jax.jit, static_argnames=('gamma_value', 'use_lab',
+                                             'use_wavelets', 'q_weighting',
+                                             'mirrored'))
+def _psyv_rgb_core(t, hmir, vmir, gamma_value, use_lab, use_wavelets,
+                   q_weighting, mirrored):
+    if mirrored:
+        t = mirror_tiles(t, hmir, vmir)
+    cpn = rgb_tiles_to_cpn(t, gamma_value, use_lab)
+    return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
+                         q_weighting=q_weighting)
+
+
+@functools.partial(jax.jit, static_argnames=('gamma_value', 'use_lab',
+                                             'use_wavelets', 'q_weighting',
+                                             'mirrored'))
+def _psyv_pal_core(t, pals, hmir, vmir, gamma_value, use_lab, use_wavelets,
+                   q_weighting, mirrored):
+    if mirrored:
+        t = mirror_tiles(t, hmir, vmir)
+    cpn = pal_tiles_to_cpn(t, pals, gamma_value, use_lab)
+    return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
+                         q_weighting=q_weighting)
+
+
+_NO_MIRROR = np.zeros(1, bool)
+
+
 def psyv_features_rgb(tiles_rgb, gamma_value=None, use_lab=False,
                       use_wavelets=False, q_weighting=False,
                       hmir=None, vmir=None):
     """Full PsyV path from RGB tiles [N,8,8,3] uint8 -> [N,192] f32.
 
-    Host numpy inputs are padded to pow2 batch buckets (compile bounding);
-    traced/jax inputs pass through untouched so the function composes
-    inside jit/shard_map."""
+    One fused jit dispatch (colorspace + mirror + transform). Host numpy
+    inputs pad to pow2 batch buckets (compile bounding); traced inputs pass
+    through so the function composes inside jit/shard_map."""
+    mirrored = hmir is not None
     if not isinstance(tiles_rgb, np.ndarray):
-        t = tiles_rgb
-        if hmir is not None:
-            t = mirror_tiles(t, hmir, vmir)
-        cpn = rgb_tiles_to_cpn(t, gamma_value, use_lab)
-        return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
-                             q_weighting=q_weighting)
+        return _psyv_rgb_core(tiles_rgb,
+                              hmir if mirrored else _NO_MIRROR,
+                              vmir if mirrored else _NO_MIRROR,
+                              gamma_value, use_lab, use_wavelets,
+                              q_weighting, mirrored)
     n = tiles_rgb.shape[0]
     n_pad = pad_pow2(n)
-    t = jnp.asarray(_pad_batch(tiles_rgb, n_pad))
-    if hmir is not None:
-        t = mirror_tiles(t, jnp.asarray(_pad_batch(np.asarray(hmir), n_pad)),
-                         jnp.asarray(_pad_batch(np.asarray(vmir), n_pad)))
-    cpn = rgb_tiles_to_cpn(t, gamma_value, use_lab)
-    return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
-                         q_weighting=q_weighting)[:n]
+    t = _pad_batch(tiles_rgb, n_pad)
+    hm = _pad_batch(np.asarray(hmir), n_pad) if mirrored else _NO_MIRROR
+    vm = _pad_batch(np.asarray(vmir), n_pad) if mirrored else _NO_MIRROR
+    return _psyv_rgb_core(t, hm, vm, gamma_value, use_lab, use_wavelets,
+                          q_weighting, mirrored)[:n]
 
 
 def psyv_features_pal(tiles_pal, palettes_rgb, gamma_value=None,
@@ -157,14 +182,13 @@ def psyv_features_pal(tiles_pal, palettes_rgb, gamma_value=None,
 
     Mirrors are applied to the index plane before the palette LUT, matching
     the reference's on-the-fly mirrored reads (main.pas:3036-3047)."""
+    mirrored = hmir is not None
     tiles_pal = np.asarray(tiles_pal)
     n = tiles_pal.shape[0]
     n_pad = pad_pow2(n)
-    t = jnp.asarray(_pad_batch(tiles_pal, n_pad))
-    pals = jnp.asarray(_pad_batch(np.asarray(palettes_rgb), n_pad))
-    if hmir is not None:
-        t = mirror_tiles(t, jnp.asarray(_pad_batch(np.asarray(hmir), n_pad)),
-                         jnp.asarray(_pad_batch(np.asarray(vmir), n_pad)))
-    cpn = pal_tiles_to_cpn(t, pals, gamma_value, use_lab)
-    return psyv_from_cpn(cpn, use_wavelets=use_wavelets,
-                         q_weighting=q_weighting)[:n]
+    t = _pad_batch(tiles_pal, n_pad)
+    pals = _pad_batch(np.asarray(palettes_rgb), n_pad)
+    hm = _pad_batch(np.asarray(hmir), n_pad) if mirrored else _NO_MIRROR
+    vm = _pad_batch(np.asarray(vmir), n_pad) if mirrored else _NO_MIRROR
+    return _psyv_pal_core(t, pals, hm, vm, gamma_value, use_lab,
+                          use_wavelets, q_weighting, mirrored)[:n]

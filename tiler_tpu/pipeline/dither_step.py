@@ -121,13 +121,20 @@ def canonicalize_mirrors(tiles_pal: np.ndarray):
 
 
 def run_dither(state: EncoderState) -> EncoderState:
+    import time
     cfg = state.config
     n_kf = len(state.keyframes)
+    phases = {}
+    t0 = time.perf_counter()
     for k in range(n_kf):
         prepare_dither_keyframe(state, k)
+    phases['prepare_kmeans'] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for k in range(n_kf):
         counts = quantize_keyframe_palettes(state, k)
         finish_quantize_keyframe(state, k, counts)
+    phases['quantize'] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     # batched dithering of every active referenced tile with its palette
     kf_of = state.kf_of_frame()
@@ -140,6 +147,9 @@ def run_dither(state: EncoderState) -> EncoderState:
     else:
         dithered = dither.yliluoma_dither_tiles(
             state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)
+    phases['dither'] = time.perf_counter() - t0
+    state.metrics['dither_phases'] = {k: round(v, 3)
+                                      for k, v in phases.items()}
 
     baked, hf, vf = canonicalize_mirrors(dithered)
     state.tiles_pal[act] = baked
