@@ -63,6 +63,10 @@ def get_lib():
         lib.tiler_dl3_quant.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]
+        lib.tiler_dl3_quant_bins.restype = ctypes.c_int
+        lib.tiler_dl3_quant_bins.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p]
         lib.tiler_gtm_parse.restype = ctypes.c_void_p
         lib.tiler_gtm_parse.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int)]
@@ -123,6 +127,22 @@ def dl3_quant(pixels_rgb, quant_to: int, lookup_bpc: int):
     out = np.zeros((quant_to, 3), np.uint8)
     n = lib.tiler_dl3_quant(px.tobytes(), px.shape[0], quant_to, lookup_bpc,
                             out.ctypes.data_as(ctypes.c_void_p))
+    return out, n
+
+
+def dl3_quant_bins(r_sums, g_sums, b_sums, counts, quant_to: int):
+    """DL3 greedy reduction from pre-aggregated bins (int64 arrays)."""
+    import numpy as np
+    lib = get_lib()
+    r = np.ascontiguousarray(r_sums, np.int64)
+    g = np.ascontiguousarray(g_sums, np.int64)
+    b = np.ascontiguousarray(b_sums, np.int64)
+    c = np.ascontiguousarray(counts, np.int64)
+    out = np.zeros((quant_to, 3), np.uint8)
+    n = lib.tiler_dl3_quant_bins(
+        r.ctypes.data_as(ctypes.c_void_p), g.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p), c.ctypes.data_as(ctypes.c_void_p),
+        len(c), quant_to, out.ctypes.data_as(ctypes.c_void_p))
     return out, n
 
 

@@ -39,12 +39,22 @@ inline void set_mean(Entry& e) {
   e.bb = int((e.b + v2) / e.count);
 }
 
+// Exact truncating int64 division via double with +-1 correction: int64
+// hardware division dominates the O(C^2) pair scans; a double divide plus
+// fixup is exact for the value ranges here (sums < 2^53) and much faster.
+inline int64_t fast_div(int64_t num, int64_t den) {
+  int64_t q = int64_t(double(num) / double(den));
+  if (q * den > num) --q;
+  else if ((q + 1) * den <= num) ++q;
+  return q;
+}
+
 inline float calc_err(const std::vector<Entry>& t, int c1, int c2) {
   const Entry &a = t[c1], &b = t[c2];
   int64_t p1 = a.count, p2 = b.count, p3 = p1 + p2;
-  int r3 = int((a.r + b.r + (p3 >> 1)) / p3);
-  int g3 = int((a.g + b.g + (p3 >> 1)) / p3);
-  int b3 = int((a.b + b.b + (p3 >> 1)) / p3);
+  int r3 = int(fast_div(a.r + b.r + (p3 >> 1), p3));
+  int g3 = int(fast_div(a.g + b.g + (p3 >> 1), p3));
+  int b3 = int(fast_div(a.b + b.b + (p3 >> 1), p3));
   float d1 = float((r3 - a.rr) * (r3 - a.rr) + (g3 - a.gg) * (g3 - a.gg) +
                    (b3 - a.bb) * (b3 - a.bb));
   float d2 = float((b.rr - r3) * (b.rr - r3) + (b.gg - g3) * (b.gg - g3) +
@@ -77,6 +87,9 @@ void recount_dist(std::vector<Entry>& t, int tot, int c1) {
 
 }  // namespace
 
+int reduce_entries(std::vector<Entry>& t, int quant_to, uint8_t* out_pal,
+                   int max_out);
+
 extern "C" {
 
 int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
@@ -104,6 +117,32 @@ int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
       t.push_back(e);
     }
   }
+  return reduce_entries(t, quant_to, out_pal, quant_to);
+}
+
+// Same greedy reduction but starting from pre-aggregated bins (sums +
+// counts), in the given order. Lets the host cap the O(C^2) pair scans by
+// pre-merging the long tail of rare bins before the exact greedy runs.
+int tiler_dl3_quant_bins(const int64_t* r_sums, const int64_t* g_sums,
+                         const int64_t* b_sums, const int64_t* counts,
+                         int64_t n, int quant_to, uint8_t* out_pal) {
+  std::memset(out_pal, 0, size_t(quant_to) * 3);
+  std::vector<Entry> t;
+  t.reserve(size_t(n));
+  for (int64_t i = 0; i < n; i++) {
+    if (counts[i] <= 0) continue;
+    Entry e{r_sums[i], g_sums[i], b_sums[i], counts[i], 0, 0, 0,
+            HUGE_VALF, 0};
+    set_mean(e);
+    t.push_back(e);
+  }
+  return reduce_entries(t, quant_to, out_pal, quant_to);
+}
+
+}  // extern "C"
+
+int reduce_entries(std::vector<Entry>& t, int quant_to, uint8_t* out_pal,
+                   int max_out) {
   int tot = int(t.size());
 
   if (tot > quant_to) {
@@ -137,12 +176,10 @@ int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
     }
   }
 
-  for (int i = 0; i < tot && i < quant_to; i++) {
+  for (int i = 0; i < tot && i < max_out; i++) {
     out_pal[i * 3 + 0] = uint8_t(t[i].rr);
     out_pal[i * 3 + 1] = uint8_t(t[i].gg);
     out_pal[i * 3 + 2] = uint8_t(t[i].bb);
   }
-  return tot < quant_to ? tot : quant_to;
+  return tot < max_out ? tot : max_out;
 }
-
-}  // extern "C"

@@ -37,15 +37,63 @@ def _color_compare_scalar(rgb1, rgb2) -> int:
         + lumadiff * lumadiff * 32
 
 
+DL3_BIN_CAP = 4096
+
+
 def dl3_palette(pixels_rgb: np.ndarray, palette_size: int,
-                bpc: int = 7) -> np.ndarray:
+                bpc: int = 7, bin_cap: int = DL3_BIN_CAP) -> np.ndarray:
     """DL3 palette of the given pixels. Returns [palette_size, 3] uint8.
 
     Mirrors DoDennisLeeV3: when fewer bins than entries exist the remaining
-    entries stay black (the reference's calloc'd palette)."""
+    entries stay black (the reference's calloc'd palette).
+
+    The reference greedy is O(C^2) in the number of distinct histogram bins
+    C; above `bin_cap` we pre-merge the long tail of rare bins into their
+    nearest high-count bin (vectorized) and run the exact greedy on the
+    capped set. Below the cap the result is byte-identical to the
+    reference algorithm."""
     if pixels_rgb.size == 0:
         return np.zeros((palette_size, 3), np.uint8)
-    pal, _n = native.dl3_quant(pixels_rgb.reshape(-1, 3), palette_size, bpc)
+    px = pixels_rgb.reshape(-1, 3).astype(np.int64)
+    mbpc = (1 << bpc) - 1
+    codes = ((px[:, 2] * mbpc // 255)
+             | ((px[:, 1] * mbpc // 255) << bpc)
+             | ((px[:, 0] * mbpc // 255) << (2 * bpc)))
+    order_codes, inv = np.unique(codes, return_inverse=True)
+    n_bins = len(order_codes)
+    if n_bins <= bin_cap:
+        pal, _n = native.dl3_quant(pixels_rgb.reshape(-1, 3),
+                                   palette_size, bpc)
+        return pal
+    counts = np.bincount(inv)
+    r_sums = np.bincount(inv, weights=px[:, 0]).astype(np.int64)
+    g_sums = np.bincount(inv, weights=px[:, 1]).astype(np.int64)
+    b_sums = np.bincount(inv, weights=px[:, 2]).astype(np.int64)
+    means = np.stack([(r_sums + counts // 2) // counts,
+                      (g_sums + counts // 2) // counts,
+                      (b_sums + counts // 2) // counts], 1).astype(np.float32)
+    # keep the bin_cap most-used bins (ties by bin index), merge the rest
+    # into their nearest kept bin
+    keep = np.lexsort((np.arange(n_bins), -counts))[:bin_cap]
+    keep.sort()  # preserve ascending-bin-index compaction order
+    rest = np.setdiff1d(np.arange(n_bins), keep, assume_unique=False)
+    # nearest kept bin, plain numpy (3-dim points; no device round trip)
+    km = means[keep]
+    k2 = (km * km).sum(1)
+    nearest = np.empty(len(rest), np.int64)
+    for lo in range(0, len(rest), 8192):
+        hi = min(len(rest), lo + 8192)
+        q = means[rest[lo:hi]]
+        d = (q * q).sum(1)[:, None] + k2[None, :] - 2.0 * (q @ km.T)
+        nearest[lo:hi] = np.argmin(d, axis=1)
+    tgt = keep[nearest]
+    np.add.at(r_sums, tgt, r_sums[rest])
+    np.add.at(g_sums, tgt, g_sums[rest])
+    np.add.at(b_sums, tgt, b_sums[rest])
+    np.add.at(counts, tgt, counts[rest])
+    pal, _n = native.dl3_quant_bins(r_sums[keep], g_sums[keep],
+                                    b_sums[keep], counts[keep],
+                                    palette_size)
     return pal
 
 

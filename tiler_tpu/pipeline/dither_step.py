@@ -61,7 +61,7 @@ def quantize_keyframe_palettes(state: EncoderState, k: int) -> np.ndarray:
                            np.uint32)
     total_budget = (e - s + 1) * state.tilemap_size * TILE_W * TILE_W
 
-    for p in range(cfg.palette_count):
+    def quantize_one(p: int):
         sel = cell_tiles[active & (dpi == p)]
         use_counts[p] = len(sel)
         if cfg.use_dl3:
@@ -80,6 +80,14 @@ def quantize_keyframe_palettes(state: EncoderState, k: int) -> np.ndarray:
                 cols, counts.astype(np.int64), total_budget, cfg.pal_var,
                 cfg.tile_palette_size, cfg.palette_count, pattern[p])
         pal_indexes[p] = palette.sort_palette_lhs(entries)
+
+    # the reference fans the per-(keyframe,palette) quantizers across its
+    # thread pool (main.pas:901); the native DL3 call releases the GIL
+    import concurrent.futures as cf
+    import os
+    workers = min(max(os.cpu_count() or 1, 1), 8)
+    with cf.ThreadPoolExecutor(workers) as ex:
+        list(ex.map(quantize_one, range(cfg.palette_count)))
 
     state.palettes_rgb[k] = palette.packed_to_rgb(pal_indexes)
     return use_counts
