@@ -99,22 +99,50 @@ def palette_similarity_mask(state: EncoderState, k: int) -> np.ndarray:
 
 def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                        chunk: int = 65536):
-    """Stage 2: PsyV features of every used (pal, tile, mirror) combo."""
+    """Stage 2: PsyV features of every used (pal, tile, mirror) combo.
+
+    The tile-pixel and palette gathers happen on device (tiles_pal and the
+    keyframe's palettes upload once; per-chunk traffic is only the int32
+    index vectors) — the host-side fancy indexing here was a hotspot on
+    slow hosts."""
+    import functools
+    import jax
+    import jax.numpy as jnp
     cfg = state.config
     pal_idx, dentry = np.nonzero(used)
     c = len(pal_idx)
     tiles = tile_of[dentry]
     attrs = attrs_of[dentry]
+
+    tiles_pal_d = jnp.asarray(state.tiles_pal)
+    pals_d = jnp.asarray(state.palettes_rgb[k])
+
+    @functools.partial(jax.jit, static_argnames=('gamma_value',
+                                                 'use_wavelets'))
+    def chunk_feats(tp_all, pal_all, tidx, pidx, hm, vm, gamma_value,
+                    use_wavelets):
+        tp = tp_all[tidx]
+        pals = pal_all[pidx]
+        t = features.mirror_tiles(tp, hm, vm)
+        cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
+        return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
+
     feats = np.empty((c, 192), np.float32)
     for lo in range(0, c, chunk):
         hi = min(c, lo + chunk)
-        tp = state.tiles_pal[tiles[lo:hi]]
-        pals = state.palettes_rgb[k, pal_idx[lo:hi]]
-        feats[lo:hi] = np.asarray(features.psyv_features_pal(
-            tp, pals, gamma_value=_ft_gamma(cfg),
-            use_wavelets=cfg.use_wavelets,
-            hmir=(attrs[lo:hi] & 1).astype(bool),
-            vmir=(attrs[lo:hi] & 2).astype(bool)))
+        n_pad = features.pad_pow2(hi - lo)
+
+        def pad(a, fill=0):
+            out = np.full(n_pad, fill, a.dtype)
+            out[:hi - lo] = a[lo:hi]
+            return out
+        res = chunk_feats(tiles_pal_d, pals_d,
+                          jnp.asarray(pad(tiles.astype(np.int32))),
+                          jnp.asarray(pad(pal_idx.astype(np.int32))),
+                          jnp.asarray(pad((attrs & 1).astype(bool))),
+                          jnp.asarray(pad((attrs & 2).astype(bool))),
+                          _ft_gamma(cfg), cfg.use_wavelets)
+        feats[lo:hi] = np.asarray(res)[:hi - lo]
     return feats, pal_idx.astype(np.int32), tiles.astype(np.int32), attrs
 
 
