@@ -112,10 +112,13 @@ def emit_tileset(tiles_pal: np.ndarray, palette_size: int,
         _cmd_word(GTMCommand.SET_DIMENSIONS, 0),
         struct.pack('<HHII', tilemap_w, tilemap_h,
                     int(round(1000 * 1000 * 1000 / fps)), n),
-        _cmd_word(GTMCommand.TILE_SET, palette_size),
-        struct.pack('<II', 0, n - 1),
-        np.ascontiguousarray(tiles_pal, dtype=np.uint8).tobytes(),
     ]
+    if n > 0:
+        out += [
+            _cmd_word(GTMCommand.TILE_SET, palette_size),
+            struct.pack('<II', 0, n - 1),
+            np.ascontiguousarray(tiles_pal, dtype=np.uint8).tobytes(),
+        ]
     return b''.join(out)
 
 

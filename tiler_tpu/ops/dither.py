@@ -190,6 +190,33 @@ def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,
     return out
 
 
+def dither_tile_floyd_steinberg(tile_rgb: np.ndarray,
+                                bits_per_comp: int = 8) -> np.ndarray:
+    """Per-tile FS error diffusion with edge-clamped borders
+    (DitherTileFloydSteinberg, main.pas:1877-1929). Used by the VAR
+    quantizer's histogram when cBitsPerComp < 8."""
+    cvt_pre = (1 << bits_per_comp) - 1
+    cvt_post = 256 // cvt_pre
+    px = np.zeros((TILE_W + 2, TILE_W + 2, 3), np.int64)
+    px[1:9, 1:9] = tile_rgb
+    px[1:9, 0] = px[1:9, 1]
+    px[1:9, 9] = px[1:9, 8]
+    px[0] = px[1]
+    px[9] = px[8]
+    for y in range(1, TILE_W + 1):
+        for x in range(1, TILE_W + 1):
+            for c in range(3):
+                old = px[y, x, c]
+                new = min(255, ((old * cvt_pre) // 255) * cvt_post)
+                err = old - new
+                px[y, x, c] = new
+                px[y, x + 1, c] += (err * 7) >> 4
+                px[y + 1, x - 1, c] += (err * 3) >> 4
+                px[y + 1, x, c] += (err * 5) >> 4
+                px[y + 1, x + 1, c] += (err * 1) >> 4
+    return np.minimum(px[1:9, 1:9], 255).astype(np.uint8)
+
+
 def floyd_steinberg_posterize(frame_rgb: np.ndarray,
                               bits_per_comp: int = 8) -> np.ndarray:
     """Whole-frame serpentine-free FS error diffusion to bits_per_comp
