@@ -18,6 +18,12 @@ def _enable_compile_cache():
         return
     try:
         import jax
+        platforms = jax.config.jax_platforms or \
+            _os.environ.get('JAX_PLATFORMS', '')
+        # XLA:CPU persists machine-feature-specific AOT blobs that can
+        # SIGILL when reloaded on a different host; only cache for TPU
+        if not any(p in str(platforms) for p in ('tpu', 'axon')):
+            return
         path = _os.environ.get(
             'JAX_COMPILATION_CACHE_DIR',
             _os.path.expanduser('~/.cache/tiler_tpu_xla'))

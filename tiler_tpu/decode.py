@@ -50,12 +50,9 @@ def interpret_commands(parsed: ParsedGTM) -> DecodedStream:
     Uses the native C++ parser when available (an order of magnitude
     faster on real streams); the Python walk below is the reference
     fallback and the conformance oracle."""
-    try:
-        from . import native
-        if native.available():
-            return _interpret_native(parsed)
-    except Exception:  # noqa: BLE001 - fall back to the Python parser
-        pass
+    from . import native
+    if native.available():
+        return _interpret_native(parsed)
     return interpret_commands_py(parsed)
 
 

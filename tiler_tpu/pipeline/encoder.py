@@ -66,8 +66,21 @@ class Encoder:
         return min(round(cfg.qb_tiles * equal_quality_tile_count(raw)), raw)
 
     def run_all(self, frames: np.ndarray, fps: float | None = None,
-                fast_lzma: bool = False) -> bytes:
-        """Full pipeline Load..Save honoring start/end step config."""
+                fast_lzma: bool = False,
+                profile_dir: str | None = None) -> bytes:
+        """Full pipeline Load..Save honoring start/end step config.
+
+        profile_dir: when set, wraps the run in a jax.profiler trace
+        (the structured replacement for the reference's per-substep
+        wall-clock prints, SURVEY.md §5.1)."""
+        if profile_dir:
+            import jax
+            with jax.profiler.trace(profile_dir):
+                return self._run_all_inner(frames, fps, fast_lzma)
+        return self._run_all_inner(frames, fps, fast_lzma)
+
+    def _run_all_inner(self, frames: np.ndarray, fps: float | None,
+                      fast_lzma: bool) -> bytes:
         cfg = self.config
         first = ENCODER_STEPS.index(cfg.start_step)
         last = ENCODER_STEPS.index(cfg.end_step)

@@ -124,15 +124,28 @@ def run_reload_tiling(state: EncoderState, gts_path: str) -> EncoderState:
     for s in np.unique(ds_signi):
         bins[int(s)] = np.flatnonzero(ds_signi == s)
 
-    from ..ops.kmodes import dissim_matrix
-    import jax.numpy as jnp
-    for i, ti in enumerate(act):
-        cand = bins.get(int(signi[i]))
-        pool = ds_sigs[cand] if cand is not None and len(cand) else ds_sigs
-        pool_tiles = scaled[cand] if cand is not None and len(cand) \
-            else scaled
-        j = min_dissim_index_last(pool, sigs[i])
-        state.tiles_pal[ti] = pool_tiles[j]
+    def batch_match(queries: np.ndarray, pool: np.ndarray) -> np.ndarray:
+        """Vectorized GetMinMatchingDissim with the reference's last-min
+        tie-break (kmodes.pas uses <=)."""
+        out = np.empty(len(queries), np.int64)
+        p = pool.astype(np.int64)
+        for lo in range(0, len(queries), 1024):
+            hi = min(len(queries), lo + 1024)
+            q = queries[lo:hi].astype(np.int64)[:, None, :]
+            d = (((q != p[None]).sum(-1) << 11)
+                 + np.abs(q - p[None]).sum(-1))
+            out[lo:hi] = d.shape[1] - 1 - np.argmin(d[:, ::-1], axis=1)
+        return out
+
+    for s in np.unique(signi):
+        rows = np.flatnonzero(signi == s)
+        cand = bins.get(int(s))
+        if cand is not None and len(cand):
+            pool_sigs, pool_tiles = ds_sigs[cand], scaled[cand]
+        else:
+            pool_sigs, pool_tiles = ds_sigs, scaled
+        j = batch_match(sigs[rows], pool_sigs)
+        state.tiles_pal[act[rows]] = pool_tiles[j]
 
     run_make_unique(state)
     return state
