@@ -68,3 +68,28 @@ def test_dryrun_entrypoints():
     idx, err = fn(*args)
     assert idx.shape == (args[0].shape[0],)
     g.dryrun_multichip(8)
+
+
+def test_gop_sharded_encode_decodes(rng):
+    """BASELINE config #5 structure: GOPs partitioned across workers,
+    per-keyframe tileset segments, one valid GTM out."""
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.ops.stats import psnr
+    from tiler_tpu.parallel.distributed import encode_gop_sharded
+
+    f, h, w = 8, 40, 56
+    frames = np.zeros((f, h, w, 3), np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(f):
+        base = ((xx * 4 + i * 3) % 256)[..., None] * np.array([1, .7, .4])
+        if i >= 5:
+            base = ((yy * 5 + 64) % 256)[..., None] * np.array([.3, .9, 1.])
+        frames[i] = np.clip(base + rng.normal(0, 5, (h, w, 3)), 0, 255)
+
+    cfg = EncoderConfig(palette_count=4, tile_palette_size=16)
+    blob = encode_gop_sharded(frames, cfg, n_hosts=2)
+    dec, stream = decode_video(blob)
+    assert dec.shape == frames.shape
+    assert len(stream.frames) == f
+    assert float(psnr(dec, frames)) > 18.0

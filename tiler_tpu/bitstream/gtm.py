@@ -210,24 +210,51 @@ class GTMWriter:
     """
 
     def __init__(self, width: int, height: int, fps: float,
-                 tiles_pal: np.ndarray, palette_size: int,
-                 frame_count: int, kf_count: int, fast_lzma: bool = False):
+                 tiles_pal: np.ndarray | None, palette_size: int,
+                 frame_count: int, kf_count: int, fast_lzma: bool = False,
+                 total_tile_count: int | None = None):
         self.fps = fps
         self.fast_lzma = fast_lzma
+        self.palette_size = palette_size
         self.header = GTMHeader(width=width, height=height,
                                 kf_count=kf_count, frame_count=frame_count)
         self.kf_infos: list[GTMKeyFrameInfo] = []
         self.streams: list[bytes] = []
         tw, th = width // TILE_W, height // TILE_W
-        # First keyframe's stream is prefixed by dimensions + tileset.
-        self._pending = [emit_tileset(tiles_pal, palette_size, tw, th, fps)]
+        # First keyframe's stream is prefixed by dimensions (+ the global
+        # tileset when given; per-keyframe segmented tilesets may instead
+        # arrive via add_keyframe(tileset=...), as GOP-sharded multi-host
+        # encodes produce).
+        if tiles_pal is not None:
+            self._pending = [emit_tileset(tiles_pal, palette_size, tw, th,
+                                          fps)]
+        else:
+            n_total = total_tile_count or 0
+            self._pending = [
+                _cmd_word(GTMCommand.SET_DIMENSIONS, 0),
+                struct.pack('<HHII', tw, th,
+                            int(round(1000 * 1000 * 1000 / fps)), n_total)]
 
     def add_keyframe(self, kf_index: int, start_frame: int, end_frame: int,
-                     palettes_rgb: np.ndarray, frames: list[dict]) -> None:
+                     palettes_rgb: np.ndarray, frames: list[dict],
+                     tileset: tuple[int, np.ndarray] | None = None) -> None:
         """frames: list of dicts with keys tile_idx, pal_idx, hmir, vmir,
-        smoothed (flat arrays), one per frame of this keyframe."""
+        smoothed (flat arrays), one per frame of this keyframe.
+
+        tileset: optional (start_index, tiles [n,8,8]) segment to emit
+        before this keyframe's palettes (gtTileSet supports arbitrary
+        ranges; the players grow their tile store)."""
         parts = self._pending
         self._pending = []
+        if tileset is not None:
+            start, tiles = tileset
+            if len(tiles):
+                parts.append(_cmd_word(GTMCommand.TILE_SET,
+                                       self.palette_size))
+                parts.append(struct.pack('<II', start,
+                                         start + len(tiles) - 1))
+                parts.append(np.ascontiguousarray(
+                    tiles, dtype=np.uint8).tobytes())
         parts.append(emit_kf_palettes(palettes_rgb))
         for k, fr in enumerate(frames):
             parts.append(emit_frame(fr['tile_idx'], fr['pal_idx'],

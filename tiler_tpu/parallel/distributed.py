@@ -43,6 +43,66 @@ def assign_gops_to_hosts(keyframes: np.ndarray, n_hosts: int) -> np.ndarray:
     return owner
 
 
+def encode_gop_sharded(frames: np.ndarray, config, n_hosts: int = 2,
+                       fps: float = 24.0, fast_lzma: bool = True) -> bytes:
+    """GOP-sharded encode producing ONE valid GTM stream.
+
+    The multi-host execution shape of BASELINE config #5: keyframes are
+    detected globally, partitioned across `n_hosts` workers, each worker
+    encodes its GOPs independently (its own tileset + palettes), and host 0
+    assembles the final stream — each keyframe carries its own gtTileSet
+    segment at a disjoint index range, so any GTM player decodes the
+    result. In a real multi-host run each partition executes on its own
+    host (parallel.distributed.init_distributed); here workers run
+    sequentially in-process, which is bit-identical to the distributed
+    result by construction (per-GOP encodes are independent).
+
+    Trade-off vs the single-host encoder: no cross-GOP tile sharing, so
+    streams are somewhat larger (documented divergence until the
+    cross-host KModes allreduce lands).
+    """
+    from ..pipeline.encoder import Encoder
+    from ..pipeline.load import detect_keyframes
+    from ..bitstream.gtm import GTMWriter
+
+    probe = Encoder(config)
+    probe.load(frames, fps=fps)
+    keyframes = probe.state.keyframes
+    width, height = probe.state.screen_w, probe.state.screen_h
+    owner = assign_gops_to_hosts(keyframes, n_hosts)
+
+    results = []
+    for h in range(n_hosts):
+        results.extend(encode_gop_partition(frames, keyframes, owner, h,
+                                            config))
+    results.sort(key=lambda r: r['kf_index'])
+
+    total_tiles = sum(len(r['tiles_pal']) for r in results)
+    writer = GTMWriter(width=width, height=height, fps=fps,
+                       tiles_pal=None,
+                       palette_size=config.tile_palette_size,
+                       frame_count=len(frames), kf_count=len(results),
+                       fast_lzma=fast_lzma,
+                       total_tile_count=total_tiles)
+    offset = 0
+    for r in results:
+        st = r['state']
+        kf_frames = []
+        n_local = st.n_frames
+        for f in range(n_local):
+            kf_frames.append(dict(
+                tile_idx=st.stm_tile[f].ravel() + offset,
+                pal_idx=st.stm_pal[f].ravel(),
+                hmir=st.stm_h[f].ravel(),
+                vmir=st.stm_v[f].ravel(),
+                smoothed=st.stm_smooth[f].ravel()))
+        writer.add_keyframe(
+            r['kf_index'], r['start'], r['end'], r['palettes_rgb'],
+            kf_frames, tileset=(offset, r['tiles_pal']))
+        offset += len(r['tiles_pal'])
+    return writer.tobytes()
+
+
 def encode_gop_partition(frames: np.ndarray, keyframes: np.ndarray,
                          owner: np.ndarray, my_host: int, config):
     """Encode only the keyframes owned by this host; returns per-KF
