@@ -162,6 +162,45 @@ def kmodes(x: np.ndarray, k: int, start_point: int, n_modalities: int,
     return np.asarray(labels)[:n], np.asarray(cents)[:k]
 
 
+def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
+                 bins_start: list[int], n_modalities: int,
+                 max_iters: int = 100):
+    """Solve MANY KModes problems in ONE vmapped device call.
+
+    The reference fans per-palette-bin KModes across a thread pool
+    (main.pas:4339); here every bin pads to a common (n_pad, k_pad) and a
+    single vmapped while_loop solves them all — one compile, one dispatch
+    for the whole GlobalTiling step.
+
+    Returns list of (labels [n_i], centroids [k_i, A]).
+    """
+    b = len(bins_x)
+    if b == 0:
+        return []
+    a = bins_x[0].shape[1]
+    n_pad = _next_pow2(max(max(len(x) for x in bins_x), 8))
+    k_pad = _next_pow2(max(max(bins_k), 2))
+
+    xs = np.zeros((b, n_pad, a), np.uint8)
+    vn = np.zeros((b, n_pad), bool)
+    vk = np.zeros((b, k_pad), bool)
+    starts = np.asarray(bins_start, np.int32)
+    for i, x in enumerate(bins_x):
+        xs[i, :len(x)] = x
+        vn[i, :len(x)] = True
+        vk[i, :bins_k[i]] = True
+
+    solver = jax.vmap(
+        lambda x, valid_n, valid_k, s: _kmodes_padded(
+            x, valid_n, valid_k, s, k_pad, n_modalities, max_iters))
+    labels, cents, _cost = solver(jnp.asarray(xs), jnp.asarray(vn),
+                                  jnp.asarray(vk), jnp.asarray(starts))
+    labels = np.asarray(labels)
+    cents = np.asarray(cents)
+    return [(labels[i][:len(bins_x[i])], cents[i][:bins_k[i]])
+            for i in range(b)]
+
+
 def min_dissim_index_last(rows: np.ndarray, target: np.ndarray) -> int:
     """GetMinMatchingDissim (kmodes.pas:598-612): index of the row with the
     smallest dissimilarity to target; ties take the LAST row (the asm scan

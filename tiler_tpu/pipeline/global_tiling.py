@@ -61,8 +61,8 @@ def run_global_tiling(state: EncoderState,
     share = desired_tiles / max(eqtc.sum(), 1)
     cluster_counts = np.ceil(eqtc * share).astype(np.int64)
 
-    merges = 0
-    fwd = np.arange(state.n_tiles)
+    # collect non-trivial bins, solve them all in one vmapped device call
+    jobs = []
     for p in range(cfg.palette_count):
         sel = np.flatnonzero(dpi == p)
         n_bin, k = len(sel), int(cluster_counts[p])
@@ -73,8 +73,18 @@ def run_global_tiling(state: EncoderState,
         # main.pas:4301-4308 uses <=)
         sums = bin_sigs.astype(np.int64).sum(1)
         mins = np.flatnonzero(sums == sums.min())
-        start = int(mins[-1])
-        labels, cents = kmodes(bin_sigs, k, start, cfg.tile_palette_size)
+        jobs.append(dict(p=p, sel=sel, sigs=bin_sigs, k=k,
+                         start=int(mins[-1])))
+    from ..ops.kmodes import kmodes_batch
+    solved = kmodes_batch([j['sigs'] for j in jobs],
+                          [j['k'] for j in jobs],
+                          [j['start'] for j in jobs],
+                          cfg.tile_palette_size)
+
+    merges = 0
+    fwd = np.arange(state.n_tiles)
+    for job, (labels, cents) in zip(jobs, solved):
+        sel, bin_sigs, k = job['sel'], job['sigs'], job['k']
         # replace each cluster by its member closest to the centroid
         global_idx = act[sel]
         for j in range(k):
