@@ -73,3 +73,14 @@ def test_kmeans_deterministic(rng):
     l2, c2, _ = kmeans(x, 8)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_knoll_cached_matches_direct(rng):
+    n, s = 6, 8
+    tiles = rng.integers(0, 4, (n, 8, 8, 3)).astype(np.uint8) * 60
+    pals = rng.integers(0, 256, (2, s, 3)).astype(np.uint8)
+    group = np.array([0, 0, 1, 1, 0, 1])
+    per_tile_pals = pals[group]
+    direct = dither.knoll_dither_tiles(tiles, per_tile_pals)
+    cached = dither.knoll_dither_tiles_cached(tiles, per_tile_pals, group)
+    np.testing.assert_array_equal(direct, cached)

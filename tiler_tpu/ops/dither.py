@@ -163,6 +163,61 @@ def _yliluoma_plans(cols, pal, luma_pal, mixed_colors: int):
     return plan, plan_count
 
 
+@jax.jit
+def _knoll_plans_rows(cols, pal, luma_pal):
+    """Full sorted plans for unique (color, palette) rows:
+    cols [U,3] i32, pal [U,S,3] i32, luma [U,S] -> [U,64] i32."""
+    return _knoll_plans(cols, pal, luma_pal)
+
+
+def knoll_dither_tiles_cached(tiles_rgb, palettes_rgb, pal_group,
+                              chunk: int = 16384):
+    """Knoll dithering with plan deduplication — the TPU equivalent of the
+    reference's per-color plan caches (main.pas:2010-2053).
+
+    Plans depend only on (palette, color); natural video repeats colors
+    heavily, so plans are computed once per unique (pal_group, color) pair
+    and gathered per pixel at its Bayer rank. pal_group: [N] int ids such
+    that equal ids imply identical palettes_rgb rows.
+    """
+    tiles_rgb = np.asarray(tiles_rgb)
+    palettes_rgb = np.asarray(palettes_rgb)
+    n = tiles_rgb.shape[0]
+    if n == 0:
+        return np.zeros((0, TILE_W, TILE_W), np.uint8)
+    packed = (tiles_rgb[..., 0].astype(np.int64)
+              | (tiles_rgb[..., 1].astype(np.int64) << 8)
+              | (tiles_rgb[..., 2].astype(np.int64) << 16)).reshape(n, 64)
+    keys = packed | (np.asarray(pal_group, np.int64)[:, None] << 24)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    inv = inv.reshape(n, 64)
+
+    # representative pixel per unique key
+    first = np.zeros(len(uniq), np.int64)
+    flat_inv = inv.ravel()
+    first[flat_inv[::-1]] = np.arange(n * 64 - 1, -1, -1)
+    rep_tile = first // 64
+    cols_u = tiles_rgb.reshape(n * 64, 3)[first].astype(np.int32)
+    pal_u = palettes_rgb[rep_tile]
+
+    from .color import luma_raw
+    u = len(uniq)
+    plans = np.empty((u, 64), np.int32)
+    for lo in range(0, u, chunk):
+        hi = min(u, lo + chunk)
+        cp = _pad_pow2(hi - lo)
+        res = _knoll_plans_rows(
+            jnp.asarray(_pad_rows(cols_u[lo:hi], cp), jnp.int32),
+            jnp.asarray(_pad_rows(pal_u[lo:hi], cp), jnp.int32),
+            jnp.asarray(_pad_rows(
+                luma_raw(pal_u[lo:hi]).astype(np.int32), cp)))
+        plans[lo:hi] = np.asarray(res)[:hi - lo]
+
+    bayer = DITHERING_MAP.reshape(-1)
+    out = plans[inv, bayer[None, :]]  # [N,64]
+    return out.astype(np.uint8).reshape(n, TILE_W, TILE_W)
+
+
 def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,
                           chunk: int = 8192):
     """Yliluoma-2 dithering (main.pas:2055-2066): per pixel, pick

@@ -151,7 +151,10 @@ def run_dither(state: EncoderState) -> EncoderState:
     dpi = np.maximum(state.tile_dpi[act], 0)
     pals = state.palettes_rgb[tile_kf[act], dpi]  # [M,S,3]
     if cfg.use_thomas_knoll:
-        dithered = dither.knoll_dither_tiles(state.tiles_rgb[act], pals)
+        pal_group = (tile_kf[act].astype(np.int64) * cfg.palette_count
+                     + dpi)
+        dithered = dither.knoll_dither_tiles_cached(
+            state.tiles_rgb[act], pals, pal_group)
     else:
         dithered = dither.yliluoma_dither_tiles(
             state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)
