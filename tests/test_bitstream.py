@@ -193,3 +193,17 @@ def test_golden_demo_decode():
     assert s.frame_len_ns == 33333333
     # every frame fully covers the tilemap (skip+draw), enforced by parser
     assert s.frames[0].positions.size == s.tilemap_w * s.tilemap_h
+
+
+@pytest.mark.skipif(not (os.path.exists(
+    '/root/reference/docs/demo/football_cif.gtm') and native.available()),
+    reason='demo file or native lib missing')
+def test_golden_demo_decode_football():
+    from tiler_tpu.decode import decode_video
+    raw = open('/root/reference/docs/demo/football_cif.gtm', 'rb').read()
+    frames, stream = decode_video(raw)
+    assert (stream.width, stream.height) == (352, 288)
+    assert len(frames) > 100
+    # frames carry real image content
+    assert 20 < frames[0].mean() < 235
+    assert frames[0].std() > 10

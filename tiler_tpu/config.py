@@ -19,6 +19,10 @@ class FTQuality(enum.IntEnum):
     SLOW = 2
 
 
+_STEP_NAMES = ('load', 'dither', 'make_unique', 'global_tiling',
+               'frame_tiling', 'reindex', 'smooth', 'save')
+
+
 @dataclasses.dataclass(frozen=True)
 class EncoderConfig:
     # palette shape (cbxPalSize / cbxPalCount)
@@ -69,6 +73,16 @@ class EncoderConfig:
     # pipeline range (cbxStartStep/cbxEndStep): names from constants.ENCODER_STEPS
     start_step: str = 'load'
     end_step: str = 'save'
+
+    def __post_init__(self):
+        if not (1 <= self.palette_count <= 256):
+            raise ValueError('palette_count must be 1..256 '
+                             '(8-bit palette attr field)')
+        if not (2 <= self.tile_palette_size <= 256):
+            raise ValueError('tile_palette_size must be 2..256')
+        if self.start_step not in _STEP_NAMES or \
+                self.end_step not in _STEP_NAMES:
+            raise ValueError(f'steps must be one of {_STEP_NAMES}')
 
     def dithering_gamma_lut(self) -> int:
         """-1 = linear, 0 = encoder gamma LUT index (main.pas:886)."""

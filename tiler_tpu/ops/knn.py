@@ -92,7 +92,15 @@ def _device_chunks(candidates: np.ndarray, c_chunk: int):
 
 def nearest_1(queries: np.ndarray, candidates: np.ndarray,
               q_chunk: int = 8192, c_chunk: int = 8192):
-    """Exact 1-NN: returns (idx [Q] int32, err [Q] f32 squared L2)."""
+    """Exact 1-NN: returns (idx [Q] int32, err [Q] f32 squared L2).
+
+    TILER_USE_PALLAS=1 routes through the fused Pallas kernel on TPU."""
+    import os
+    if os.environ.get('TILER_USE_PALLAS') == '1':
+        import jax
+        if jax.default_backend() == 'tpu':
+            from .pallas_kernels import nearest_1_pallas
+            return nearest_1_pallas(queries, candidates)
     q_all = np.asarray(queries, np.float32)
     n_q = len(q_all)
     cands = _device_chunks(candidates, c_chunk)
