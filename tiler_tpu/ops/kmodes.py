@@ -35,7 +35,8 @@ _BIG = jnp.int32(2**30)
 
 def dissim_matrix(x, c):
     """[n,A] uint8 points vs [k,A] uint8 centroids -> [n,k] int32
-    (Hamming<<11 + L1, kmodes.pas:239-250)."""
+    (Hamming<<11 + L1, kmodes.pas:239-250). Broadcast form — fine for
+    small n*k, materializes [n,k,A]."""
     xi = x.astype(jnp.int32)[:, None, :]
     ci = c.astype(jnp.int32)[None, :, :]
     ham = jnp.sum((xi != ci).astype(jnp.int32), axis=-1)
@@ -43,8 +44,38 @@ def dissim_matrix(x, c):
     return (ham << DISSIM_SUB_MATCHING_BITS) + l1
 
 
-def _masked_dissim(x, c, valid_k):
-    d = dissim_matrix(x, c)
+def dissim_matrix_matmul(x, c, n_modalities: int):
+    """Same dissimilarity as two MXU matmuls — no [n,k,A] intermediate.
+
+    Hamming: matches = onehot(x) . onehot(c); ham = A - matches.
+    L1 over small ints: |x-c| = #separating thresholds, so with
+    gt[v,t] = (v > t): l1 = sum(gt_x) + sum(gt_c) - 2 gt_x . gt_c.
+    All dot products are exact small integers in float32.
+    """
+    n, a = x.shape
+    k = c.shape[0]
+    m = n_modalities
+    ex = jax.nn.one_hot(x.astype(jnp.int32), m,
+                        dtype=jnp.float32).reshape(n, a * m)
+    ec = jax.nn.one_hot(c.astype(jnp.int32), m,
+                        dtype=jnp.float32).reshape(k, a * m)
+    matches = ex @ ec.T
+    ham = jnp.float32(a) - matches
+    thresholds = jnp.arange(m - 1)
+    gx = (x.astype(jnp.int32)[:, :, None] > thresholds).astype(
+        jnp.float32).reshape(n, a * (m - 1))
+    gc = (c.astype(jnp.int32)[:, :, None] > thresholds).astype(
+        jnp.float32).reshape(k, a * (m - 1))
+    l1 = gx.sum(1)[:, None] + gc.sum(1)[None, :] - 2.0 * (gx @ gc.T)
+    d = ham * (1 << DISSIM_SUB_MATCHING_BITS) + l1
+    return d.astype(jnp.int32)
+
+
+def _masked_dissim(x, c, valid_k, n_modalities=None):
+    if n_modalities is not None and n_modalities <= 32:
+        d = dissim_matrix_matmul(x, c, n_modalities)
+    else:
+        d = dissim_matrix(x, c)
     return jnp.where(valid_k[None, :], d, _BIG)
 
 
@@ -86,7 +117,7 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
     cents = _farthest_first(x, k_pad, valid_n, start_point)
 
     def assign(cents):
-        d = _masked_dissim(x, cents, valid_k)
+        d = _masked_dissim(x, cents, valid_k, n_modalities)
         lab = jnp.argmin(d, axis=1).astype(jnp.int32)
         # float32 accumulation: int32 would overflow for ~100k-point bins
         cost = jnp.sum(jnp.where(valid_n, jnp.min(d, axis=1),
@@ -94,13 +125,17 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
         return lab, cost
 
     def update(cents, labels):
-        onehot_k = jax.nn.one_hot(labels, k_pad, dtype=jnp.float32) \
-            * w[:, None]
-        onehot_m = jax.nn.one_hot(x.astype(jnp.int32), n_modalities,
-                                  dtype=jnp.float32)  # [n,A,M]
-        counts = jnp.einsum('nk,nam->kam', onehot_k, onehot_m)
+        # per-(cluster, attribute) category frequencies via one flat
+        # segment-sum — no [n,A,M] one-hot cube in memory
+        ids = ((labels[:, None] * a + jnp.arange(a)[None, :])
+               * n_modalities + x.astype(jnp.int32))
+        weights = jnp.broadcast_to(w[:, None], (n, a)).ravel()
+        counts = jax.ops.segment_sum(
+            weights, ids.ravel(),
+            num_segments=k_pad * a * n_modalities
+        ).reshape(k_pad, a, n_modalities)
         new_c = jnp.argmax(counts, axis=-1).astype(jnp.uint8)  # [k,A]
-        members = jnp.sum(onehot_k, axis=0)  # [k]
+        members = jax.ops.segment_sum(w, labels, num_segments=k_pad)
         empty = (members == 0) & valid_k
         # re-seed empty clusters with the currently worst-fit point
         d_own = jnp.sum(
@@ -178,27 +213,34 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
     if b == 0:
         return []
     a = bins_x[0].shape[1]
-    n_pad = _next_pow2(max(max(len(x) for x in bins_x), 8))
-    k_pad = _next_pow2(max(max(bins_k), 2))
-
-    xs = np.zeros((b, n_pad, a), np.uint8)
-    vn = np.zeros((b, n_pad), bool)
-    vk = np.zeros((b, k_pad), bool)
-    starts = np.asarray(bins_start, np.int32)
-    for i, x in enumerate(bins_x):
-        xs[i, :len(x)] = x
-        vn[i, :len(x)] = True
-        vk[i, :bins_k[i]] = True
-
-    solver = jax.vmap(
-        lambda x, valid_n, valid_k, s: _kmodes_padded(
-            x, valid_n, valid_k, s, k_pad, n_modalities, max_iters))
-    labels, cents, _cost = solver(jnp.asarray(xs), jnp.asarray(vn),
-                                  jnp.asarray(vk), jnp.asarray(starts))
-    labels = np.asarray(labels)
-    cents = np.asarray(cents)
-    return [(labels[i][:len(bins_x[i])], cents[i][:bins_k[i]])
-            for i in range(b)]
+    out: list = [None] * b
+    # group size-sorted bins so each vmapped batch pads to a similar n;
+    # cap the group so the one-hot matmul working set stays bounded
+    order = sorted(range(b), key=lambda i: len(bins_x[i]))
+    group_cap = 8
+    for gs in range(0, b, group_cap):
+        grp = order[gs:gs + group_cap]
+        n_pad = _next_pow2(max(max(len(bins_x[i]) for i in grp), 8))
+        k_pad = _next_pow2(max(max(bins_k[i] for i in grp), 2))
+        g = len(grp)
+        xs = np.zeros((g, n_pad, a), np.uint8)
+        vn = np.zeros((g, n_pad), bool)
+        vk = np.zeros((g, k_pad), bool)
+        starts = np.asarray([bins_start[i] for i in grp], np.int32)
+        for j, i in enumerate(grp):
+            xs[j, :len(bins_x[i])] = bins_x[i]
+            vn[j, :len(bins_x[i])] = True
+            vk[j, :bins_k[i]] = True
+        solver = jax.vmap(
+            lambda x, valid_n, valid_k, s: _kmodes_padded(
+                x, valid_n, valid_k, s, k_pad, n_modalities, max_iters))
+        labels, cents, _cost = solver(jnp.asarray(xs), jnp.asarray(vn),
+                                      jnp.asarray(vk), jnp.asarray(starts))
+        labels = np.asarray(labels)
+        cents = np.asarray(cents)
+        for j, i in enumerate(grp):
+            out[i] = (labels[j][:len(bins_x[i])], cents[j][:bins_k[i]])
+    return out
 
 
 def min_dissim_index_last(rows: np.ndarray, target: np.ndarray) -> int:
