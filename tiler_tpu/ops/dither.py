@@ -171,7 +171,7 @@ def _knoll_plans_rows(cols, pal, luma_pal):
 
 
 def knoll_dither_tiles_cached(tiles_rgb, palettes_rgb, pal_group,
-                              chunk: int = 16384):
+                              chunk: int = 131072):
     """Knoll dithering with plan deduplication — the TPU equivalent of the
     reference's per-color plan caches (main.pas:2010-2053).
 

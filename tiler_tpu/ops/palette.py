@@ -69,9 +69,10 @@ def dl3_palette(pixels_rgb: np.ndarray, palette_size: int,
     r_sums = np.bincount(inv, weights=px[:, 0]).astype(np.int64)
     g_sums = np.bincount(inv, weights=px[:, 1]).astype(np.int64)
     b_sums = np.bincount(inv, weights=px[:, 2]).astype(np.int64)
+    # float64: this host's float32 numpy paths are pathologically slow
     means = np.stack([(r_sums + counts // 2) // counts,
                       (g_sums + counts // 2) // counts,
-                      (b_sums + counts // 2) // counts], 1).astype(np.float32)
+                      (b_sums + counts // 2) // counts], 1).astype(np.float64)
     # keep the bin_cap most-used bins (ties by bin index), merge the rest
     # into their nearest kept bin
     keep = np.lexsort((np.arange(n_bins), -counts))[:bin_cap]
