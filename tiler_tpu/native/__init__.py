@@ -63,6 +63,10 @@ def get_lib():
         lib.tiler_dl3_quant.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p]
+        lib.tiler_dl3_quant_capped.restype = ctypes.c_int
+        lib.tiler_dl3_quant_capped.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
         lib.tiler_dl3_quant_bins.restype = ctypes.c_int
         lib.tiler_dl3_quant_bins.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -127,6 +131,19 @@ def dl3_quant(pixels_rgb, quant_to: int, lookup_bpc: int):
     out = np.zeros((quant_to, 3), np.uint8)
     n = lib.tiler_dl3_quant(px.tobytes(), px.shape[0], quant_to, lookup_bpc,
                             out.ctypes.data_as(ctypes.c_void_p))
+    return out, n
+
+
+def dl3_quant_capped(pixels_rgb, quant_to: int, lookup_bpc: int,
+                     cap: int):
+    """DL3 with the C++-internal bin cap (no host-side pre-reduce)."""
+    import numpy as np
+    lib = get_lib()
+    px = np.ascontiguousarray(pixels_rgb, np.uint8)
+    out = np.zeros((quant_to, 3), np.uint8)
+    n = lib.tiler_dl3_quant_capped(
+        px.tobytes(), px.shape[0], quant_to, lookup_bpc, cap,
+        out.ctypes.data_as(ctypes.c_void_p))
     return out, n
 
 

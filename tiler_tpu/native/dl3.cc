@@ -17,7 +17,10 @@
 //   Returns number of palette entries actually produced (may be < quant_to
 //   when the input has fewer distinct bins).
 
+#include <algorithm>
 #include <cmath>
+#include <climits>
+#include <cstdint>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -116,6 +119,73 @@ int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
       set_mean(e);
       t.push_back(e);
     }
+  }
+  return reduce_entries(t, quant_to, out_pal, quant_to);
+}
+
+// DL3 with an internal bin cap: when the histogram holds more than `cap`
+// distinct bins, the long tail of rare bins pre-merges into its nearest
+// high-count bin (squared-RGB on rounded means) before the exact greedy
+// runs — bounding the O(C^2) pair scans. cap <= 0 disables capping.
+int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
+                           int quant_to, int lookup_bpc, int cap,
+                           uint8_t* out_pal) {
+  std::memset(out_pal, 0, size_t(quant_to) * 3);
+  if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
+
+  const int mbpc = (1 << lookup_bpc) - 1;
+  const size_t n_bins = size_t(1) << (lookup_bpc * 3);
+  std::vector<int64_t> hr(n_bins, 0), hg(n_bins, 0), hb(n_bins, 0),
+      hc(n_bins, 0);
+  for (int64_t i = 0; i < n_pixels; i++) {
+    int r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
+    size_t idx = size_t(b * mbpc / 255) |
+                 (size_t(g * mbpc / 255) << lookup_bpc) |
+                 (size_t(r * mbpc / 255) << (lookup_bpc * 2));
+    hr[idx] += r; hg[idx] += g; hb[idx] += b; hc[idx]++;
+  }
+
+  std::vector<Entry> t;
+  for (size_t i = 0; i < n_bins; i++) {
+    if (hc[i]) {
+      Entry e{hr[i], hg[i], hb[i], hc[i], 0, 0, 0, HUGE_VALF, 0};
+      set_mean(e);
+      t.push_back(e);
+    }
+  }
+
+  if (cap > 0 && int(t.size()) > cap) {
+    // order bins by count desc (stable: bin-index asc); keep the head
+    std::vector<int> order(t.size());
+    for (size_t i = 0; i < t.size(); i++) order[i] = int(i);
+    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+      return t[a].count > t[b].count;
+    });
+    std::vector<char> kept(t.size(), 0);
+    std::vector<int> keep(order.begin(), order.begin() + cap);
+    std::sort(keep.begin(), keep.end());  // ascending bin-index compaction
+    for (int i : keep) kept[i] = 1;
+    for (size_t i = 0; i < t.size(); i++) {
+      if (kept[i]) continue;
+      // nearest kept bin by squared RGB of rounded means (first min wins)
+      int64_t best = INT64_MAX;
+      int tgt = keep[0];
+      for (int j : keep) {
+        int64_t dr = t[i].rr - t[j].rr, dg = t[i].gg - t[j].gg,
+                db = t[i].bb - t[j].bb;
+        int64_t d = dr * dr + dg * dg + db * db;
+        if (d < best) { best = d; tgt = j; }
+      }
+      t[tgt].r += t[i].r; t[tgt].g += t[i].g; t[tgt].b += t[i].b;
+      t[tgt].count += t[i].count;
+    }
+    std::vector<Entry> capped;
+    capped.reserve(keep.size());
+    for (int i : keep) {
+      set_mean(t[i]);
+      capped.push_back(t[i]);
+    }
+    t.swap(capped);
   }
   return reduce_entries(t, quant_to, out_pal, quant_to);
 }

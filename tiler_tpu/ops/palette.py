@@ -54,47 +54,8 @@ def dl3_palette(pixels_rgb: np.ndarray, palette_size: int,
     reference algorithm."""
     if pixels_rgb.size == 0:
         return np.zeros((palette_size, 3), np.uint8)
-    px = pixels_rgb.reshape(-1, 3).astype(np.int64)
-    mbpc = (1 << bpc) - 1
-    codes = ((px[:, 2] * mbpc // 255)
-             | ((px[:, 1] * mbpc // 255) << bpc)
-             | ((px[:, 0] * mbpc // 255) << (2 * bpc)))
-    order_codes, inv = np.unique(codes, return_inverse=True)
-    n_bins = len(order_codes)
-    if n_bins <= bin_cap:
-        pal, _n = native.dl3_quant(pixels_rgb.reshape(-1, 3),
-                                   palette_size, bpc)
-        return pal
-    counts = np.bincount(inv)
-    r_sums = np.bincount(inv, weights=px[:, 0]).astype(np.int64)
-    g_sums = np.bincount(inv, weights=px[:, 1]).astype(np.int64)
-    b_sums = np.bincount(inv, weights=px[:, 2]).astype(np.int64)
-    # float64: this host's float32 numpy paths are pathologically slow
-    means = np.stack([(r_sums + counts // 2) // counts,
-                      (g_sums + counts // 2) // counts,
-                      (b_sums + counts // 2) // counts], 1).astype(np.float64)
-    # keep the bin_cap most-used bins (ties by bin index), merge the rest
-    # into their nearest kept bin
-    keep = np.lexsort((np.arange(n_bins), -counts))[:bin_cap]
-    keep.sort()  # preserve ascending-bin-index compaction order
-    rest = np.setdiff1d(np.arange(n_bins), keep, assume_unique=False)
-    # nearest kept bin, plain numpy (3-dim points; no device round trip)
-    km = means[keep]
-    k2 = (km * km).sum(1)
-    nearest = np.empty(len(rest), np.int64)
-    for lo in range(0, len(rest), 8192):
-        hi = min(len(rest), lo + 8192)
-        q = means[rest[lo:hi]]
-        d = (q * q).sum(1)[:, None] + k2[None, :] - 2.0 * (q @ km.T)
-        nearest[lo:hi] = np.argmin(d, axis=1)
-    tgt = keep[nearest]
-    np.add.at(r_sums, tgt, r_sums[rest])
-    np.add.at(g_sums, tgt, g_sums[rest])
-    np.add.at(b_sums, tgt, b_sums[rest])
-    np.add.at(counts, tgt, counts[rest])
-    pal, _n = native.dl3_quant_bins(r_sums[keep], g_sums[keep],
-                                    b_sums[keep], counts[keep],
-                                    palette_size)
+    pal, _n = native.dl3_quant_capped(pixels_rgb.reshape(-1, 3),
+                                      palette_size, bpc, bin_cap)
     return pal
 
 
