@@ -261,29 +261,44 @@ class GTMWriter:
                                     fr['hmir'], fr['vmir'], fr['smoothed'],
                                     kf_end=(k == len(frames) - 1)))
         raw = b''.join(parts)
-        comp = lzma_compress_alone(raw, fast=self.fast_lzma)
-        self.streams.append(comp)
         n_frames = end_frame - start_frame + 1
         info = GTMKeyFrameInfo(
             kf_index=kf_index, frame_index=start_frame,
-            raw_size=len(raw), compressed_size=len(comp),
+            raw_size=len(raw), compressed_size=0,
             timecode_ms=int(round(1000.0 * start_frame / self.fps)))
         self.kf_infos.append(info)
-        # KFMaxBytesPerSec excludes KF 0 unless it is the only one
-        # (main.pas:4741-4742) because KF 0 carries the tileset burst.
-        if kf_index > 0 or self.header.kf_count == 1:
-            self.header.kf_max_bytes_per_sec = max(
-                self.header.kf_max_bytes_per_sec,
-                int(round(len(comp) * self.fps / n_frames)))
-        self.header.average_bytes_per_sec += len(comp)
+        self.streams.append(raw)  # compressed in tobytes (threaded)
+        self._kf_frames = getattr(self, '_kf_frames', [])
+        self._kf_frames.append(n_frames)
 
     def tobytes(self) -> bytes:
+        # compress keyframe streams on a thread pool (liblzma releases the
+        # GIL); stats follow main.pas:4727-4757
+        import concurrent.futures as cf
+        import os
+        workers = min(max(os.cpu_count() or 1, 1), 8)
+        with cf.ThreadPoolExecutor(workers) as ex:
+            comps = list(ex.map(
+                lambda raw: lzma_compress_alone(raw, fast=self.fast_lzma),
+                self.streams))
         hdr = self.header
+        hdr.kf_max_bytes_per_sec = 0
+        hdr.average_bytes_per_sec = 0
+        for i, (info, comp) in enumerate(zip(self.kf_infos, comps)):
+            info.compressed_size = len(comp)
+            n_frames = self._kf_frames[i]
+            # KFMaxBytesPerSec excludes KF 0 unless it is the only one
+            # (main.pas:4741-4742): KF 0 carries the tileset burst.
+            if info.kf_index > 0 or hdr.kf_count == 1:
+                hdr.kf_max_bytes_per_sec = max(
+                    hdr.kf_max_bytes_per_sec,
+                    int(round(len(comp) * self.fps / n_frames)))
+            hdr.average_bytes_per_sec += len(comp)
         hdr.average_bytes_per_sec = int(round(
             hdr.average_bytes_per_sec * self.fps / max(hdr.frame_count, 1)))
         hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * len(self.kf_infos)
         return b''.join([hdr.pack()] +
-                        [i.pack() for i in self.kf_infos] + self.streams)
+                        [i.pack() for i in self.kf_infos] + comps)
 
 
 @dataclasses.dataclass

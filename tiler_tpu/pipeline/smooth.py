@@ -45,6 +45,26 @@ def run_smooth(state: EncoderState) -> EncoderState:
     state.stm_smooth = np.zeros_like(state.tm_tile, bool)
 
     kf_of = state.kf_of_frame()
+    cells = state.tilemap_size
+
+    # features of every frame's (static) TileMap items, batched per
+    # keyframe: one device call per KF instead of per frame (bounded
+    # working set: a KF spans at most ~24 frames)
+    kf_feats: dict[int, np.ndarray] = {}
+
+    def base_feat(fr: int) -> np.ndarray:
+        k = int(kf_of[fr])
+        if k not in kf_feats:
+            kf_feats.clear()  # keep only the active keyframe resident
+            s, e = state.keyframes[k]
+            feats = _frame_features(
+                state, k,
+                state.tm_tile[s:e + 1], state.tm_pal[s:e + 1],
+                state.tm_h[s:e + 1], state.tm_v[s:e + 1])
+            kf_feats[k] = feats.reshape(e - s + 1, cells, 192)
+        s = int(state.keyframes[int(kf_of[fr])][0])
+        return kf_feats[int(kf_of[fr])][fr - s]
+
     prev_feat = None
     smoothed_cells = 0
     for fr in range(f):
@@ -54,7 +74,7 @@ def run_smooth(state: EncoderState) -> EncoderState:
         cur_h = state.tm_h[fr].ravel().copy()
         cur_v = state.tm_v[fr].ravel().copy()
         cur_sm = np.zeros_like(cur_tile, bool)
-        cur_feat = _frame_features(state, k, cur_tile, cur_pal, cur_h, cur_v)
+        cur_feat = base_feat(fr).copy()
 
         if fr > 0 and kf_of[fr - 1] == k:
             pt = state.stm_tile[fr - 1].ravel()
