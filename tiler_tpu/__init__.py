@@ -11,17 +11,18 @@ import os as _os
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: first-time compiles through the
-    TPU tunnel can take minutes with high variance; cached reloads take
-    ~0.1s. Opt out with TILER_NO_COMPILE_CACHE=1."""
-    if _os.environ.get('TILER_NO_COMPILE_CACHE') == '1':
+    """Persistent XLA compilation cache — OPT-IN via TILER_COMPILE_CACHE=1.
+
+    Not enabled by default: on tunneled TPU backends the cache writes
+    serialize executables over the tunnel and can hang first compiles for
+    many minutes (observed empirically); XLA:CPU additionally persists
+    machine-feature-specific AOT blobs that can SIGILL on other hosts."""
+    if _os.environ.get('TILER_COMPILE_CACHE') != '1':
         return
     try:
         import jax
         platforms = jax.config.jax_platforms or \
             _os.environ.get('JAX_PLATFORMS', '')
-        # XLA:CPU persists machine-feature-specific AOT blobs that can
-        # SIGILL when reloaded on a different host; only cache for TPU
         if not any(p in str(platforms) for p in ('tpu', 'axon')):
             return
         path = _os.environ.get(
