@@ -82,5 +82,5 @@ def test_knoll_cached_matches_direct(rng):
     group = np.array([0, 0, 1, 1, 0, 1])
     per_tile_pals = pals[group]
     direct = dither.knoll_dither_tiles(tiles, per_tile_pals)
-    cached = dither.knoll_dither_tiles_cached(tiles, per_tile_pals, group)
+    cached = dither.knoll_dither_tiles_cached(tiles, pals, group)
     np.testing.assert_array_equal(direct, cached)

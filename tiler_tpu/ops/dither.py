@@ -164,24 +164,32 @@ def _yliluoma_plans(cols, pal, luma_pal, mixed_colors: int):
 
 
 @jax.jit
-def _knoll_plans_rows(cols, pal, luma_pal):
-    """Full sorted plans for unique (color, palette) rows:
-    cols [U,3] i32, pal [U,S,3] i32, luma [U,S] -> [U,64] i32."""
-    return _knoll_plans(cols, pal, luma_pal)
+def _knoll_plans_grouped(cols_u8, group_idx, group_pals_u8):
+    """Full sorted plans for unique (color, palette-group) rows with the
+    palette expansion done ON DEVICE: cols [U,3] u8, group_idx [U] i32,
+    group_pals [G,S,3] u8 -> [U,64] i32.
+
+    Transfer-lean: the tunnel ships U*3 bytes + U indices + one small
+    palette table instead of U*(3+S*4)*4 bytes of expanded int32 rows."""
+    pal = group_pals_u8[group_idx].astype(jnp.int32)  # [U,S,3]
+    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
+    return _knoll_plans(cols_u8.astype(jnp.int32), pal, luma)
 
 
-def knoll_dither_tiles_cached(tiles_rgb, palettes_rgb, pal_group,
-                              chunk: int = 131072):
+def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
+                              chunk: int = 262144):
     """Knoll dithering with plan deduplication — the TPU equivalent of the
     reference's per-color plan caches (main.pas:2010-2053).
 
     Plans depend only on (palette, color); natural video repeats colors
     heavily, so plans are computed once per unique (pal_group, color) pair
-    and gathered per pixel at its Bayer rank. pal_group: [N] int ids such
-    that equal ids imply identical palettes_rgb rows.
+    and gathered per pixel at its Bayer rank.
+
+    group_pals: [G,S,3] uint8 distinct palettes; pal_group: [N] int ids
+    into group_pals per tile.
     """
     tiles_rgb = np.asarray(tiles_rgb)
-    palettes_rgb = np.asarray(palettes_rgb)
+    group_pals = np.asarray(group_pals, np.uint8)
     n = tiles_rgb.shape[0]
     if n == 0:
         return np.zeros((0, TILE_W, TILE_W), np.uint8)
@@ -192,25 +200,20 @@ def knoll_dither_tiles_cached(tiles_rgb, palettes_rgb, pal_group,
     uniq, inv = np.unique(keys, return_inverse=True)
     inv = inv.reshape(n, 64)
 
-    # representative pixel per unique key
-    first = np.zeros(len(uniq), np.int64)
-    flat_inv = inv.ravel()
-    first[flat_inv[::-1]] = np.arange(n * 64 - 1, -1, -1)
-    rep_tile = first // 64
-    cols_u = tiles_rgb.reshape(n * 64, 3)[first].astype(np.int32)
-    pal_u = palettes_rgb[rep_tile]
+    cols_u = np.stack([uniq & 0xff, (uniq >> 8) & 0xff,
+                       (uniq >> 16) & 0xff], 1).astype(np.uint8)
+    group_u = (uniq >> 24).astype(np.int32)
 
-    from .color import luma_raw
+    pals_d = jnp.asarray(group_pals)
     u = len(uniq)
     plans = np.empty((u, 64), np.int32)
     for lo in range(0, u, chunk):
         hi = min(u, lo + chunk)
         cp = _pad_pow2(hi - lo)
-        res = _knoll_plans_rows(
-            jnp.asarray(_pad_rows(cols_u[lo:hi], cp), jnp.int32),
-            jnp.asarray(_pad_rows(pal_u[lo:hi], cp), jnp.int32),
-            jnp.asarray(_pad_rows(
-                luma_raw(pal_u[lo:hi]).astype(np.int32), cp)))
+        res = _knoll_plans_grouped(
+            jnp.asarray(_pad_rows(cols_u[lo:hi], cp)),
+            jnp.asarray(_pad_rows(group_u[lo:hi], cp)),
+            pals_d)
         plans[lo:hi] = np.asarray(res)[:hi - lo]
 
     bayer = DITHERING_MAP.reshape(-1)

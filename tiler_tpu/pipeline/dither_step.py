@@ -153,8 +153,10 @@ def run_dither(state: EncoderState) -> EncoderState:
     if cfg.use_thomas_knoll:
         pal_group = (tile_kf[act].astype(np.int64) * cfg.palette_count
                      + dpi)
+        group_table = state.palettes_rgb.reshape(
+            -1, cfg.tile_palette_size, 3)
         dithered = dither.knoll_dither_tiles_cached(
-            state.tiles_rgb[act], pals, pal_group)
+            state.tiles_rgb[act], group_table, pal_group)
     else:
         dithered = dither.yliluoma_dither_tiles(
             state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)
