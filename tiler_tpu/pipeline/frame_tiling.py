@@ -127,7 +127,9 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
         cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
         return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
 
-    feats = np.empty((c, 192), np.float32)
+    # candidate features stay ON DEVICE: only int32 index vectors go up,
+    # nothing comes down (the 1-NN scan consumes them in place)
+    parts = []
     for lo in range(0, c, chunk):
         hi = min(c, lo + chunk)
         n_pad = features.pad_pow2(hi - lo)
@@ -142,11 +144,38 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                           jnp.asarray(pad((attrs & 1).astype(bool))),
                           jnp.asarray(pad((attrs & 2).astype(bool))),
                           _ft_gamma(cfg), cfg.use_wavelets)
-        feats[lo:hi] = np.asarray(res)[:hi - lo]
+        parts.append(res[:hi - lo])
+    feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     return feats, pal_idx.astype(np.int32), tiles.astype(np.int32), attrs
 
 
+def _query_assign_factory():
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=('gamma_value',
+                                                 'use_wavelets'))
+    def step(src_tiles_u8, cands3d, gamma_value, use_wavelets):
+        """Fused stage 3: source-tile PsyV features + streaming 1-NN over
+        the device-resident candidate chunks. Only u8 tiles go up; only
+        [Q] idx/err come down."""
+        q = features.psyv_features_rgb(src_tiles_u8,
+                                       gamma_value=gamma_value,
+                                       use_wavelets=use_wavelets)
+        from ..ops.knn import _scan_argmin
+        return _scan_argmin(q, cands3d)
+
+    return step
+
+
+_query_assign = None
+
+
 def run_frame_tiling(state: EncoderState) -> EncoderState:
+    import jax.numpy as jnp
+    global _query_assign
+    if _query_assign is None:
+        _query_assign = _query_assign_factory()
     cfg = state.config
     ds, tile_of, attrs_of = build_global_dataset(state)
     residual = 0.0
@@ -161,18 +190,33 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
             state, k, used, tile_of, attrs_of)
         knn_sizes.append(len(feats))
 
-        # stage 3: per-cell queries from the source RGB tiles
+        # reshape candidates to scan chunks on device (pad with far points)
+        c_chunk = 8192
+        n_c = feats.shape[0]
+        n_chunks = max(1, -(-n_c // c_chunk))
+        pad_rows = n_chunks * c_chunk - n_c
+        if pad_rows:
+            feats = jnp.concatenate(
+                [feats, jnp.full((pad_rows, feats.shape[1]), 1e9,
+                                 jnp.float32)])
+        cands3d = feats.reshape(n_chunks, c_chunk, -1)
+
+        # stage 3: fused per-chunk query features + 1-NN assignment
         src_tiles = split_into_tiles(state.frames_rgb[s:e + 1],
                                      state.tilemap_h, state.tilemap_w)
-        q_feats = np.empty((len(src_tiles), 192), np.float32)
-        qchunk = 65536
-        for lo in range(0, len(src_tiles), qchunk):
-            hi = min(len(src_tiles), lo + qchunk)
-            q_feats[lo:hi] = np.asarray(features.psyv_features_rgb(
-                src_tiles[lo:hi], gamma_value=_ft_gamma(cfg),
-                use_wavelets=cfg.use_wavelets))
-
-        best_idx, best_err = knn.nearest_1(q_feats, feats)
+        n_q = len(src_tiles)
+        best_idx = np.empty(n_q, np.int32)
+        best_err = np.empty(n_q, np.float32)
+        qchunk = 16384
+        for lo in range(0, n_q, qchunk):
+            hi = min(n_q, lo + qchunk)
+            qp = features.pad_pow2(hi - lo)
+            buf = np.zeros((qp, 8, 8, 3), np.uint8)
+            buf[:hi - lo] = src_tiles[lo:hi]
+            idx, err = _query_assign(jnp.asarray(buf), cands3d,
+                                     _ft_gamma(cfg), cfg.use_wavelets)
+            best_idx[lo:hi] = np.asarray(idx)[:hi - lo]
+            best_err[lo:hi] = np.asarray(err)[:hi - lo]
         shape = (e - s + 1, state.tilemap_h, state.tilemap_w)
         state.tm_tile[s:e + 1] = cand_tile[best_idx].reshape(shape)
         state.tm_pal[s:e + 1] = cand_pal[best_idx].reshape(shape)
