@@ -206,7 +206,7 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
 
     pals_d = jnp.asarray(group_pals)
     u = len(uniq)
-    plans = np.empty((u, 64), np.int32)
+    plan_parts = []
     for lo in range(0, u, chunk):
         hi = min(u, lo + chunk)
         cp = _pad_pow2(hi - lo)
@@ -214,11 +214,23 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
             jnp.asarray(_pad_rows(cols_u[lo:hi], cp)),
             jnp.asarray(_pad_rows(group_u[lo:hi], cp)),
             pals_d)
-        plans[lo:hi] = np.asarray(res)[:hi - lo]
+        plan_parts.append(res[:hi - lo].astype(jnp.uint8))
 
-    bayer = DITHERING_MAP.reshape(-1)
-    out = plans[inv, bayer[None, :]]  # [N,64]
-    return out.astype(np.uint8).reshape(n, TILE_W, TILE_W)
+    # Bayer-rank gather on device: ship pixel->unique indices up, get the
+    # final [N,64] u8 back — instead of fetching U*64 int32 plans (which
+    # dwarfs everything else at ~256B per unique color over the tunnel)
+    plans_dev = jnp.concatenate(plan_parts) if len(plan_parts) > 1 \
+        else plan_parts[0]
+    out = _bayer_gather(plans_dev, jnp.asarray(inv.astype(np.int32)))
+    return np.asarray(out).reshape(n, TILE_W, TILE_W)
+
+
+@jax.jit
+def _bayer_gather(plans_u8, inv):
+    """plans [U,64] u8, inv [N,64] i32 -> [N,64] u8 selecting each pixel's
+    Bayer rank from its unique plan."""
+    bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
+    return plans_u8[inv, bayer[None, :]]
 
 
 def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,
