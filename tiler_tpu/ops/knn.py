@@ -82,9 +82,18 @@ def _scan_topk(q, cands, k: int):
             jnp.take_along_axis(err, order, axis=1))
 
 
-def _device_chunks(candidates: np.ndarray, c_chunk: int):
+def _device_chunks(candidates, c_chunk: int):
+    """Reshape candidates to [n_chunks, BC, D]; device-resident inputs are
+    padded/reshaped on device (no round trip)."""
     n_c = len(candidates)
     n_chunks = max(1, -(-n_c // c_chunk))
+    if isinstance(candidates, jnp.ndarray):
+        pad = n_chunks * c_chunk - n_c
+        cp = candidates.astype(jnp.float32)
+        if pad:
+            cp = jnp.concatenate(
+                [cp, jnp.full((pad, candidates.shape[1]), 1e9, jnp.float32)])
+        return cp.reshape(n_chunks, c_chunk, candidates.shape[1])
     cp = _pad_rows(np.asarray(candidates, np.float32), n_chunks * c_chunk,
                    fill=1e9)
     return jnp.asarray(cp.reshape(n_chunks, c_chunk, candidates.shape[1]))

@@ -34,16 +34,24 @@ def _ft_gamma(cfg):
 
 
 def build_global_dataset(state: EncoderState):
-    """[4A, 64] float32 mirrored PalPixels + maps to (tile, attrs)."""
+    """[4A, 64] float32 mirrored PalPixels (device-resident; the u8 tiles
+    upload once and the 4 mirror variants are built on device) + maps to
+    (tile, attrs)."""
+    import jax
+    import jax.numpy as jnp
     act = np.flatnonzero(state.tile_active)
-    t = state.tiles_pal[act]  # [A,8,8]
-    variants = np.stack([
-        t,                    # attrs 0: no mirror
-        t[:, :, ::-1],        # attrs 1: H
-        t[:, ::-1, ::-1],     # attrs 3: HV
-        t[:, ::-1, :],        # attrs 2: V
-    ], axis=1)  # [A,4,8,8]
-    ds = variants.reshape(-1, TILE_W * TILE_W).astype(np.float32)
+
+    @jax.jit
+    def expand(t_u8):
+        variants = jnp.stack([
+            t_u8,                    # attrs 0: no mirror
+            t_u8[:, :, ::-1],        # attrs 1: H
+            t_u8[:, ::-1, ::-1],     # attrs 3: HV
+            t_u8[:, ::-1, :],        # attrs 2: V
+        ], axis=1)  # [A,4,8,8]
+        return variants.reshape(-1, TILE_W * TILE_W).astype(jnp.float32)
+
+    ds = expand(jnp.asarray(state.tiles_pal[act]))
     tile_of = np.repeat(act, 4)
     attrs_of = np.tile(_ATTR_ORDER, len(act))
     return ds, tile_of, attrs_of
