@@ -10,13 +10,17 @@ is marked Smoothed for skip encoding. The reference's backward copy
 (PrevTMI := TMI) overwrites the previous frame's cell INCLUDING its
 Smoothed flag — that quirk is preserved.
 
-TPU-first: the reference parallelizes over rows with a sequential frame
-chain; here the whole frame's cells are compared at once, and the chain
-over frames carries (fields, features) of the previous frame so each
-frame's features are computed exactly once.
+TPU-first: the whole keyframe runs as ONE device program — a batched
+feature pass over every frame's cells followed by a lax.scan over the
+frame chain carrying (fields, features) of the previous frame. Features
+never leave the device; only the final [F,cells] field arrays come back.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..constants import TILE_DCT_SIZE
@@ -26,94 +30,87 @@ from .state import EncoderState
 _SQRT_FACTOR = 1.0 / TILE_DCT_SIZE
 
 
-def _frame_features(state: EncoderState, k: int, tile, pal, hm, vm):
-    tp = state.tiles_pal[tile.ravel()]
-    pals = state.palettes_rgb[k, pal.ravel()]
-    out = np.asarray(features.psyv_features_pal(
+@functools.partial(jax.jit, static_argnames=('strength',))
+def _smooth_kf(feats, tile, pal, hm, vm, strength: float):
+    """One keyframe's smoothing chain.
+
+    feats [F,C,192] f32 (device), tile/pal [F,C] i32, hm/vm [F,C] bool.
+    Returns stm (tile, pal, h, v, smooth) each [F,C]."""
+
+    def step(carry, cur):
+        p_tile, p_pal, p_h, p_v, p_sm, p_feat = carry
+        c_feat, c_tile, c_pal, c_h, c_v = cur
+        rms = jnp.sqrt(jnp.sum((c_feat - p_feat) ** 2, axis=1)
+                       * _SQRT_FACTOR)
+        near = jnp.abs(rms) <= strength
+        fwd = near & (c_tile >= p_tile)
+        bwd = near & ~fwd
+        # forward: cur takes prev's fields/features
+        n_tile = jnp.where(fwd, p_tile, c_tile)
+        n_pal = jnp.where(fwd, p_pal, c_pal)
+        n_h = jnp.where(fwd, p_h, c_h)
+        n_v = jnp.where(fwd, p_v, c_v)
+        n_feat = jnp.where(fwd[:, None], p_feat, c_feat)
+        # backward: prev takes cur's fields, clearing its Smoothed flag
+        o_tile = jnp.where(bwd, c_tile, p_tile)
+        o_pal = jnp.where(bwd, c_pal, p_pal)
+        o_h = jnp.where(bwd, c_h, p_h)
+        o_v = jnp.where(bwd, c_v, p_v)
+        o_sm = jnp.where(bwd, False, p_sm)
+        out = (o_tile, o_pal, o_h, o_v, o_sm)
+        return (n_tile, n_pal, n_h, n_v, near, n_feat), out
+
+    init = (tile[0], pal[0], hm[0], vm[0],
+            jnp.zeros_like(tile[0], bool), feats[0])
+    xs = (feats[1:], tile[1:], pal[1:], hm[1:], vm[1:])
+    carry, outs = jax.lax.scan(step, init, xs)
+    # outputs are frames 0..F-2 finalized; the carry is frame F-1
+    stm_tile = jnp.concatenate([outs[0], carry[0][None]], axis=0)
+    stm_pal = jnp.concatenate([outs[1], carry[1][None]], axis=0)
+    stm_h = jnp.concatenate([outs[2], carry[2][None]], axis=0)
+    stm_v = jnp.concatenate([outs[3], carry[3][None]], axis=0)
+    stm_sm = jnp.concatenate([outs[4], carry[4][None]], axis=0)
+    return stm_tile, stm_pal, stm_h, stm_v, stm_sm
+
+
+def _kf_features(state: EncoderState, k: int):
+    s, e = state.keyframes[k]
+    tp = state.tiles_pal[state.tm_tile[s:e + 1].ravel()]
+    pals = state.palettes_rgb[k, state.tm_pal[s:e + 1].ravel()]
+    return features.psyv_features_pal(
         tp, pals, gamma_value=None, use_wavelets=False, q_weighting=True,
-        hmir=hm.ravel(), vmir=vm.ravel()))
-    return out.copy()  # np.asarray of a jax array is read-only
+        hmir=state.tm_h[s:e + 1].ravel(), vmir=state.tm_v[s:e + 1].ravel())
 
 
 def run_smooth(state: EncoderState) -> EncoderState:
     strength = state.config.smoothing_strength
-    f = state.n_frames
+    cells = state.tilemap_size
     state.stm_tile = state.tm_tile.copy()
     state.stm_pal = state.tm_pal.copy()
     state.stm_h = state.tm_h.copy()
     state.stm_v = state.tm_v.copy()
     state.stm_smooth = np.zeros_like(state.tm_tile, bool)
 
-    kf_of = state.kf_of_frame()
-    cells = state.tilemap_size
-
-    # features of every frame's (static) TileMap items, batched per
-    # keyframe: one device call per KF instead of per frame (bounded
-    # working set: a KF spans at most ~24 frames)
-    kf_feats: dict[int, np.ndarray] = {}
-
-    def base_feat(fr: int) -> np.ndarray:
-        k = int(kf_of[fr])
-        if k not in kf_feats:
-            kf_feats.clear()  # keep only the active keyframe resident
-            s, e = state.keyframes[k]
-            feats = _frame_features(
-                state, k,
-                state.tm_tile[s:e + 1], state.tm_pal[s:e + 1],
-                state.tm_h[s:e + 1], state.tm_v[s:e + 1])
-            kf_feats[k] = feats.reshape(e - s + 1, cells, 192)
-        s = int(state.keyframes[int(kf_of[fr])][0])
-        return kf_feats[int(kf_of[fr])][fr - s]
-
-    prev_feat = None
     smoothed_cells = 0
-    for fr in range(f):
-        k = int(kf_of[fr])
-        cur_tile = state.tm_tile[fr].ravel().copy()
-        cur_pal = state.tm_pal[fr].ravel().copy()
-        cur_h = state.tm_h[fr].ravel().copy()
-        cur_v = state.tm_v[fr].ravel().copy()
-        cur_sm = np.zeros_like(cur_tile, bool)
-        cur_feat = base_feat(fr).copy()
-
-        if fr > 0 and kf_of[fr - 1] == k:
-            pt = state.stm_tile[fr - 1].ravel()
-            rms = np.sqrt(((cur_feat - prev_feat) ** 2).sum(1)
-                          * _SQRT_FACTOR)
-            near = np.abs(rms) <= strength
-            fwd = near & (cur_tile >= pt)     # copy prev -> cur
-            bwd = near & ~fwd                  # copy cur -> prev (backward)
-
-            sh = state.tm_tile[fr].shape
-            # forward: cur takes prev's fields and features
-            for cur_a, prev_a in ((cur_tile, pt),
-                                  (cur_pal, state.stm_pal[fr - 1].ravel()),
-                                  (cur_h, state.stm_h[fr - 1].ravel()),
-                                  (cur_v, state.stm_v[fr - 1].ravel())):
-                cur_a[fwd] = prev_a[fwd]
-            cur_feat[fwd] = prev_feat[fwd]
-            # backward: prev takes cur's fields, clearing its Smoothed flag
-            if bwd.any():
-                for prev_name, cur_a in (('stm_tile', cur_tile),
-                                         ('stm_pal', cur_pal),
-                                         ('stm_h', cur_h),
-                                         ('stm_v', cur_v)):
-                    arr = getattr(state, prev_name)[fr - 1].ravel()
-                    arr[bwd] = cur_a[bwd]
-                    getattr(state, prev_name)[fr - 1] = arr.reshape(sh)
-                psm = state.stm_smooth[fr - 1].ravel()
-                psm[bwd] = False
-                state.stm_smooth[fr - 1] = psm.reshape(sh)
-            cur_sm = near
-            smoothed_cells += int(near.sum())
-
-        sh = state.tm_tile[fr].shape
-        state.stm_tile[fr] = cur_tile.reshape(sh)
-        state.stm_pal[fr] = cur_pal.reshape(sh)
-        state.stm_h[fr] = cur_h.reshape(sh)
-        state.stm_v[fr] = cur_v.reshape(sh)
-        state.stm_smooth[fr] = cur_sm.reshape(sh)
-        prev_feat = cur_feat
+    for k, (s, e) in enumerate(state.keyframes):
+        n_f = e - s + 1
+        if n_f < 2:
+            continue
+        feats = _kf_features(state, k).reshape(n_f, cells, TILE_DCT_SIZE)
+        sh = state.tm_tile[s:e + 1].shape
+        stm = _smooth_kf(
+            feats,
+            jnp.asarray(state.tm_tile[s:e + 1].reshape(n_f, cells)),
+            jnp.asarray(state.tm_pal[s:e + 1].reshape(n_f, cells)),
+            jnp.asarray(state.tm_h[s:e + 1].reshape(n_f, cells)),
+            jnp.asarray(state.tm_v[s:e + 1].reshape(n_f, cells)),
+            float(strength))
+        state.stm_tile[s:e + 1] = np.asarray(stm[0]).reshape(sh)
+        state.stm_pal[s:e + 1] = np.asarray(stm[1]).reshape(sh)
+        state.stm_h[s:e + 1] = np.asarray(stm[2]).reshape(sh)
+        state.stm_v[s:e + 1] = np.asarray(stm[3]).reshape(sh)
+        state.stm_smooth[s:e + 1] = np.asarray(stm[4]).reshape(sh)
+        smoothed_cells += int(np.asarray(stm[4]).sum())
 
     state.metrics['smoothed_cells'] = smoothed_cells
     return state
