@@ -176,6 +176,54 @@ def _knoll_plans_grouped(cols_u8, group_idx, group_pals_u8):
     return _knoll_plans(cols_u8.astype(jnp.int32), pal, luma)
 
 
+@jax.jit
+def _dedup_keys(tiles_u8, pal_group):
+    """Pack (group<<24 | b<<16 | g<<8 | r) uint32 pixel keys and sort them.
+
+    Returns (keys [N*64] u32 per pixel, sorted keys, unique count)."""
+    t = tiles_u8.astype(jnp.uint32)
+    n = t.shape[0]
+    keys = (t[..., 0] | (t[..., 1] << 8) | (t[..., 2] << 16)).reshape(n, 64)
+    keys = keys | (pal_group.astype(jnp.uint32)[:, None] << 24)
+    flat = keys.reshape(-1)
+    skeys = jnp.sort(flat)
+    newgrp = jnp.concatenate(
+        [jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+    return keys, skeys, jnp.sum(newgrp.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('u_cap',))
+def _compact_unique(skeys, u_cap: int):
+    """Sorted keys -> [u_cap] u32 unique keys (padded with 0xFFFFFFFF)."""
+    newgrp = jnp.concatenate(
+        [jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+    pos = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    idx = jnp.where(newgrp, pos, u_cap)  # dropped when == u_cap
+    out = jnp.full(u_cap, jnp.uint32(0xFFFFFFFF))
+    return out.at[idx].set(skeys, mode='drop')
+
+
+@jax.jit
+def _plans_from_keys(uniq_chunk, group_pals_u8):
+    """Unique u32 keys -> sorted Knoll plans [chunk, 64] u8, on device."""
+    cols = jnp.stack([uniq_chunk & 0xff, (uniq_chunk >> 8) & 0xff,
+                      (uniq_chunk >> 16) & 0xff], 1).astype(jnp.int32)
+    grp = (uniq_chunk >> 24).astype(jnp.int32)
+    g = jnp.minimum(grp, group_pals_u8.shape[0] - 1)  # sentinel rows clamp
+    pal = group_pals_u8[g].astype(jnp.int32)
+    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
+    return _knoll_plans(cols, pal, luma).astype(jnp.uint8)
+
+
+@jax.jit
+def _assign_plans(plans_u8, uniq, keys):
+    """Per-pixel Bayer-rank plan lookup: searchsorted into the unique keys
+    then gather — all on device; only [N,64] u8 returns to host."""
+    inv = jnp.searchsorted(uniq, keys.reshape(-1)).reshape(keys.shape)
+    bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
+    return plans_u8[inv, bayer[None, :]]
+
+
 def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
                               chunk: int = 262144):
     """Knoll dithering with plan deduplication — the TPU equivalent of the
@@ -183,54 +231,36 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
 
     Plans depend only on (palette, color); natural video repeats colors
     heavily, so plans are computed once per unique (pal_group, color) pair
-    and gathered per pixel at its Bayer rank.
+    and gathered per pixel at its Bayer rank. The dedup (pack, sort,
+    compaction, inverse lookup) runs entirely on device — only the tiles
+    (u8) and group ids go up, and the final [N,8,8] u8 comes back.
 
-    group_pals: [G,S,3] uint8 distinct palettes; pal_group: [N] int ids
-    into group_pals per tile.
+    group_pals: [G,S,3] uint8 distinct palettes, G <= 256;
+    pal_group: [N] int ids into group_pals per tile.
     """
     tiles_rgb = np.asarray(tiles_rgb)
     group_pals = np.asarray(group_pals, np.uint8)
     n = tiles_rgb.shape[0]
     if n == 0:
         return np.zeros((0, TILE_W, TILE_W), np.uint8)
-    packed = (tiles_rgb[..., 0].astype(np.int64)
-              | (tiles_rgb[..., 1].astype(np.int64) << 8)
-              | (tiles_rgb[..., 2].astype(np.int64) << 16)).reshape(n, 64)
-    keys = packed | (np.asarray(pal_group, np.int64)[:, None] << 24)
-    uniq, inv = np.unique(keys, return_inverse=True)
-    inv = inv.reshape(n, 64)
+    assert group_pals.shape[0] <= 256, 'pal_group must fit 8 bits'
 
-    cols_u = np.stack([uniq & 0xff, (uniq >> 8) & 0xff,
-                       (uniq >> 16) & 0xff], 1).astype(np.uint8)
-    group_u = (uniq >> 24).astype(np.int32)
+    tiles_d = jnp.asarray(tiles_rgb)
+    group_d = jnp.asarray(np.asarray(pal_group, np.int32))
+    keys, skeys, count = _dedup_keys(tiles_d, group_d)
+    u = int(count)  # one scalar sync
+    u_cap = _pad_pow2(u, minimum=256)
+    uniq = _compact_unique(skeys, u_cap)
 
     pals_d = jnp.asarray(group_pals)
-    u = len(uniq)
     plan_parts = []
-    for lo in range(0, u, chunk):
-        hi = min(u, lo + chunk)
-        cp = _pad_pow2(hi - lo)
-        res = _knoll_plans_grouped(
-            jnp.asarray(_pad_rows(cols_u[lo:hi], cp)),
-            jnp.asarray(_pad_rows(group_u[lo:hi], cp)),
-            pals_d)
-        plan_parts.append(res[:hi - lo].astype(jnp.uint8))
-
-    # Bayer-rank gather on device: ship pixel->unique indices up, get the
-    # final [N,64] u8 back — instead of fetching U*64 int32 plans (which
-    # dwarfs everything else at ~256B per unique color over the tunnel)
+    for lo in range(0, u_cap, chunk):
+        hi = min(u_cap, lo + chunk)
+        plan_parts.append(_plans_from_keys(uniq[lo:hi], pals_d))
     plans_dev = jnp.concatenate(plan_parts) if len(plan_parts) > 1 \
         else plan_parts[0]
-    out = _bayer_gather(plans_dev, jnp.asarray(inv.astype(np.int32)))
+    out = _assign_plans(plans_dev, uniq, keys)
     return np.asarray(out).reshape(n, TILE_W, TILE_W)
-
-
-@jax.jit
-def _bayer_gather(plans_u8, inv):
-    """plans [U,64] u8, inv [N,64] i32 -> [N,64] u8 selecting each pixel's
-    Bayer rank from its unique plan."""
-    bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
-    return plans_u8[inv, bayer[None, :]]
 
 
 def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,

@@ -151,12 +151,16 @@ def run_dither(state: EncoderState) -> EncoderState:
     dpi = np.maximum(state.tile_dpi[act], 0)
     pals = state.palettes_rgb[tile_kf[act], dpi]  # [M,S,3]
     if cfg.use_thomas_knoll:
-        pal_group = (tile_kf[act].astype(np.int64) * cfg.palette_count
-                     + dpi)
-        group_table = state.palettes_rgb.reshape(
-            -1, cfg.tile_palette_size, 3)
-        dithered = dither.knoll_dither_tiles_cached(
-            state.tiles_rgb[act], group_table, pal_group)
+        # per keyframe so palette-group ids fit the 8-bit key field
+        dithered = np.empty((len(act), 8, 8), np.uint8)
+        act_kf = tile_kf[act]
+        for k in range(len(state.keyframes)):
+            rows = np.flatnonzero(act_kf == k)
+            if rows.size == 0:
+                continue
+            dithered[rows] = dither.knoll_dither_tiles_cached(
+                state.tiles_rgb[act[rows]], state.palettes_rgb[k],
+                dpi[rows])
     else:
         dithered = dither.yliluoma_dither_tiles(
             state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)
