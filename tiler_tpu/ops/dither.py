@@ -238,15 +238,17 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     group_pals: [G,S,3] uint8 distinct palettes, G <= 256;
     pal_group: [N] int ids into group_pals per tile.
     """
-    tiles_rgb = np.asarray(tiles_rgb)
     group_pals = np.asarray(group_pals, np.uint8)
     n = tiles_rgb.shape[0]
     if n == 0:
         return np.zeros((0, TILE_W, TILE_W), np.uint8)
     assert group_pals.shape[0] <= 256, 'pal_group must fit 8 bits'
 
-    tiles_d = jnp.asarray(tiles_rgb)
-    group_d = jnp.asarray(np.asarray(pal_group, np.int32))
+    # device-resident tiles pass through untouched (no round trip)
+    tiles_d = tiles_rgb if isinstance(tiles_rgb, jnp.ndarray) \
+        else jnp.asarray(np.asarray(tiles_rgb))
+    group_d = pal_group if isinstance(pal_group, jnp.ndarray) \
+        else jnp.asarray(np.asarray(pal_group, np.int32))
     keys, skeys, count = _dedup_keys(tiles_d, group_d)
     u = int(count)  # one scalar sync
     u_cap = _pad_pow2(u, minimum=256)

@@ -30,15 +30,32 @@ def _dithering_gamma(cfg):
 
 def prepare_dither_keyframe(state: EncoderState, k: int) -> None:
     """PsyV(LAB) features of every referenced tile + k-means clustering into
-    palette_count groups (PrepareDitherTiles)."""
+    palette_count groups (PrepareDitherTiles). The tile gather and feature
+    transform run on device against the cached tile tensor; only the cell
+    index vector goes up."""
+    import functools
+    import jax
+    import jax.numpy as jnp
     cfg = state.config
     s, e = state.keyframes[k]
     cell_tiles = state.tm_tile[s:e + 1].ravel()
-    tiles = state.tiles_rgb[cell_tiles]
     if len(cell_tiles) > 1 and cfg.palette_count > 1:
-        feats = features.psyv_features_rgb(
-            tiles, gamma_value=_dithering_gamma(cfg), use_lab=True,
-            use_wavelets=cfg.use_wavelets)
+
+        @functools.partial(jax.jit,
+                           static_argnames=('gamma_value', 'use_lab',
+                                            'use_wavelets'))
+        def gather_feats(tiles_all, idx, gamma_value, use_lab,
+                         use_wavelets):
+            return features.psyv_features_rgb(
+                tiles_all[idx], gamma_value=gamma_value, use_lab=use_lab,
+                use_wavelets=use_wavelets)
+
+        n_pad = features.pad_pow2(len(cell_tiles))
+        idx = np.zeros(n_pad, np.int32)
+        idx[:len(cell_tiles)] = cell_tiles
+        feats = gather_feats(state.device_tiles_rgb(), jnp.asarray(idx),
+                             _dithering_gamma(cfg), True,
+                             cfg.use_wavelets)[:len(cell_tiles)]
         labels, cents, _ = kmeans(feats, cfg.palette_count)
         labels = np.asarray(labels)
         state.palette_centroids[k] = np.asarray(cents)
@@ -151,16 +168,20 @@ def run_dither(state: EncoderState) -> EncoderState:
     dpi = np.maximum(state.tile_dpi[act], 0)
     pals = state.palettes_rgb[tile_kf[act], dpi]  # [M,S,3]
     if cfg.use_thomas_knoll:
-        # per keyframe so palette-group ids fit the 8-bit key field
+        # per keyframe so palette-group ids fit the 8-bit key field; tiles
+        # gather on device from the cached tile tensor
+        import jax.numpy as jnp
         dithered = np.empty((len(act), 8, 8), np.uint8)
         act_kf = tile_kf[act]
+        tiles_dev = state.device_tiles_rgb()
         for k in range(len(state.keyframes)):
             rows = np.flatnonzero(act_kf == k)
             if rows.size == 0:
                 continue
+            sel = tiles_dev[jnp.asarray(act[rows].astype(np.int32))]
             dithered[rows] = dither.knoll_dither_tiles_cached(
-                state.tiles_rgb[act[rows]], state.palettes_rgb[k],
-                dpi[rows])
+                sel, state.palettes_rgb[k],
+                jnp.asarray(dpi[rows].astype(np.int32)))
     else:
         dithered = dither.yliluoma_dither_tiles(
             state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)

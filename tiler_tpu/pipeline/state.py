@@ -65,6 +65,18 @@ class EncoderState:
 
     step_times: dict = dataclasses.field(default_factory=dict)
     metrics: dict = dataclasses.field(default_factory=dict)
+    _dev_cache: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def device_tiles_rgb(self):
+        """tiles_rgb resident on device, uploaded once per array identity
+        (the tunnel's H2D bandwidth makes repeated uploads the dominant
+        cost of the dither phase)."""
+        import jax.numpy as jnp
+        key = ('tiles_rgb', id(self.tiles_rgb))
+        if self._dev_cache.get('key') != key:
+            self._dev_cache = {'key': key,
+                               'arr': jnp.asarray(self.tiles_rgb)}
+        return self._dev_cache['arr']
 
     @property
     def n_frames(self) -> int:
