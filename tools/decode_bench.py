@@ -1,0 +1,45 @@
+"""Decode throughput benchmark on the demo streams (the BASELINE.json
+"GTM decode frames/s" metric).
+
+Usage: python tools/decode_bench.py [path.gtm]
+Prints one JSON line with fps for the native-parse + numpy-blit path and
+the JAX scatter-render path.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, '.')
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else \
+        '/root/reference/docs/demo/city_cif.gtm'
+    data = open(path, 'rb').read()
+
+    from tiler_tpu.decode import decode_video, decode_video_jax
+    # warm
+    frames, stream = decode_video(data)
+    t0 = time.perf_counter()
+    frames, stream = decode_video(data)
+    t_np = time.perf_counter() - t0
+
+    result = {
+        'metric': 'decode_fps',
+        'stream': path.rsplit('/', 1)[-1],
+        'frames': len(frames),
+        'numpy_fps': round(len(frames) / t_np, 2),
+    }
+    try:
+        decode_video_jax(data)  # warm
+        t0 = time.perf_counter()
+        jx = decode_video_jax(data)
+        t_jx = time.perf_counter() - t0
+        result['jax_fps'] = round(len(jx) / t_jx, 2)
+    except Exception as e:  # noqa: BLE001
+        result['jax_error'] = str(e)[:120]
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
