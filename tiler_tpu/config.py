@@ -41,6 +41,7 @@ class EncoderConfig:
     # palette quantization (chkUseDL3, cbxDLBPC, sePalVAR)
     use_dl3: bool = True
     dl3_bpc: int = 7
+    dl3_bin_cap: int = 4096  # exact DL3 below this many distinct bins
     pal_var: float = 0.95
 
     # psychovisual features (chkUseWL)

@@ -87,7 +87,7 @@ def quantize_keyframe_palettes(state: EncoderState, k: int) -> np.ndarray:
             # feed the tile pixels directly.
             px = state.tiles_rgb[sel].reshape(-1, 3)
             pal16 = palette.dl3_palette(px, cfg.tile_palette_size,
-                                        cfg.dl3_bpc)
+                                        cfg.dl3_bpc, cfg.dl3_bin_cap)
             entries = palette.rgb_to_packed(pal16)
         else:
             px = state.tiles_rgb[sel].reshape(-1, 3)
