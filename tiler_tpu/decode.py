@@ -12,12 +12,10 @@ loops (gtm.player.js:182-251). A jitted JAX variant renders on TPU.
 from __future__ import annotations
 
 import dataclasses
-import struct
 
 import numpy as np
 
-from .bitstream.gtm import (ATTR_BITS, CMD_BITS, GTMCommand, ParsedGTM,
-                            parse_gtm)
+from .bitstream.gtm import CMD_BITS, GTMCommand, ParsedGTM, parse_gtm
 
 TILE_W = 8
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import DISSIM_SUB_MATCHING_BITS, KMODES_FEATURE_COUNT
+from ..constants import DISSIM_SUB_MATCHING_BITS
 
 _BIG = jnp.int32(2**30)
 

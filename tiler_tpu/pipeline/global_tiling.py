@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream.gtm import read_gts, write_gts
-from ..constants import (KMODES_FEATURE_COUNT, KMODES_ZONE_COUNT, TILE_W,
+from ..constants import (KMODES_ZONE_COUNT, TILE_W,
                          equal_quality_tile_count)
 from ..ops.kmodes import kmodes, min_dissim_index_last
 from .reindex import run_reindex
