@@ -93,3 +93,22 @@ def test_gop_sharded_encode_decodes(rng):
     assert dec.shape == frames.shape
     assert len(stream.frames) == f
     assert float(psnr(dec, frames)) > 18.0
+
+
+@pytest.mark.parametrize('n_dev', [1, 2, 8])
+def test_sharded_kmodes_matches_single_device(rng, n_dev):
+    """N-device distributed KModes (psum'd category counts) must equal the
+    single-device solver BIT-FOR-BIT — the SURVEY §5.8(b) shard-invariance
+    guarantee that makes N-host global tilesets identical to 1-host."""
+    from jax.sharding import Mesh
+    from tiler_tpu.ops.kmodes import kmodes
+
+    x = rng.integers(0, 16, (403, 80)).astype(np.uint8)
+    x[:, 64:] = x[:, 64:] & 1
+    k, start = 23, 7
+    want_labels, want_cents = kmodes(x, k, start, n_modalities=16)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ('km',))
+    got_labels, got_cents = sharded_ops.sharded_kmodes(
+        mesh, x, k, start, n_modalities=16)
+    np.testing.assert_array_equal(got_labels, want_labels)
+    np.testing.assert_array_equal(got_cents, want_cents)

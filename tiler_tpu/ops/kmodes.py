@@ -33,6 +33,39 @@ from ..constants import DISSIM_SUB_MATCHING_BITS
 _BIG = jnp.int32(2**30)
 
 
+def _cost_triple(per_point_dissim):
+    """Exact total dissimilarity as a mixed-radix (hi, mid, lo) int32 triple.
+
+    Per-point dissims are < 2^18 (80<<11 + 80*255), so float accumulation
+    would round for large bins; summing the three 6-bit digit planes
+    separately keeps every partial sum exact in int32 up to n = 2^24
+    points, and the normalized triple compares lexicographically. This is
+    also what makes the cost SHARD-INVARIANT: int32 psums of digit sums
+    are exact regardless of reduction order (parallel.sharded_ops relies
+    on this for N-device == 1-device convergence decisions)."""
+    d = per_point_dissim.astype(jnp.int32)
+    a = jnp.sum(d & 63)
+    b = jnp.sum((d >> 6) & 63)
+    c = jnp.sum(d >> 12)
+    return _normalize_cost_triple((c, b, a))
+
+
+def _normalize_cost_triple(t):
+    c, b, a = t
+    b = b + (a >> 6)
+    a = a & 63
+    c = c + (b >> 6)
+    b = b & 63
+    return c, b, a
+
+
+def _cost_less(x, y):
+    """Lexicographic x < y over normalized cost triples."""
+    cx, bx, ax = x
+    cy, by, ay = y
+    return (cx < cy) | ((cx == cy) & ((bx < by) | ((bx == by) & (ax < ay))))
+
+
 def dissim_matrix(x, c):
     """[n,A] uint8 points vs [k,A] uint8 centroids -> [n,k] int32
     (Hamming<<11 + L1, kmodes.pas:239-250). Broadcast form — fine for
@@ -119,9 +152,7 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
     def assign(cents):
         d = _masked_dissim(x, cents, valid_k, n_modalities)
         lab = jnp.argmin(d, axis=1).astype(jnp.int32)
-        # float32 accumulation: int32 would overflow for ~100k-point bins
-        cost = jnp.sum(jnp.where(valid_n, jnp.min(d, axis=1),
-                                 0).astype(jnp.float32))
+        cost = _cost_triple(jnp.where(valid_n, jnp.min(d, axis=1), 0))
         return lab, cost
 
     def update(cents, labels):
@@ -151,7 +182,7 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
 
     def cond(carry):
         _, _, _, prev_cost, cost, moves, it = carry
-        improved = jnp.logical_and(cost < prev_cost, moves > 0)
+        improved = jnp.logical_and(_cost_less(cost, prev_cost), moves > 0)
         return jnp.logical_and(improved, it < max_iters)
 
     def body(carry):
@@ -161,7 +192,8 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
         moves = jnp.sum(jnp.where(valid_n, new_labels != labels, False))
         return (cents, new_labels, labels, cost, new_cost, moves, it + 1)
 
-    init = (cents, labels, labels, jnp.float32(jnp.inf),
+    inf_cost = (jnp.int32(2**30), jnp.int32(63), jnp.int32(63))
+    init = (cents, labels, labels, inf_cost,
             cost, jnp.int32(1), jnp.int32(0))
     cents, labels, _, _, cost, _, it = jax.lax.while_loop(cond, body, init)
     cents = update(cents, labels)

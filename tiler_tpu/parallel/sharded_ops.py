@@ -112,6 +112,167 @@ def sharded_kmeans(mesh: Mesh, feats: np.ndarray, k: int,
     return np.asarray(labels)[:n], np.asarray(cents)
 
 
+def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
+                   n_modalities: int, max_iters: int = 100):
+    """Distributed KModes: points sharded across every device of the mesh,
+    per-(cluster, attribute) category counts allreduced with psum each
+    iteration — the SURVEY §5.8(b) centroid allreduce, applied to the
+    GlobalTiling clusterer (reference: single-host thread pool,
+    kmodes.pas:845-915).
+
+    BIT-IDENTICAL to the single-device solver (ops.kmodes.kmodes) for any
+    power-of-two device count:
+      - farthest-first init (kmodes.pas:698-776) runs as a cross-shard
+        first-argmax (contiguous shards + first-local-argmax == global
+        jnp.argmax tie-break) with the winning row broadcast by psum;
+      - category counts are exact small integers, so the f32 psum is
+        reduction-order-independent;
+      - the convergence cost is the exact mixed-radix int32 triple from
+        ops.kmodes._cost_triple (digit sums psum exactly).
+
+    Returns (labels [n] int32, centroids [k, A] uint8).
+    """
+    from ..ops.kmodes import (_cost_less, _masked_dissim,
+                              _normalize_cost_triple, _next_pow2)
+    from ..constants import DISSIM_SUB_MATCHING_BITS
+
+    devices = mesh.devices.reshape(-1)
+    n_dev = devices.size
+    assert n_dev & (n_dev - 1) == 0, 'device count must be a power of two'
+    flat_mesh = Mesh(devices, ('km',))
+    ax = 'km'
+
+    n, a = x.shape
+    assert 0 < k <= n
+    n_pad = _next_pow2(max(n, 8, n_dev))
+    k_pad = _next_pow2(max(k, 2))
+    xp = np.zeros((n_pad, a), np.uint8)
+    xp[:n] = x
+    valid_n = np.zeros(n_pad, bool)
+    valid_n[:n] = True
+    valid_k = np.zeros(k_pad, bool)
+    valid_k[:k] = True
+    n_loc = n_pad // n_dev
+
+    def solver(x_loc, v_loc, valid_k, start_point):
+        my = jax.lax.axis_index(ax)
+        xi = x_loc.astype(jnp.int32)
+        w = v_loc.astype(jnp.float32)
+        base = my * n_loc
+        local_pos = jnp.arange(n_loc)
+
+        def dis_to(p):
+            ham = jnp.sum((xi != p[None, :]).astype(jnp.int32), axis=1)
+            l1 = jnp.sum(jnp.abs(xi - p[None, :]), axis=1)
+            return (ham << DISSIM_SUB_MATCHING_BITS) + l1
+
+        def fetch_row(g):
+            """x row at GLOBAL index g, replicated (psum broadcast)."""
+            local = jnp.clip(g - base, 0, n_loc - 1)
+            owner = (g >= base) & (g < base + n_loc)
+            row = jnp.where(owner, xi[local], 0)
+            return jax.lax.psum(row, ax)
+
+        def global_first_argmax(val_loc):
+            """(max value, global index of its FIRST occurrence) — matches
+            jnp.argmax over the concatenated array because shards are
+            contiguous and ordered."""
+            li = jnp.argmax(val_loc)
+            vals = jax.lax.all_gather(val_loc[li], ax)         # [D]
+            gidx = jax.lax.all_gather(base + li, ax)           # [D]
+            best = jnp.argmax(vals)
+            return vals[best], gidx[best]
+
+        def mask_global_idx(mind, g):
+            local = g - base
+            return jnp.where(local_pos == local, -1, mind)
+
+        # farthest-first init (global argmax each step)
+        start_row = fetch_row(start_point)
+        cents = jnp.zeros((k_pad, a), jnp.int32)
+        cents = cents.at[0].set(start_row)
+        mind = jnp.where(v_loc, dis_to(start_row), -1)
+        mind = mask_global_idx(mind, start_point)
+
+        def ff_body(i, carry):
+            cents, mind = carry
+            _, g = global_first_argmax(mind)
+            row = fetch_row(g)
+            cents = cents.at[i].set(row)
+            mind = jnp.where(v_loc, jnp.minimum(mind, dis_to(row)), -1)
+            mind = mask_global_idx(mind, g)
+            return cents, mind
+
+        cents, _ = jax.lax.fori_loop(1, k_pad, ff_body, (cents, mind))
+        cents = cents.astype(jnp.uint8)
+
+        def assign(cents):
+            d = _masked_dissim(x_loc, cents, valid_k, n_modalities)
+            lab = jnp.argmin(d, axis=1).astype(jnp.int32)
+            md = jnp.where(v_loc, jnp.min(d, axis=1), 0).astype(jnp.int32)
+            digits = (jax.lax.psum(jnp.sum(md >> 12), ax),
+                      jax.lax.psum(jnp.sum((md >> 6) & 63), ax),
+                      jax.lax.psum(jnp.sum(md & 63), ax))
+            return lab, _normalize_cost_triple(digits)
+
+        def update(cents, labels):
+            ids = ((labels[:, None] * a + jnp.arange(a)[None, :])
+                   * n_modalities + x_loc.astype(jnp.int32))
+            weights = jnp.broadcast_to(w[:, None], (n_loc, a)).ravel()
+            counts = jax.lax.psum(
+                jax.ops.segment_sum(weights, ids.ravel(),
+                                    num_segments=k_pad * a * n_modalities),
+                ax).reshape(k_pad, a, n_modalities)
+            new_c = jnp.argmax(counts, axis=-1).astype(jnp.uint8)
+            members = jax.lax.psum(
+                jax.ops.segment_sum(w, labels, num_segments=k_pad), ax)
+            empty = (members == 0) & valid_k
+            d_own = jnp.sum(
+                jnp.abs(x_loc.astype(jnp.int32) -
+                        jnp.take(new_c, labels, axis=0).astype(jnp.int32)),
+                axis=1)
+            d_own = jnp.where(v_loc, d_own, -1)
+            _, g = global_first_argmax(d_own)
+            worst_row = fetch_row(g).astype(jnp.uint8)
+            new_c = jnp.where(empty[:, None], worst_row[None, :], new_c)
+            return new_c
+
+        labels, cost = assign(cents)
+
+        def cond(carry):
+            _, _, prev_cost, cost, moves, it = carry
+            improved = jnp.logical_and(_cost_less(cost, prev_cost),
+                                       moves > 0)
+            return jnp.logical_and(improved, it < max_iters)
+
+        def body(carry):
+            cents, labels, _, cost, _, it = carry
+            cents = update(cents, labels)
+            new_labels, new_cost = assign(cents)
+            moves = jax.lax.psum(
+                jnp.sum(jnp.where(v_loc, new_labels != labels,
+                                  False).astype(jnp.int32)), ax)
+            return (cents, new_labels, cost, new_cost, moves, it + 1)
+
+        inf_cost = (jnp.int32(2**30), jnp.int32(63), jnp.int32(63))
+        init = (cents, labels, inf_cost, cost, jnp.int32(1), jnp.int32(0))
+        cents, labels, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
+        cents = update(cents, labels)
+        labels, cost = assign(cents)
+        return labels, cents
+
+    data_sh = NamedSharding(flat_mesh, P(ax))
+    fn = jax.jit(jax.shard_map(
+        solver, mesh=flat_mesh,
+        in_specs=(P(ax), P(ax), P(None), P()),
+        out_specs=(P(ax), P(None, None)),
+        check_vma=False))
+    labels, cents = fn(jax.device_put(xp, data_sh),
+                       jax.device_put(valid_n, data_sh),
+                       jnp.asarray(valid_k), jnp.int32(start_point))
+    return np.asarray(labels)[:n], np.asarray(cents)[:k]
+
+
 def sharded_nearest_1(mesh: Mesh, queries: np.ndarray,
                       candidates: np.ndarray, c_chunk: int = 8192):
     """Queries sharded across devices, candidates replicated; exact 1-NN."""
