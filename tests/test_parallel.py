@@ -112,3 +112,53 @@ def test_sharded_kmodes_matches_single_device(rng, n_dev):
         mesh, x, k, start, n_modalities=16)
     np.testing.assert_array_equal(got_labels, want_labels)
     np.testing.assert_array_equal(got_cents, want_cents)
+
+
+def _multi_scene_clip(rng, scenes=3, frames_per=5, h=64, w=80):
+    """Clip with hard cuts so keyframe detection yields multiple GOPs."""
+    out = []
+    for s in range(scenes):
+        base = np.zeros((h, w, 3), np.float64)
+        base[..., s % 3] = 200
+        base += np.linspace(0, 55, w)[None, :, None] * ((-1) ** s)
+        blob = rng.integers(0, 60, (h, w, 3))
+        for f in range(frames_per):
+            fr = base + np.roll(blob, f * 3, axis=1)
+            out.append(np.clip(fr, 0, 255).astype(np.uint8))
+    return np.stack(out)
+
+
+def test_exact_gop_sharded_matches_single_host(rng):
+    """SURVEY §4(d): an N-host GOP-sharded encode with the cross-host
+    tileset collectives produces the BYTE-IDENTICAL stream of the 1-host
+    encoder."""
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.parallel.gop_exact import encode_gop_sharded_exact
+
+    frames = _multi_scene_clip(rng)
+    enc = Encoder(EncoderConfig(palette_count=8, max_tiles=300))
+    want = enc.run_all(frames, fps=24.0, fast_lzma=True)
+    assert len(enc.state.keyframes) >= 3, 'clip must split into >=3 GOPs'
+
+    for n_hosts in (1, 2, 3):
+        got = encode_gop_sharded_exact(
+            frames, EncoderConfig(palette_count=8, max_tiles=300),
+            n_hosts=n_hosts, fps=24.0, fast_lzma=True)
+        assert got == want, f'{n_hosts}-host stream differs from 1-host'
+
+
+def test_exact_gop_sharded_with_device_sharded_kmodes(rng, mesh8):
+    """Full distributed stack: GOPs across hosts x KModes across the
+    8-device mesh (psum'd category counts) — still byte-identical."""
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.parallel.gop_exact import encode_gop_sharded_exact
+
+    frames = _multi_scene_clip(rng, scenes=2, frames_per=4)
+    enc = Encoder(EncoderConfig(palette_count=8, max_tiles=200))
+    want = enc.run_all(frames, fps=24.0, fast_lzma=True)
+    got = encode_gop_sharded_exact(
+        frames, EncoderConfig(palette_count=8, max_tiles=200),
+        n_hosts=2, fps=24.0, fast_lzma=True, kmodes_mesh=mesh8)
+    assert got == want

@@ -18,7 +18,7 @@ import numpy as np
 from ..bitstream.gtm import read_gts, write_gts
 from ..constants import (KMODES_ZONE_COUNT, TILE_W,
                          equal_quality_tile_count)
-from ..ops.kmodes import kmodes, min_dissim_index_last
+from ..ops.kmodes import min_dissim_index_last
 from .reindex import run_reindex
 from .state import EncoderState
 from .unique import run_make_unique
@@ -38,22 +38,19 @@ def tile_signatures(tiles_pal: np.ndarray, tile_palette_size: int
                           axis=1).astype(np.uint8)
 
 
-def run_global_tiling(state: EncoderState,
-                      desired_tiles: int | None = None,
-                      gts_out: str | None = None) -> EncoderState:
-    cfg = state.config
-    if cfg.reload_tileset:
-        return run_reload_tiling(state, cfg.reload_tileset)
+def compute_global_tiling_fwd(tiles_pal: np.ndarray, tile_active: np.ndarray,
+                              tile_use: np.ndarray, tile_dpi: np.ndarray,
+                              cfg, desired_tiles: int, mesh=None):
+    """Pure tileset-level KModes reduction over the GLOBAL tile arrays.
 
-    if desired_tiles is None:
-        raw = state.n_frames * state.tilemap_size
-        budget = cfg.max_tiles if cfg.max_tiles > 0 else \
-            round(cfg.qb_tiles * equal_quality_tile_count(raw))
-        desired_tiles = min(budget, raw)
-
-    act = np.flatnonzero(state.tile_active)
-    sigs = tile_signatures(state.tiles_pal[act], cfg.tile_palette_size)
-    dpi = state.tile_dpi[act]
+    Returns (fwd, new_use, new_active, merges). Deterministic, so every
+    host of a multi-host encode computes the identical map from the
+    allgathered tileset (parallel.gop_exact); when `mesh` is given the
+    per-bin solves run through the distributed solver
+    (parallel.sharded_ops.sharded_kmodes — bit-identical by test)."""
+    act = np.flatnonzero(tile_active)
+    sigs = tile_signatures(tiles_pal[act], cfg.tile_palette_size)
+    dpi = tile_dpi[act]
 
     # bin by DitheringPalIndex; budget share ~ EqualQualityTileCount
     bin_sizes = np.bincount(np.maximum(dpi, 0), minlength=cfg.palette_count)
@@ -75,14 +72,21 @@ def run_global_tiling(state: EncoderState,
         mins = np.flatnonzero(sums == sums.min())
         jobs.append(dict(p=p, sel=sel, sigs=bin_sigs, k=k,
                          start=int(mins[-1])))
-    from ..ops.kmodes import kmodes_batch
-    solved = kmodes_batch([j['sigs'] for j in jobs],
-                          [j['k'] for j in jobs],
-                          [j['start'] for j in jobs],
-                          cfg.tile_palette_size)
+    if mesh is not None:
+        from ..parallel.sharded_ops import sharded_kmodes
+        solved = [sharded_kmodes(mesh, j['sigs'], j['k'], j['start'],
+                                 cfg.tile_palette_size) for j in jobs]
+    else:
+        from ..ops.kmodes import kmodes_batch
+        solved = kmodes_batch([j['sigs'] for j in jobs],
+                              [j['k'] for j in jobs],
+                              [j['start'] for j in jobs],
+                              cfg.tile_palette_size)
 
     merges = 0
-    fwd = np.arange(state.n_tiles)
+    fwd = np.arange(len(tiles_pal))
+    new_use = tile_use.copy()
+    new_active = tile_active.copy()
     for job, (labels, cents) in zip(jobs, solved):
         sel, bin_sigs, k = job['sel'], job['sigs'], job['k']
         # replace each cluster by its member closest to the centroid
@@ -96,12 +100,32 @@ def run_global_tiling(state: EncoderState,
             loser_mask = np.ones(len(members), bool)
             loser_mask[win_local] = False
             losers = global_idx[members[loser_mask]]
-            state.tile_use[winner] += state.tile_use[losers].sum()
-            state.tile_use[losers] = 0
-            state.tile_active[losers] = False
+            new_use[winner] += new_use[losers].sum()
+            new_use[losers] = 0
+            new_active[losers] = False
             fwd[losers] = winner  # winners stay active: no chains
             merges += len(losers)
+    return fwd, new_use, new_active, merges
 
+
+def run_global_tiling(state: EncoderState,
+                      desired_tiles: int | None = None,
+                      gts_out: str | None = None) -> EncoderState:
+    cfg = state.config
+    if cfg.reload_tileset:
+        return run_reload_tiling(state, cfg.reload_tileset)
+
+    if desired_tiles is None:
+        raw = state.n_frames * state.tilemap_size
+        budget = cfg.max_tiles if cfg.max_tiles > 0 else \
+            round(cfg.qb_tiles * equal_quality_tile_count(raw))
+        desired_tiles = min(budget, raw)
+
+    fwd, new_use, new_active, merges = compute_global_tiling_fwd(
+        state.tiles_pal, state.tile_active, state.tile_use, state.tile_dpi,
+        cfg, desired_tiles)
+    state.tile_use = new_use
+    state.tile_active = new_active
     state.tm_tile = fwd[state.tm_tile].astype(np.int32)
     state.metrics['global_tiling_merged'] = merges
     run_make_unique(state)

@@ -12,15 +12,22 @@ import numpy as np
 from .state import EncoderState
 
 
-def run_reindex(state: EncoderState) -> EncoderState:
-    n = state.n_tiles
-    use = np.bincount(state.tm_tile.ravel(), minlength=n).astype(np.int64)
-    active = use > 0
-    act = np.flatnonzero(active)
-
+def compute_reindex(use: np.ndarray):
+    """Pure: use counts [N] -> (order, idx_map). Tiles with zero use drop;
+    survivors sort by use desc, index asc. Identical on every host given
+    the psum'd use counts (parallel.gop_exact)."""
+    n = len(use)
+    act = np.flatnonzero(use > 0)
     order = act[np.lexsort((act, -use[act]))]
     idx_map = np.full(n, -1, np.int64)
     idx_map[order] = np.arange(len(order))
+    return order, idx_map
+
+
+def run_reindex(state: EncoderState) -> EncoderState:
+    n = state.n_tiles
+    use = np.bincount(state.tm_tile.ravel(), minlength=n).astype(np.int64)
+    order, idx_map = compute_reindex(use)
 
     state.tiles_rgb = state.tiles_rgb[order]
     state.tiles_pal = state.tiles_pal[order]
