@@ -162,3 +162,44 @@ def test_exact_gop_sharded_with_device_sharded_kmodes(rng, mesh8):
         frames, EncoderConfig(palette_count=8, max_tiles=200),
         n_hosts=2, fps=24.0, fast_lzma=True, kmodes_mesh=mesh8)
     assert got == want
+
+
+def test_distributed_two_process_encode(tmp_path, rng):
+    """Real multi-process path: two jax.distributed CPU processes (gloo)
+    running the CLI --distributed encode produce the byte-identical
+    stream of the single-host encoder."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    frames = _multi_scene_clip(rng, scenes=2, frames_per=4)
+    clip = tmp_path / 'clip.npy'
+    np.save(clip, frames)
+
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+    want = Encoder(EncoderConfig(palette_count=8, max_tiles=200)).run_all(
+        frames, fps=24.0, fast_lzma=True)
+
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    out = tmp_path / 'dist.gtm'
+    env = {**os.environ, 'JAX_PLATFORMS': 'cpu',
+           'PYTHONPATH': os.path.dirname(os.path.dirname(__file__))}
+    env.pop('XLA_FLAGS', None)
+    args = [sys.executable, '-m', 'tiler_tpu', 'encode', str(clip),
+            None, '--palette-count', '8', '--max-tiles', '200',
+            '--fast-lzma', '--fps', '24.0', '--distributed',
+            '--coordinator', f'localhost:{port}', '--num-processes', '2']
+    procs = []
+    for pid in (0, 1):
+        a = list(args)
+        a[5] = str(out) if pid == 0 else os.devnull
+        procs.append(subprocess.Popen(a + ['--process-id', str(pid)],
+                                      env=env, stdout=subprocess.DEVNULL,
+                                      stderr=subprocess.DEVNULL))
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+    assert out.read_bytes() == want

@@ -52,6 +52,21 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument('--resume', default=None,
                    help='resume from a state checkpoint')
     p.add_argument('--fast-lzma', action='store_true')
+    p.add_argument('--hosts', type=int, default=1,
+                   help='N-host GOP-sharded encode (in-process simulation;'
+                        ' byte-identical to the single-host stream)')
+    p.add_argument('--gop-local-tilesets', action='store_true',
+                   help='with --hosts: per-GOP tilesets (zero cross-host'
+                        ' tile traffic, larger stream) instead of the'
+                        ' exact shared-tileset collectives')
+    p.add_argument('--distributed', action='store_true',
+                   help='real multi-process encode: run this command on'
+                        ' every host of a jax.distributed job')
+    p.add_argument('--coordinator', default=None,
+                   help='jax.distributed coordinator address host:port'
+                        ' (or env JAX_COORDINATOR)')
+    p.add_argument('--num-processes', type=int, default=None)
+    p.add_argument('--process-id', type=int, default=None)
 
 
 def _config_from_args(a) -> 'EncoderConfig':
@@ -87,6 +102,10 @@ def cmd_encode(a) -> int:
     from .render import reconstruction_psnr
     from .utils.checkpoint import load_checkpoint, save_checkpoint
 
+    if a.distributed:
+        return _cmd_encode_distributed(a)
+    if a.hosts > 1:
+        return _cmd_encode_hosts(a)
     enc = Encoder(_config_from_args(a))
     if a.resume:
         enc.state = load_checkpoint(a.resume)
@@ -113,6 +132,41 @@ def cmd_encode(a) -> int:
     metrics['step_times'] = {k: round(v, 3)
                              for k, v in enc.state.step_times.items()}
     print(json.dumps(metrics))
+    return 0
+
+
+def _cmd_encode_hosts(a) -> int:
+    """In-process N-host GOP-sharded encode (--hosts N)."""
+    frames, fps = _load_input(a.input, a)
+    cfg = _config_from_args(a)
+    if a.gop_local_tilesets:
+        from .parallel.distributed import encode_gop_sharded
+        blob = encode_gop_sharded(frames, cfg, n_hosts=a.hosts, fps=fps,
+                                  fast_lzma=a.fast_lzma)
+    else:
+        from .parallel.gop_exact import encode_gop_sharded_exact
+        blob = encode_gop_sharded_exact(frames, cfg, n_hosts=a.hosts,
+                                        fps=fps, fast_lzma=a.fast_lzma)
+    open(a.output, 'wb').write(blob)
+    print(json.dumps(dict(hosts=a.hosts, gtm_bytes=len(blob),
+                          exact=not a.gop_local_tilesets)))
+    return 0
+
+
+def _cmd_encode_distributed(a) -> int:
+    """Real multi-process encode: run on every host of a jax.distributed
+    job; process 0 writes the stream."""
+    import jax
+    from .parallel.distributed import init_distributed
+    from .parallel.gop_exact import encode_multihost
+    init_distributed(a.coordinator, a.num_processes, a.process_id)
+    frames, fps = _load_input(a.input, a)
+    blob = encode_multihost(frames, _config_from_args(a), fps=fps,
+                            fast_lzma=a.fast_lzma)
+    if jax.process_index() == 0:
+        open(a.output, 'wb').write(blob)
+        print(json.dumps(dict(processes=jax.process_count(),
+                              gtm_bytes=len(blob))))
     return 0
 
 

@@ -24,10 +24,13 @@ def init_distributed(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get('JAX_COORDINATOR')
     if coordinator is None:
         return
+    if num_processes is None:
+        num_processes = int(os.environ['JAX_NUM_PROCESSES'])
+    if process_id is None:
+        process_id = int(os.environ['JAX_PROCESS_ID'])
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ['JAX_NUM_PROCESSES']),
-        process_id=process_id or int(os.environ['JAX_PROCESS_ID']))
+        num_processes=num_processes, process_id=process_id)
 
 
 def assign_gops_to_hosts(keyframes: np.ndarray, n_hosts: int) -> np.ndarray:

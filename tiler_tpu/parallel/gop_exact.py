@@ -21,19 +21,24 @@ consistent with explicit collectives:
 Because every global computation consumes only allgathered/psummed values
 and is deterministic, **an N-host encode produces the byte-identical GTM
 stream of the 1-host encoder** (tests/test_parallel.py asserts this for
-2 and 3 hosts) — unlike distributed.encode_gop_sharded, which trades
-exactness for zero cross-host traffic by giving each GOP its own tileset.
+2 and 3 hosts).
 
-This module drives the partition in-process (the simulation is the
-conformance artifact; hosts execute sequentially but only ever read their
-own shard plus the gathered globals). A real deployment runs one
-HostPartition per process with the gathers backed by
-jax.experimental.multihost_utils.process_allgather — the exchange payloads
-here are exactly the arrays such a deployment would move over DCN.
+The encode is ONE SPMD function, `_encode_my_partition`, parameterized by
+a communicator:
+
+  - ThreadComm: in-process simulation — n_hosts lockstep threads, gathers
+    through a barrier (what the conformance tests run);
+  - ProcessComm: real multi-host — jax.distributed processes exchanging
+    through jax.experimental.multihost_utils.process_allgather (pickled +
+    size-padded, since per-host payload shapes are ragged). Entry point:
+    encode_multihost(), used by the CLI's --distributed flag.
 """
 from __future__ import annotations
 
 import dataclasses
+import io
+import pickle
+import threading
 
 import numpy as np
 
@@ -41,77 +46,122 @@ from ..constants import TILE_W, equal_quality_tile_count
 from .distributed import assign_gops_to_hosts
 
 
+# ---------------------------------------------------------------------------
+# communicators
+
+class ThreadComm:
+    """Barrier-based allgather between n_hosts lockstep threads."""
+
+    def __init__(self, n_hosts: int):
+        self.n_hosts = n_hosts
+        self._slots = [None] * n_hosts
+        self._barrier = threading.Barrier(n_hosts)
+
+    def allgather(self, host: int, payload):
+        self._slots[host] = payload
+        self._barrier.wait()
+        out = list(self._slots)
+        self._barrier.wait()   # everyone has read before next round writes
+        return out
+
+    def abort(self):
+        self._barrier.abort()
+
+
+class ProcessComm:
+    """jax.distributed-backed allgather of arbitrary (ragged) payloads.
+
+    multihost_utils.process_allgather needs equal shapes per process, so
+    payloads pickle to bytes, gather sizes first, then the max-padded
+    byte arrays."""
+
+    def __init__(self):
+        import jax
+        self.n_hosts = jax.process_count()
+
+    def allgather(self, host: int, payload):
+        from jax.experimental import multihost_utils
+        buf = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+        sizes = multihost_utils.process_allgather(
+            np.array([len(buf)], np.int64))
+        cap = int(sizes.max())
+        padded = np.zeros(cap, np.uint8)
+        padded[:len(buf)] = np.frombuffer(buf, np.uint8)
+        data = multihost_utils.process_allgather(padded)
+        return [pickle.loads(data[h, :int(sizes[h, 0])].tobytes())
+                for h in range(self.n_hosts)]
+
+
+# ---------------------------------------------------------------------------
+# per-host partition state
+
 @dataclasses.dataclass
 class HostPartition:
     """One host's shard of the encode: its GOPs' frames + tilemaps.
 
     g_frame[f_local] = global frame number; tile indices inside tm_* are
-    LOCAL until to_global_tiles() after the dither phase, GLOBAL after."""
-    host: int
+    LOCAL until _to_global_tiles() after the dither phase, GLOBAL after."""
     kf_ids: np.ndarray          # global keyframe indices owned (sorted)
     g_frame: np.ndarray         # [F_local] global frame numbers
     state: object               # pipeline.state.EncoderState (local)
 
 
-def _partition_hosts(frames, config, n_hosts, fps, keyframes, owner):
+def _build_partition(frames, config, fps, keyframes, owner, my_host):
     from ..pipeline.encoder import Encoder
 
-    parts = []
-    for h in range(n_hosts):
-        kf_ids = np.flatnonzero(owner == h)
-        if kf_ids.size == 0:
-            parts.append(None)
-            continue
-        spans = keyframes[kf_ids]
-        g_frame = np.concatenate(
-            [np.arange(s, e + 1) for s, e in spans]).astype(np.int64)
-        enc = Encoder(config)
-        enc.load(frames[g_frame], fps=fps)
-        # overwrite the locally re-detected keyframes with this host's
-        # shard of the GLOBAL detection (local spans, concatenated order)
-        sizes = spans[:, 1] - spans[:, 0] + 1
-        ends = np.cumsum(sizes)
-        local_kf = np.stack([ends - sizes, ends - 1], axis=1).astype(np.int32)
-        st = enc.state
-        st.keyframes = local_kf
-        k = len(local_kf)
-        st.palettes_rgb = np.zeros(
-            (k, config.palette_count, config.tile_palette_size, 3), np.uint8)
-        st.palette_centroids = np.zeros(
-            (k, config.palette_count, 192), np.float32)
-        parts.append(HostPartition(h, kf_ids, g_frame, st))
-    return parts
+    kf_ids = np.flatnonzero(owner == my_host)
+    if kf_ids.size == 0:
+        return None
+    spans = keyframes[kf_ids]
+    g_frame = np.concatenate(
+        [np.arange(s, e + 1) for s, e in spans]).astype(np.int64)
+    enc = Encoder(config)
+    enc.load(frames[g_frame], fps=fps)
+    # overwrite the locally re-detected keyframes with this host's shard
+    # of the GLOBAL detection (local spans, concatenated order)
+    sizes = spans[:, 1] - spans[:, 0] + 1
+    ends = np.cumsum(sizes)
+    local_kf = np.stack([ends - sizes, ends - 1], axis=1).astype(np.int32)
+    st = enc.state
+    st.keyframes = local_kf
+    k = len(local_kf)
+    st.palettes_rgb = np.zeros(
+        (k, config.palette_count, config.tile_palette_size, 3), np.uint8)
+    st.palette_centroids = np.zeros(
+        (k, config.palette_count, 192), np.float32)
+    return HostPartition(kf_ids, g_frame, st)
 
 
 def _to_global_tiles(part: HostPartition, cells: int) -> None:
     """Convert tilemap tile references from local to global indexing."""
     st = part.state
-
-    def conv(tm):
-        f = tm // cells
-        return (part.g_frame[f] * cells + tm % cells).astype(np.int32)
-
-    st.tm_tile = conv(st.tm_tile)
+    f = st.tm_tile // cells
+    st.tm_tile = (part.g_frame[f] * cells
+                  + st.tm_tile % cells).astype(np.int32)
 
 
-def _scatter_global(parts, cells, n_global, local_attr, shape_tail, dtype):
-    """Collective (a): assemble a frame-major GLOBAL tile array from each
-    host's local tiles (allgather + reorder by global frame)."""
+def _assemble_global(payloads, cells, n_global, key, shape_tail, dtype):
+    """Collective (a) consumer: frame-major GLOBAL tile array from every
+    host's gathered local tiles."""
     out = np.zeros((n_global,) + shape_tail, dtype)
-    for part in parts:
-        if part is None:
+    for p in payloads:
+        if p is None:
             continue
-        local = getattr(part.state, local_attr)
-        for f_loc, g in enumerate(part.g_frame):
+        local = p[key]
+        for f_loc, g in enumerate(p['g_frame']):
             out[g * cells:(g + 1) * cells] = \
                 local[f_loc * cells:(f_loc + 1) * cells]
     return out
 
 
-def encode_gop_sharded_exact(frames: np.ndarray, config, n_hosts: int = 2,
-                             fps: float = 24.0, fast_lzma: bool = False,
-                             kmodes_mesh=None) -> bytes:
-    """N-host GOP-sharded encode, byte-identical to Encoder.run_all."""
+# ---------------------------------------------------------------------------
+# the SPMD encode
+
+def _encode_my_partition(frames, config, my_host, n_hosts, fps, fast_lzma,
+                         comm, kmodes_mesh=None) -> bytes:
+    """One host's run of the GOP-sharded encode. Every host returns the
+    identical full GTM stream (assembly is replicated, like the fwd-map
+    computations; a real deployment writes it on process 0 only)."""
     from ..bitstream.gtm import GTMWriter
     from ..pipeline.dither_step import run_dither
     from ..pipeline.frame_tiling import run_frame_tiling
@@ -119,7 +169,6 @@ def encode_gop_sharded_exact(frames: np.ndarray, config, n_hosts: int = 2,
     from ..pipeline.load import detect_keyframes
     from ..pipeline.reindex import compute_reindex
     from ..pipeline.smooth import run_smooth
-    from ..pipeline.state import EncoderState
     from ..pipeline.unique import compute_unique_fwd
     from ..constants import MAX_TILEMAP_H, MAX_TILEMAP_W
 
@@ -132,57 +181,63 @@ def encode_gop_sharded_exact(frames: np.ndarray, config, n_hosts: int = 2,
     # ---- phase 0 (replicated): global keyframe detection + GOP ownership
     keyframes = detect_keyframes(frames, cells)
     owner = assign_gops_to_hosts(keyframes, n_hosts)
-    parts = _partition_hosts(frames, config, n_hosts, fps, keyframes, owner)
-    live = [p for p in parts if p is not None]
+    part = _build_partition(frames, config, fps, keyframes, owner, my_host)
 
     # ---- phase 1 (host-local): dither every owned keyframe
-    for part in live:
+    if part is not None:
         run_dither(part.state)
         _to_global_tiles(part, cells)
 
     # ---- phase 2: candidate-tile allgather -> global MakeUnique
     n_global = f_total * cells
-    g_tiles_pal = _scatter_global(parts, cells, n_global, 'tiles_pal',
-                                  (TILE_W, TILE_W), np.uint8)
-    g_dpi = _scatter_global(parts, cells, n_global, 'tile_dpi', (), np.int32)
-    g_use = _scatter_global(parts, cells, n_global, 'tile_use', (), np.int64)
+    payload = None if part is None else dict(
+        g_frame=part.g_frame,
+        tiles_pal=part.state.tiles_pal,
+        tile_dpi=part.state.tile_dpi,
+        tile_use=part.state.tile_use)
+    gathered = comm.allgather(my_host, payload)
+    g_tiles_pal = _assemble_global(gathered, cells, n_global, 'tiles_pal',
+                                   (TILE_W, TILE_W), np.uint8)
+    g_dpi = _assemble_global(gathered, cells, n_global, 'tile_dpi',
+                             (), np.int32)
+    g_use = _assemble_global(gathered, cells, n_global, 'tile_use',
+                             (), np.int64)
     g_active = np.ones(n_global, bool)
 
     fwd, g_use, g_active, losers = compute_unique_fwd(
         g_tiles_pal, g_active, g_use)
     g_tiles_pal[losers] = 0
-    for part in live:
+    if part is not None:
         part.state.tm_tile = fwd[part.state.tm_tile].astype(np.int32)
 
     # ---- phase 3: global tiling (KModes) on the gathered tileset
-    raw = n_global
     budget = config.max_tiles if config.max_tiles > 0 else \
-        round(config.qb_tiles * equal_quality_tile_count(raw))
-    desired = min(budget, raw)
+        round(config.qb_tiles * equal_quality_tile_count(n_global))
+    desired = min(budget, n_global)
     fwd, g_use, g_active, _merges = compute_global_tiling_fwd(
         g_tiles_pal, g_active, g_use, g_dpi, config, desired,
         mesh=kmodes_mesh)
-    for part in live:
+    if part is not None:
         part.state.tm_tile = fwd[part.state.tm_tile].astype(np.int32)
     fwd, g_use, g_active, losers = compute_unique_fwd(
         g_tiles_pal, g_active, g_use)
     g_tiles_pal[losers] = 0
-    for part in live:
+    if part is not None:
         part.state.tm_tile = fwd[part.state.tm_tile].astype(np.int32)
 
     # collective (d): psum of per-host use counts, then identical reindex
-    use = np.zeros(n_global, np.int64)
-    for part in live:
-        use += np.bincount(part.state.tm_tile.ravel(), minlength=n_global)
+    local_use = np.zeros(n_global, np.int64) if part is None else \
+        np.bincount(part.state.tm_tile.ravel(), minlength=n_global)
+    use = np.sum(comm.allgather(my_host, local_use), axis=0)
     order, idx_map = compute_reindex(use)
     g_tiles_pal = g_tiles_pal[order]       # collective (c): replicate
     g_dpi = g_dpi[order]
     n_reduced = len(order)
-    for part in live:
+    if part is not None:
         part.state.tm_tile = idx_map[part.state.tm_tile].astype(np.int32)
 
     # ---- phase 4 (host-local): FrameTiling against the replicated tileset
-    for part in live:
+    if part is not None:
         st = part.state
         st.tiles_rgb = None     # no longer needed; queries use frames_rgb
         st.tiles_pal = g_tiles_pal
@@ -193,40 +248,96 @@ def encode_gop_sharded_exact(frames: np.ndarray, config, n_hosts: int = 2,
         run_frame_tiling(st)
 
     # ---- phase 5: second reindex (use psum again)
-    use = np.zeros(n_reduced, np.int64)
-    for part in live:
-        use += np.bincount(part.state.tm_tile.ravel(), minlength=n_reduced)
+    local_use = np.zeros(n_reduced, np.int64) if part is None else \
+        np.bincount(part.state.tm_tile.ravel(), minlength=n_reduced)
+    use = np.sum(comm.allgather(my_host, local_use), axis=0)
     order, idx_map = compute_reindex(use)
     g_tiles_pal = g_tiles_pal[order]
     n_final = len(order)
-    for part in live:
+    if part is not None:
         st = part.state
         st.tm_tile = idx_map[st.tm_tile].astype(np.int32)
         st.tiles_pal = g_tiles_pal
         st.tile_active = np.ones(n_final, bool)
 
     # ---- phase 6 (host-local): temporal smoothing per keyframe
-    for part in live:
+    if part is not None:
         run_smooth(part.state)
 
-    # ---- phase 7 (host 0): gather command-stream inputs, write ONE GTM
+    # ---- phase 7: gather command-stream inputs, assemble ONE GTM
+    kf_payload = {}
+    if part is not None:
+        st = part.state
+        for k_loc, k in enumerate(part.kf_ids):
+            ls, le = st.keyframes[k_loc]
+            kf_payload[int(k)] = dict(
+                palettes=st.palettes_rgb[k_loc],
+                stm_tile=st.stm_tile[ls:le + 1],
+                stm_pal=st.stm_pal[ls:le + 1],
+                stm_h=st.stm_h[ls:le + 1],
+                stm_v=st.stm_v[ls:le + 1],
+                stm_smooth=st.stm_smooth[ls:le + 1])
+    all_kf = {}
+    for p in comm.allgather(my_host, kf_payload):
+        all_kf.update(p)
+
     writer = GTMWriter(
         width=tw * TILE_W, height=th * TILE_W, fps=fps,
         tiles_pal=g_tiles_pal, palette_size=config.tile_palette_size,
         frame_count=f_total, kf_count=len(keyframes), fast_lzma=fast_lzma)
     for k, (s, e) in enumerate(keyframes):
-        part = parts[owner[k]]
-        st = part.state
-        k_loc = int(np.flatnonzero(part.kf_ids == k)[0])
-        ls, le = st.keyframes[k_loc]
-        kf_frames = []
-        for fr in range(ls, le + 1):
-            kf_frames.append(dict(
-                tile_idx=st.stm_tile[fr].ravel(),
-                pal_idx=st.stm_pal[fr].ravel(),
-                hmir=st.stm_h[fr].ravel(),
-                vmir=st.stm_v[fr].ravel(),
-                smoothed=st.stm_smooth[fr].ravel()))
-        writer.add_keyframe(k, int(s), int(e), st.palettes_rgb[k_loc],
-                            kf_frames)
+        kf = all_kf[k]
+        kf_frames = [dict(tile_idx=kf['stm_tile'][i].ravel(),
+                          pal_idx=kf['stm_pal'][i].ravel(),
+                          hmir=kf['stm_h'][i].ravel(),
+                          vmir=kf['stm_v'][i].ravel(),
+                          smoothed=kf['stm_smooth'][i].ravel())
+                     for i in range(e - s + 1)]
+        writer.add_keyframe(k, int(s), int(e), kf['palettes'], kf_frames)
     return writer.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# entry points
+
+def encode_gop_sharded_exact(frames: np.ndarray, config, n_hosts: int = 2,
+                             fps: float = 24.0, fast_lzma: bool = False,
+                             kmodes_mesh=None) -> bytes:
+    """In-process N-host simulation: n_hosts lockstep threads running the
+    SPMD encode with barrier-backed gathers. Byte-identical to
+    Encoder.run_all (tested)."""
+    comm = ThreadComm(n_hosts)
+    results: list = [None] * n_hosts
+    errors: list = []
+
+    def worker(h):
+        try:
+            results[h] = _encode_my_partition(
+                frames, config, h, n_hosts, fps, fast_lzma, comm,
+                kmodes_mesh=kmodes_mesh)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+            comm.abort()
+
+    threads = [threading.Thread(target=worker, args=(h,), daemon=True)
+               for h in range(n_hosts)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results[0]
+
+
+def encode_multihost(frames: np.ndarray, config, fps: float = 24.0,
+                     fast_lzma: bool = False) -> bytes:
+    """Real multi-host encode: call from EVERY process of an initialized
+    jax.distributed job (parallel.distributed.init_distributed). Each
+    process encodes its GOP partition; gathers ride
+    multihost_utils.process_allgather over DCN. Every process returns the
+    identical stream; write it on process 0."""
+    import jax
+    comm = ProcessComm()
+    return _encode_my_partition(frames, config, jax.process_index(),
+                                jax.process_count(), fps, fast_lzma, comm)
