@@ -84,3 +84,18 @@ def test_knoll_cached_matches_direct(rng):
     direct = dither.knoll_dither_tiles(tiles, per_tile_pals)
     cached = dither.knoll_dither_tiles_cached(tiles, pals, group)
     np.testing.assert_array_equal(direct, cached)
+
+
+def test_yliluoma_cached_matches_uncached(rng):
+    """Plan dedup per (palette, color) must not change any pixel."""
+    from tiler_tpu.ops.dither import (yliluoma_dither_tiles,
+                                      yliluoma_dither_tiles_cached)
+    tiles = rng.integers(0, 256, (60, 8, 8, 3)).astype(np.uint8)
+    # few distinct colors so the dedup actually collapses rows
+    tiles = (tiles // 64) * 64
+    group_pals = rng.integers(0, 256, (4, 16, 3)).astype(np.uint8)
+    groups = rng.integers(0, 4, 60).astype(np.int32)
+    want = yliluoma_dither_tiles(tiles, group_pals[groups], mixed_colors=4)
+    got = yliluoma_dither_tiles_cached(tiles, group_pals, groups,
+                                       mixed_colors=4)
+    np.testing.assert_array_equal(got, want)

@@ -265,6 +265,70 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     return np.asarray(out).reshape(n, TILE_W, TILE_W)
 
 
+@functools.partial(jax.jit, static_argnames=('mixed_colors',))
+def _yil_plans_from_keys(uniq_chunk, group_pals_u8, mixed_colors: int):
+    """Unique u32 (group|color) keys -> (sorted Yliluoma plans [chunk,
+    2L-1] u8, counts [chunk] u8), on device."""
+    cols = jnp.stack([uniq_chunk & 0xff, (uniq_chunk >> 8) & 0xff,
+                      (uniq_chunk >> 16) & 0xff], 1).astype(jnp.int32)
+    grp = (uniq_chunk >> 24).astype(jnp.int32)
+    g = jnp.minimum(grp, group_pals_u8.shape[0] - 1)  # sentinel rows clamp
+    pal = group_pals_u8[g].astype(jnp.int32)
+    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
+    plans, counts = _yliluoma_plans(cols, pal, luma, mixed_colors)
+    return plans.astype(jnp.uint8), counts.astype(jnp.uint8)
+
+
+@jax.jit
+def _assign_plans_yil(plans_u8, counts_u8, uniq, keys):
+    """Per-pixel Yliluoma pick list[(bayer*count)>>6] via searchsorted
+    into the unique keys — all on device."""
+    inv = jnp.searchsorted(uniq, keys.reshape(-1)).reshape(keys.shape)
+    bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
+    counts = counts_u8[inv].astype(jnp.int32)
+    mv = (bayer[None, :] * counts) >> 6
+    return plans_u8[inv, mv]
+
+
+def yliluoma_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
+                                 mixed_colors: int = 4,
+                                 chunk: int = 131072):
+    """Yliluoma-2 dithering with plan deduplication per (palette, color) —
+    the same treatment as knoll_dither_tiles_cached: mixing plans depend
+    only on the palette and the source color (the reference caches them
+    per color behind a spinlock, main.pas:2010-2053), so compute one plan
+    per unique (pal_group, color) pair on device and gather per pixel.
+    Only u8 tiles + group ids go up; [N,8,8] u8 comes back."""
+    group_pals = np.asarray(group_pals, np.uint8)
+    n = tiles_rgb.shape[0]
+    if n == 0:
+        return np.zeros((0, TILE_W, TILE_W), np.uint8)
+    assert group_pals.shape[0] <= 256, 'pal_group must fit 8 bits'
+
+    tiles_d = tiles_rgb if isinstance(tiles_rgb, jnp.ndarray) \
+        else jnp.asarray(np.asarray(tiles_rgb))
+    group_d = pal_group if isinstance(pal_group, jnp.ndarray) \
+        else jnp.asarray(np.asarray(pal_group, np.int32))
+    keys, skeys, count = _dedup_keys(tiles_d, group_d)
+    u = int(count)  # one scalar sync
+    u_cap = _pad_pow2(u, minimum=256)
+    uniq = _compact_unique(skeys, u_cap)
+
+    pals_d = jnp.asarray(group_pals)
+    plan_parts, count_parts = [], []
+    for lo in range(0, u_cap, chunk):
+        hi = min(u_cap, lo + chunk)
+        p, c = _yil_plans_from_keys(uniq[lo:hi], pals_d, mixed_colors)
+        plan_parts.append(p)
+        count_parts.append(c)
+    plans_dev = jnp.concatenate(plan_parts) if len(plan_parts) > 1 \
+        else plan_parts[0]
+    counts_dev = jnp.concatenate(count_parts) if len(count_parts) > 1 \
+        else count_parts[0]
+    out = _assign_plans_yil(plans_dev, counts_dev, uniq, keys)
+    return np.asarray(out).reshape(n, TILE_W, TILE_W)
+
+
 def yliluoma_dither_tiles(tiles_rgb, palettes_rgb, mixed_colors: int = 4,
                           chunk: int = 8192):
     """Yliluoma-2 dithering (main.pas:2055-2066): per pixel, pick

@@ -16,6 +16,8 @@ pass.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..constants import TILE_W
@@ -166,25 +168,25 @@ def run_dither(state: EncoderState) -> EncoderState:
     tile_kf = np.repeat(kf_of, state.tilemap_size)  # identity layout
     act = np.flatnonzero(state.tile_active)
     dpi = np.maximum(state.tile_dpi[act], 0)
-    pals = state.palettes_rgb[tile_kf[act], dpi]  # [M,S,3]
-    if cfg.use_thomas_knoll:
-        # per keyframe so palette-group ids fit the 8-bit key field; tiles
-        # gather on device from the cached tile tensor
-        import jax.numpy as jnp
-        dithered = np.empty((len(act), 8, 8), np.uint8)
-        act_kf = tile_kf[act]
-        tiles_dev = state.device_tiles_rgb()
-        for k in range(len(state.keyframes)):
-            rows = np.flatnonzero(act_kf == k)
-            if rows.size == 0:
-                continue
-            sel = tiles_dev[jnp.asarray(act[rows].astype(np.int32))]
-            dithered[rows] = dither.knoll_dither_tiles_cached(
-                sel, state.palettes_rgb[k],
-                jnp.asarray(dpi[rows].astype(np.int32)))
-    else:
-        dithered = dither.yliluoma_dither_tiles(
-            state.tiles_rgb[act], pals, mixed_colors=cfg.yliluoma_mix)
+    # per keyframe so palette-group ids fit the 8-bit dedup key field;
+    # tiles gather on device from the cached tile tensor (transfer-lean:
+    # u8 colors + group indices up, plans dedup'd per (palette, color))
+    import jax.numpy as jnp
+    dither_cached = dither.knoll_dither_tiles_cached if \
+        cfg.use_thomas_knoll else functools.partial(
+            dither.yliluoma_dither_tiles_cached,
+            mixed_colors=cfg.yliluoma_mix)
+    dithered = np.empty((len(act), 8, 8), np.uint8)
+    act_kf = tile_kf[act]
+    tiles_dev = state.device_tiles_rgb()
+    for k in range(len(state.keyframes)):
+        rows = np.flatnonzero(act_kf == k)
+        if rows.size == 0:
+            continue
+        sel = tiles_dev[jnp.asarray(act[rows].astype(np.int32))]
+        dithered[rows] = dither_cached(
+            sel, state.palettes_rgb[k],
+            jnp.asarray(dpi[rows].astype(np.int32)))
     phases['dither'] = time.perf_counter() - t0
     state.metrics['dither_phases'] = {k: round(v, 3)
                                       for k, v in phases.items()}

@@ -106,7 +106,7 @@ def palette_similarity_mask(state: EncoderState, k: int) -> np.ndarray:
 
 
 def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
-                       chunk: int = 65536):
+                       chunk: int = 65536, tiles_pal_dev=None):
     """Stage 2: PsyV features of every used (pal, tile, mirror) combo.
 
     The tile-pixel and palette gathers happen on device (tiles_pal and the
@@ -122,7 +122,8 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
     tiles = tile_of[dentry]
     attrs = attrs_of[dentry]
 
-    tiles_pal_d = jnp.asarray(state.tiles_pal)
+    tiles_pal_d = jnp.asarray(state.tiles_pal) if tiles_pal_dev is None \
+        else tiles_pal_dev  # uploaded once per encode by run_frame_tiling
     pals_d = jnp.asarray(state.palettes_rgb[k])
 
     @functools.partial(jax.jit, static_argnames=('gamma_value',
@@ -186,6 +187,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         _query_assign = _query_assign_factory()
     cfg = state.config
     ds, tile_of, attrs_of = build_global_dataset(state)
+    tiles_pal_dev = jnp.asarray(state.tiles_pal)
     residual = 0.0
     knn_sizes = []
 
@@ -195,7 +197,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
             if cfg.ft_quality == FTQuality.MEDIUM else None
         used = mark_candidates(state, k, ds, tile_of, attrs_of, pal_mask)
         feats, cand_pal, cand_tile, cand_attrs = candidate_features(
-            state, k, used, tile_of, attrs_of)
+            state, k, used, tile_of, attrs_of, tiles_pal_dev=tiles_pal_dev)
         knn_sizes.append(len(feats))
 
         # reshape candidates to scan chunks on device (pad with far points)

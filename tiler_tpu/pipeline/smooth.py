@@ -73,13 +73,36 @@ def _smooth_kf(feats, tile, pal, hm, vm, strength: float):
     return stm_tile, stm_pal, stm_h, stm_v, stm_sm
 
 
-def _kf_features(state: EncoderState, k: int):
+@jax.jit
+def _kf_features_gather(tiles_pal_all, palettes_k, tile_idx, pal_idx,
+                        hm, vm):
+    """Device-side gather + PsyV: only the reduced tileset (once per
+    encode) and per-cell int32/bool index vectors cross the tunnel —
+    ~11x less H2D traffic than shipping gathered 64B tiles + 48B
+    palettes per cell."""
+    t = tiles_pal_all[tile_idx]
+    pals = palettes_k[pal_idx]
+    t = features.mirror_tiles(t, hm, vm)
+    cpn = features.pal_tiles_to_cpn(t, pals, None, False)
+    return features.psyv_from_cpn(cpn, use_wavelets=False, q_weighting=True)
+
+
+def _kf_features(state: EncoderState, k: int, tiles_dev):
     s, e = state.keyframes[k]
-    tp = state.tiles_pal[state.tm_tile[s:e + 1].ravel()]
-    pals = state.palettes_rgb[k, state.tm_pal[s:e + 1].ravel()]
-    return features.psyv_features_pal(
-        tp, pals, gamma_value=None, use_wavelets=False, q_weighting=True,
-        hmir=state.tm_h[s:e + 1].ravel(), vmir=state.tm_v[s:e + 1].ravel())
+    idx = state.tm_tile[s:e + 1].ravel()
+    n = len(idx)
+    n_pad = features.pad_pow2(n)
+
+    def pad(a, dtype):
+        out = np.zeros(n_pad, dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    return _kf_features_gather(
+        tiles_dev, jnp.asarray(state.palettes_rgb[k]),
+        pad(idx, np.int32), pad(state.tm_pal[s:e + 1].ravel(), np.int32),
+        pad(state.tm_h[s:e + 1].ravel(), bool),
+        pad(state.tm_v[s:e + 1].ravel(), bool))[:n]
 
 
 def run_smooth(state: EncoderState) -> EncoderState:
@@ -92,11 +115,13 @@ def run_smooth(state: EncoderState) -> EncoderState:
     state.stm_smooth = np.zeros_like(state.tm_tile, bool)
 
     smoothed_cells = 0
+    tiles_dev = jnp.asarray(state.tiles_pal)  # reduced tileset, once
     for k, (s, e) in enumerate(state.keyframes):
         n_f = e - s + 1
         if n_f < 2:
             continue
-        feats = _kf_features(state, k).reshape(n_f, cells, TILE_DCT_SIZE)
+        feats = _kf_features(state, k, tiles_dev) \
+            .reshape(n_f, cells, TILE_DCT_SIZE)
         sh = state.tm_tile[s:e + 1].shape
         stm = _smooth_kf(
             feats,
