@@ -43,3 +43,46 @@ def test_tile_fs_posterizes(rng):
     out = dither_tile_floyd_steinberg(t, 4)
     assert out.shape == t.shape
     assert not np.array_equal(out, t)
+
+
+def test_player_streams_golden_demo_lazily():
+    """GTMPlayer decodes the published demo stream frame-by-frame: frames
+    equal the batch decoder's, and only keyframe 0 has been decompressed
+    after consuming keyframe 0's frames (constant-memory streaming)."""
+    import os
+    import pytest
+    path = '/root/reference/docs/demo/city_cif.gtm'
+    if not os.path.exists(path):
+        pytest.skip('reference demo stream not available')
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.player import GTMPlayer
+
+    data = open(path, 'rb').read()
+    want, stream = decode_video(data)
+    player = GTMPlayer(data)
+    gen = player.frames()
+    got = [next(gen) for _ in range(40)]
+    np.testing.assert_array_equal(np.stack(got), want[:40])
+    assert player.keyframes_decoded <= 2  # lazy: most KFs untouched
+    assert player.width == stream.width
+    assert abs(player.frame_interval_s * 1e9 - stream.frame_len_ns) < 1
+
+
+def test_player_matches_batch_decode_and_loops(rng):
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.player import GTMPlayer
+
+    frames = rng.integers(0, 256, (6, 48, 64, 3)).astype(np.uint8)
+    blob = Encoder(EncoderConfig(palette_count=4, max_tiles=60)).run_all(
+        frames, fps=24.0, fast_lzma=True)
+    want, _ = decode_video(blob)
+    player = GTMPlayer(blob)
+    got = list(player.frames())
+    np.testing.assert_array_equal(np.stack(got), want)
+    # loop=True wraps to frame 0 with identical pixels
+    gen = GTMPlayer(blob).frames(loop=True)
+    run1 = [next(gen) for _ in range(6)]
+    wrapped = next(gen)
+    np.testing.assert_array_equal(wrapped, run1[0])

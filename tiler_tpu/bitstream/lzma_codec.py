@@ -24,13 +24,15 @@ def lzma_compress_alone(data: bytes, fast: bool = False) -> bytes:
     return comp.compress(data) + comp.flush()
 
 
-def lzma_decompress_concat(data: bytes) -> bytes:
-    """Decompress a concatenation of LZMA-alone streams (one per keyframe).
+def iter_lzma_streams(data: bytes):
+    """Lazily decode a concatenation of LZMA-alone streams, yielding one
+    decompressed chunk per stream (= per keyframe) — the incremental
+    unpack of the JS player (gtm.player.js:157-170) at keyframe
+    granularity.
 
     Streams with lc+lp<=4 go through liblzma; lc=8 streams (the reference's
     `-lc8` output) go through the native C++ decoder in tiler_tpu.native.
     """
-    out = []
     rest = data
     while len(rest) >= 13:
         props = rest[0]
@@ -38,15 +40,23 @@ def lzma_decompress_concat(data: bytes) -> bytes:
         lp = (props // 9) % 5
         if lc + lp <= 4:
             dec = lzma.LZMADecompressor(format=lzma.FORMAT_ALONE)
-            out.append(dec.decompress(rest))
+            chunk = dec.decompress(rest)
+            yield chunk
             if not dec.eof:
-                break  # truncated final stream: return what we have
+                return  # truncated final stream: return what we have
             rest = dec.unused_data
         else:
             from ..native import lzma_decode_alone
-            chunk, consumed = lzma_decode_alone(rest)
-            out.append(chunk)
+            try:
+                chunk, consumed = lzma_decode_alone(rest)
+            except ValueError:
+                return  # truncated/corrupt tail, like the liblzma branch
+            yield chunk
             if consumed <= 0:
-                break
+                return
             rest = rest[consumed:]
-    return b''.join(out)
+
+
+def lzma_decompress_concat(data: bytes) -> bytes:
+    """Decompress a concatenation of LZMA-alone streams (one per keyframe)."""
+    return b''.join(iter_lzma_streams(data))

@@ -67,100 +67,126 @@ def _interpret_native(parsed: ParsedGTM) -> DecodedStream:
         tiles=tiles, frames=frames)
 
 
+class CommandInterpreter:
+    """Stateful command-stream walker: feed() accepts any number of
+    whole-command chunks (the per-keyframe LZMA streams of a GTM file) and
+    yields the frames they complete, carrying dims/tileset/palettes across
+    chunks — the streaming form of the JS player's decodeFrame loop
+    (gtm.player.js:274-363). interpret_commands_py() is the feed-everything
+    wrapper (the conformance oracle for the native parser)."""
+
+    def __init__(self, width: int = 0, height: int = 0):
+        self.tilemap_w = width // TILE_W
+        self.tilemap_h = height // TILE_W
+        self.frame_len_ns = 0
+        self.tiles = None
+        self.pal_size = 0
+        self.palettes = np.zeros((256, 1, 4), np.uint8)
+        self._tm_pos = 0
+        self._cur_pos: list[int] = []
+        self._cur_tile: list[int] = []
+        self._cur_attr: list[int] = []
+
+    def feed(self, data: bytes) -> list[FrameOps]:
+        n = len(data) // 2
+        words = np.frombuffer(data, np.uint16, count=n)
+        pos = 0  # word index
+        frames: list[FrameOps] = []
+        tm_pos = self._tm_pos
+        cur_pos, cur_tile, cur_attr = \
+            self._cur_pos, self._cur_tile, self._cur_attr
+        tiles, palettes = self.tiles, self.palettes
+
+        def read_dword_at(p):
+            return int(words[p]) | (int(words[p + 1]) << 16)
+
+        while pos < n:
+            w = int(words[pos]); pos += 1
+            cmd = w & ((1 << CMD_BITS) - 1)
+            attrs = w >> CMD_BITS
+
+            if cmd == GTMCommand.SET_DIMENSIONS:
+                self.tilemap_w = int(words[pos])
+                self.tilemap_h = int(words[pos + 1])
+                self.frame_len_ns = read_dword_at(pos + 2)
+                tile_count = read_dword_at(pos + 4)
+                pos += 6
+                if tiles is None:
+                    tiles = np.zeros((tile_count, TILE_W * TILE_W), np.uint8)
+            elif cmd == GTMCommand.TILE_SET:
+                tstart = read_dword_at(pos); tend = read_dword_at(pos + 2)
+                pos += 4
+                self.pal_size = attrs
+                cnt = tend - tstart + 1
+                byte_off = pos * 2
+                blob = np.frombuffer(data, np.uint8, count=cnt * 64,
+                                     offset=byte_off).reshape(cnt, 64)
+                if tiles is None or tend >= len(tiles):
+                    grown = np.zeros((tend + 1, TILE_W * TILE_W), np.uint8)
+                    if tiles is not None:
+                        grown[:len(tiles)] = tiles
+                    tiles = grown
+                tiles[tstart:tend + 1] = blob
+                pos += cnt * 32  # 64 bytes = 32 words
+            elif cmd == GTMCommand.LOAD_PALETTE:
+                byte_off = pos * 2
+                pal_idx = data[byte_off]
+                # data[byte_off+1] is the palette format (0 = RGBA32)
+                entries = np.frombuffer(
+                    data, np.uint8, count=self.pal_size * 4,
+                    offset=byte_off + 2).reshape(self.pal_size, 4)
+                if palettes.shape[1] != self.pal_size:
+                    grown = np.zeros((256, self.pal_size, 4), np.uint8)
+                    grown[:, :palettes.shape[1]] = palettes[:, :self.pal_size]
+                    palettes = grown
+                palettes = palettes.copy()
+                palettes[pal_idx] = entries
+                pos += (2 + self.pal_size * 4) // 2
+            elif cmd == GTMCommand.SKIP_BLOCK:
+                tm_pos += attrs + 1
+            elif cmd == GTMCommand.SHORT_TILE_IDX:
+                cur_pos.append(tm_pos); cur_tile.append(int(words[pos]))
+                cur_attr.append(attrs)
+                tm_pos += 1; pos += 1
+            elif cmd == GTMCommand.LONG_TILE_IDX:
+                cur_pos.append(tm_pos); cur_tile.append(read_dword_at(pos))
+                cur_attr.append(attrs)
+                tm_pos += 1; pos += 2
+            elif cmd == GTMCommand.FRAME_END:
+                if tm_pos != self.tilemap_w * self.tilemap_h:
+                    raise ValueError(f'incomplete tilemap {tm_pos} != '
+                                     f'{self.tilemap_w * self.tilemap_h}')
+                frames.append(FrameOps(
+                    positions=np.asarray(cur_pos, np.int32),
+                    tile_idx=np.asarray(cur_tile, np.int32),
+                    attrs=np.asarray(cur_attr, np.int32),
+                    kf_end=bool(attrs & 1),
+                    palettes=palettes))
+                cur_pos, cur_tile, cur_attr = [], [], []
+                tm_pos = 0
+            else:
+                raise ValueError(f'undecoded command {cmd} @{pos}')
+
+        self.tiles, self.palettes = tiles, palettes
+        self._tm_pos = tm_pos
+        self._cur_pos, self._cur_tile, self._cur_attr = \
+            cur_pos, cur_tile, cur_attr
+        return frames
+
+    def tiles_3d(self) -> np.ndarray:
+        t = self.tiles if self.tiles is not None \
+            else np.zeros((0, 64), np.uint8)
+        return t.reshape(-1, TILE_W, TILE_W)
+
+
 def interpret_commands_py(parsed: ParsedGTM) -> DecodedStream:
-    data = parsed.commands
-    n = len(data) // 2
-    words = np.frombuffer(data, np.uint16, count=n)
-    pos = 0  # word index
-
-    tilemap_w = parsed.header.width // TILE_W
-    tilemap_h = parsed.header.height // TILE_W
-    frame_len_ns = 0
-    tiles = None
-    pal_size = 0
-    palettes = np.zeros((256, 1, 4), np.uint8)
-    frames: list[FrameOps] = []
-
-    tm_pos = 0
-    cur_pos: list[int] = []
-    cur_tile: list[int] = []
-    cur_attr: list[int] = []
-
-    def read_dword_at(p):
-        return int(words[p]) | (int(words[p + 1]) << 16)
-
-    while pos < n:
-        w = int(words[pos]); pos += 1
-        cmd = w & ((1 << CMD_BITS) - 1)
-        attrs = w >> CMD_BITS
-
-        if cmd == GTMCommand.SET_DIMENSIONS:
-            tilemap_w = int(words[pos]); tilemap_h = int(words[pos + 1])
-            frame_len_ns = read_dword_at(pos + 2)
-            tile_count = read_dword_at(pos + 4)
-            pos += 6
-            if tiles is None:
-                tiles = np.zeros((tile_count, TILE_W * TILE_W), np.uint8)
-        elif cmd == GTMCommand.TILE_SET:
-            tstart = read_dword_at(pos); tend = read_dword_at(pos + 2)
-            pos += 4
-            pal_size = attrs
-            cnt = tend - tstart + 1
-            byte_off = pos * 2
-            blob = np.frombuffer(data, np.uint8, count=cnt * 64,
-                                 offset=byte_off).reshape(cnt, 64)
-            if tiles is None or tend >= len(tiles):
-                grown = np.zeros((tend + 1, TILE_W * TILE_W), np.uint8)
-                if tiles is not None:
-                    grown[:len(tiles)] = tiles
-                tiles = grown
-            tiles[tstart:tend + 1] = blob
-            pos += cnt * 32  # 64 bytes = 32 words
-        elif cmd == GTMCommand.LOAD_PALETTE:
-            byte_off = pos * 2
-            pal_idx = data[byte_off]
-            # data[byte_off+1] is the palette format (0 = RGBA32)
-            entries = np.frombuffer(
-                data, np.uint8, count=pal_size * 4,
-                offset=byte_off + 2).reshape(pal_size, 4)
-            if palettes.shape[1] != pal_size:
-                grown = np.zeros((256, pal_size, 4), np.uint8)
-                grown[:, :palettes.shape[1]] = palettes[:, :pal_size]
-                palettes = grown
-            palettes = palettes.copy()
-            palettes[pal_idx] = entries
-            pos += (2 + pal_size * 4) // 2
-        elif cmd == GTMCommand.SKIP_BLOCK:
-            tm_pos += attrs + 1
-        elif cmd == GTMCommand.SHORT_TILE_IDX:
-            cur_pos.append(tm_pos); cur_tile.append(int(words[pos]))
-            cur_attr.append(attrs)
-            tm_pos += 1; pos += 1
-        elif cmd == GTMCommand.LONG_TILE_IDX:
-            cur_pos.append(tm_pos); cur_tile.append(read_dword_at(pos))
-            cur_attr.append(attrs)
-            tm_pos += 1; pos += 2
-        elif cmd == GTMCommand.FRAME_END:
-            if tm_pos != tilemap_w * tilemap_h:
-                raise ValueError(
-                    f'incomplete tilemap {tm_pos} != {tilemap_w * tilemap_h}')
-            frames.append(FrameOps(
-                positions=np.asarray(cur_pos, np.int32),
-                tile_idx=np.asarray(cur_tile, np.int32),
-                attrs=np.asarray(cur_attr, np.int32),
-                kf_end=bool(attrs & 1),
-                palettes=palettes))
-            cur_pos, cur_tile, cur_attr = [], [], []
-            tm_pos = 0
-        else:
-            raise ValueError(f'undecoded command {cmd} @{pos}')
-
+    interp = CommandInterpreter(parsed.header.width, parsed.header.height)
+    frames = interp.feed(parsed.commands)
     return DecodedStream(
-        width=tilemap_w * TILE_W, height=tilemap_h * TILE_W,
-        tilemap_w=tilemap_w, tilemap_h=tilemap_h,
-        frame_len_ns=frame_len_ns,
-        tiles=(tiles if tiles is not None
-               else np.zeros((0, 64), np.uint8)).reshape(-1, TILE_W, TILE_W),
+        width=interp.tilemap_w * TILE_W, height=interp.tilemap_h * TILE_W,
+        tilemap_w=interp.tilemap_w, tilemap_h=interp.tilemap_h,
+        frame_len_ns=interp.frame_len_ns,
+        tiles=interp.tiles_3d(),
         frames=frames)
 
 

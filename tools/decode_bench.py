@@ -30,6 +30,17 @@ def main():
         'frames': len(frames),
         'numpy_fps': round(len(frames) / t_np, 2),
     }
+    from tiler_tpu.player import GTMPlayer
+    t0 = time.perf_counter()
+    n_streamed = sum(1 for _ in GTMPlayer(data).frames())
+    t_pl = time.perf_counter() - t0
+    result['player_fps'] = round(n_streamed / t_pl, 2)
+    t0 = time.perf_counter()
+    first = next(GTMPlayer(data).frames())
+    result['player_first_frame_ms'] = round(
+        (time.perf_counter() - t0) * 1000, 1)
+    del first
+
     try:
         decode_video_jax(data)  # warm
         t0 = time.perf_counter()
