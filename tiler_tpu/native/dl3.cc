@@ -1,97 +1,181 @@
-// Dennis Lee v3 color quantizer — fresh C++ implementation of the behavior
-// the reference gets from dlquant_dll.dll (/root/reference/dlquant/
-// quantizer.c:437-663, dl3quant + build_table3/reduce_table3/set_palette3).
+// Dennis Lee v3 color quantizer — fresh implementation of the semantics of
+// the reference's dl3quant (/root/reference/dlquant/quantizer.c:437-663):
+// histogram at lookup_bpc bits per component, then greedy pairwise merging
+// of the two entries whose weighted mean-shift error is smallest, palette =
+// rounded means of the survivors.
 //
-// Algorithm: histogram the pixels into (1<<bpc)^3 bins keyed by the top
-// `bpc` bits of each component; compact used bins (ascending bin index);
-// then greedily merge the pair of entries minimizing a pixel-count-weighted
-// error until `quant_to` entries remain. The pairwise error of (i,j) is
-//   err = |mean(i+j) - mean(i)| * count(i) + |mean(j) - mean(i+j)| * count(j)
-// with integer rounded means and float32 sqrt, matching the reference's
-// calc_err. The incremental err/cc bookkeeping (each entry caches its best
-// partner among LATER entries; fixups on merge mirror reduce_table3) is
+// The reference's merge bookkeeping (build_table3/recount_*/reduce_table3)
+// tracks, per entry i, the best partner j>i only, repairs stale partners
+// after each merge, and always merges the FIRST strict minimum in scan
+// order. Those details determine the exact output palette and are
 // reproduced so the merge order — and therefore the palette — matches.
 //
-// C API: tiler_dl3_quant(rgb, n_pixels, quant_to, lookup_bpc, out_pal)
-//   rgb: n_pixels*3 bytes; out_pal: quant_to*3 bytes (r,g,b rows).
-//   Returns number of palette entries actually produced (may be < quant_to
-//   when the input has fewer distinct bins).
+// Layout: entries live in parallel arrays (SoA). The O(C^2) pair scans are
+// two-pass — a branch-free SIMD-friendly error sweep into a scratch buffer,
+// then a scalar first-strict-min scan (preserving the reference's tie
+// order). Same arithmetic per pair as the AoS form, so results are
+// bit-identical; the sweep auto-vectorizes under -O3 -march=native.
 
-#include <algorithm>
 #include <cmath>
-#include <climits>
-#include <cstdint>
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <vector>
 
 namespace {
 
-struct Entry {
-  int64_t r, g, b;      // component sums
-  int64_t count;        // pixel count
-  int rr, gg, bb;       // rounded means
-  float err;            // best merge error with partner cc (cc > index)
-  int cc;               // best partner index
+struct Table {
+  std::vector<int64_t> r, g, b, cnt;  // component sums + pixel count
+  std::vector<int> rr, gg, bb;        // rounded means
+  std::vector<float> err;             // best merge error with partner cc
+  std::vector<int> cc;                // best partner index (cc > index)
+
+  int size() const { return int(cnt.size()); }
+  void reserve(size_t n) {
+    r.reserve(n); g.reserve(n); b.reserve(n); cnt.reserve(n);
+    rr.reserve(n); gg.reserve(n); bb.reserve(n);
+    err.reserve(n); cc.reserve(n);
+  }
+  void push(int64_t rs, int64_t gs, int64_t bs, int64_t c) {
+    r.push_back(rs); g.push_back(gs); b.push_back(bs); cnt.push_back(c);
+    int64_t v2 = c >> 1;
+    rr.push_back(int((rs + v2) / c));
+    gg.push_back(int((gs + v2) / c));
+    bb.push_back(int((bs + v2) / c));
+    err.push_back(HUGE_VALF); cc.push_back(0);
+  }
+  void set_mean(int i) {
+    int64_t v2 = cnt[i] >> 1;
+    rr[i] = int((r[i] + v2) / cnt[i]);
+    gg[i] = int((g[i] + v2) / cnt[i]);
+    bb[i] = int((b[i] + v2) / cnt[i]);
+  }
+  void move(int dst, int src) {  // t[dst] = t[src]
+    r[dst] = r[src]; g[dst] = g[src]; b[dst] = b[src]; cnt[dst] = cnt[src];
+    rr[dst] = rr[src]; gg[dst] = gg[src]; bb[dst] = bb[src];
+    err[dst] = err[src]; cc[dst] = cc[src];
+  }
 };
 
-inline void set_mean(Entry& e) {
-  int64_t v2 = e.count >> 1;
-  e.rr = int((e.r + v2) / e.count);
-  e.gg = int((e.g + v2) / e.count);
-  e.bb = int((e.b + v2) / e.count);
-}
-
-// Exact truncating int64 division via double with +-1 correction: int64
-// hardware division dominates the O(C^2) pair scans; a double divide plus
-// fixup is exact for the value ranges here (sums < 2^53) and much faster.
+// Exact truncating int64 division via double with branch-free +-1
+// correction: int64 hardware division dominates the O(C^2) pair scans; a
+// double divide plus fixup is exact for the value ranges here (sums <
+// 2^53), and the branchless form keeps the sweep vectorizable.
 inline int64_t fast_div(int64_t num, int64_t den) {
   int64_t q = int64_t(double(num) / double(den));
-  if (q * den > num) --q;
-  else if ((q + 1) * den <= num) ++q;
+  q -= int64_t(q * den > num);
+  q += int64_t((q + 1) * den <= num);
   return q;
 }
 
-inline float calc_err(const std::vector<Entry>& t, int c1, int c2) {
-  const Entry &a = t[c1], &b = t[c2];
-  int64_t p1 = a.count, p2 = b.count, p3 = p1 + p2;
-  int r3 = int(fast_div(a.r + b.r + (p3 >> 1), p3));
-  int g3 = int(fast_div(a.g + b.g + (p3 >> 1), p3));
-  int b3 = int(fast_div(a.b + b.b + (p3 >> 1), p3));
-  float d1 = float((r3 - a.rr) * (r3 - a.rr) + (g3 - a.gg) * (g3 - a.gg) +
-                   (b3 - a.bb) * (b3 - a.bb));
-  float d2 = float((b.rr - r3) * (b.rr - r3) + (b.gg - g3) * (b.gg - g3) +
-                   (b.bb - b3) * (b.bb - b3));
-  return sqrtf(d1) * float(p1) + sqrtf(d2) * float(p2);
+inline float pair_err(const Table& t, int64_t ar, int64_t ag, int64_t ab,
+                      int64_t ac, int arr, int agg, int abb, int j) {
+  int64_t p2 = t.cnt[j], p3 = ac + p2, h = p3 >> 1;
+  int r3 = int(fast_div(ar + t.r[j] + h, p3));
+  int g3 = int(fast_div(ag + t.g[j] + h, p3));
+  int b3 = int(fast_div(ab + t.b[j] + h, p3));
+  float d1 = float((r3 - arr) * (r3 - arr) + (g3 - agg) * (g3 - agg) +
+                   (b3 - abb) * (b3 - abb));
+  float d2 = float((t.rr[j] - r3) * (t.rr[j] - r3) +
+                   (t.gg[j] - g3) * (t.gg[j] - g3) +
+                   (t.bb[j] - b3) * (t.bb[j] - b3));
+  return sqrtf(d1) * float(ac) + sqrtf(d2) * float(p2);
 }
 
-void recount_next(std::vector<Entry>& t, int tot, int i) {
+inline float calc_err(const Table& t, int c1, int c2) {
+  return pair_err(t, t.r[c1], t.g[c1], t.b[c1], t.cnt[c1],
+                  t.rr[c1], t.gg[c1], t.bb[c1], c2);
+}
+
+void recount_next(Table& t, int tot, int i, float* ebuf) {
+  const int64_t ar = t.r[i], ag = t.g[i], ab = t.b[i], ac = t.cnt[i];
+  const int arr = t.rr[i], agg = t.gg[i], abb = t.bb[i];
+  // pass 1: branch-free error sweep (vectorizes)
+  for (int j = i + 1; j < tot; j++)
+    ebuf[j] = pair_err(t, ar, ag, ab, ac, arr, agg, abb, j);
+  // pass 2: first strict minimum in scan order, as in recount_next
   float err = HUGE_VALF;
   int c2 = 0;
   for (int j = i + 1; j < tot; j++) {
-    float e = calc_err(t, i, j);
-    if (e < err) { err = e; c2 = j; }
+    if (ebuf[j] < err) { err = ebuf[j]; c2 = j; }
   }
-  t[i].err = err;
-  t[i].cc = c2;
+  t.err[i] = err;
+  t.cc[i] = c2;
 }
 
-void recount_dist(std::vector<Entry>& t, int tot, int c1) {
-  recount_next(t, tot, c1);
+void recount_dist(Table& t, int tot, int c1, float* ebuf) {
+  recount_next(t, tot, c1, ebuf);
+  const int64_t ar = t.r[c1], ag = t.g[c1], ab = t.b[c1], ac = t.cnt[c1];
+  const int arr = t.rr[c1], agg = t.gg[c1], abb = t.bb[c1];
   for (int i = 0; i < c1; i++) {
-    if (t[i].cc == c1) {
-      recount_next(t, tot, i);
+    if (t.cc[i] == c1) {
+      recount_next(t, tot, i, ebuf);
     } else {
+      // calc_err(i, c1) == pair_err with i's sums against c1; symmetric
+      // formula (d1 uses i's mean, d2 uses c1's) — keep i-major order
       float e = calc_err(t, i, c1);
-      if (e < t[i].err) { t[i].err = e; t[i].cc = c1; }
+      if (e < t.err[i]) { t.err[i] = e; t.cc[i] = c1; }
     }
   }
 }
 
-}  // namespace
+int reduce_entries(Table& t, int quant_to, uint8_t* out_pal, int max_out) {
+  int tot = t.size();
 
-int reduce_entries(std::vector<Entry>& t, int quant_to, uint8_t* out_pal,
-                   int max_out);
+  if (tot > quant_to) {
+    std::vector<float> ebuf((size_t)tot);
+    for (int i = 0; i < tot - 1; i++) recount_next(t, tot, i, ebuf.data());
+    t.err[tot - 1] = HUGE_VALF;
+    t.cc[tot - 1] = tot;
+
+    while (tot > quant_to) {
+      // first strict minimum in scan order, as in reduce_table3
+      float err = HUGE_VALF;
+      int c1 = 0;
+      for (int i = 0; i < tot; i++) {
+        if (t.err[i] < err) { err = t.err[i]; c1 = i; }
+      }
+      int c2 = t.cc[c1];
+      t.r[c2] += t.r[c1]; t.g[c2] += t.g[c1]; t.b[c2] += t.b[c1];
+      t.cnt[c2] += t.cnt[c1];
+      t.set_mean(c2);
+      tot--;
+      t.move(c1, tot);
+      t.err[tot - 1] = HUGE_VALF;
+      t.cc[tot - 1] = tot;
+      for (int i = 0; i < c1; i++) {
+        if (t.cc[i] == tot) t.cc[i] = c1;
+      }
+      for (int i = c1 + 1; i < tot; i++) {
+        if (t.cc[i] == tot) recount_next(t, tot, i, ebuf.data());
+      }
+      recount_dist(t, tot, c1, ebuf.data());
+      if (c2 != tot) recount_dist(t, tot, c2, ebuf.data());
+    }
+  }
+
+  for (int i = 0; i < tot && i < max_out; i++) {
+    out_pal[i * 3 + 0] = uint8_t(t.rr[i]);
+    out_pal[i * 3 + 1] = uint8_t(t.gg[i]);
+    out_pal[i * 3 + 2] = uint8_t(t.bb[i]);
+  }
+  return tot < max_out ? tot : max_out;
+}
+
+void histogram(const uint8_t* rgb, int64_t n_pixels, int lookup_bpc,
+               std::vector<int64_t>& hr, std::vector<int64_t>& hg,
+               std::vector<int64_t>& hb, std::vector<int64_t>& hc) {
+  const int mbpc = (1 << lookup_bpc) - 1;
+  for (int64_t i = 0; i < n_pixels; i++) {
+    int r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
+    size_t idx = size_t(b * mbpc / 255) |
+                 (size_t(g * mbpc / 255) << lookup_bpc) |
+                 (size_t(r * mbpc / 255) << (lookup_bpc * 2));
+    hr[idx] += r; hg[idx] += g; hb[idx] += b; hc[idx]++;
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -100,25 +184,14 @@ int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
   std::memset(out_pal, 0, size_t(quant_to) * 3);
   if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
 
-  const int mbpc = (1 << lookup_bpc) - 1;
   const size_t n_bins = size_t(1) << (lookup_bpc * 3);
   std::vector<int64_t> hr(n_bins, 0), hg(n_bins, 0), hb(n_bins, 0),
       hc(n_bins, 0);
-  for (int64_t i = 0; i < n_pixels; i++) {
-    int r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
-    size_t idx = size_t(b * mbpc / 255) |
-                 (size_t(g * mbpc / 255) << lookup_bpc) |
-                 (size_t(r * mbpc / 255) << (lookup_bpc * 2));
-    hr[idx] += r; hg[idx] += g; hb[idx] += b; hc[idx]++;
-  }
+  histogram(rgb, n_pixels, lookup_bpc, hr, hg, hb, hc);
 
-  std::vector<Entry> t;
+  Table t;
   for (size_t i = 0; i < n_bins; i++) {
-    if (hc[i]) {
-      Entry e{hr[i], hg[i], hb[i], hc[i], 0, 0, 0, HUGE_VALF, 0};
-      set_mean(e);
-      t.push_back(e);
-    }
+    if (hc[i]) t.push(hr[i], hg[i], hb[i], hc[i]);
   }
   return reduce_entries(t, quant_to, out_pal, quant_to);
 }
@@ -133,59 +206,59 @@ int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
   std::memset(out_pal, 0, size_t(quant_to) * 3);
   if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
 
-  const int mbpc = (1 << lookup_bpc) - 1;
   const size_t n_bins = size_t(1) << (lookup_bpc * 3);
   std::vector<int64_t> hr(n_bins, 0), hg(n_bins, 0), hb(n_bins, 0),
       hc(n_bins, 0);
-  for (int64_t i = 0; i < n_pixels; i++) {
-    int r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
-    size_t idx = size_t(b * mbpc / 255) |
-                 (size_t(g * mbpc / 255) << lookup_bpc) |
-                 (size_t(r * mbpc / 255) << (lookup_bpc * 2));
-    hr[idx] += r; hg[idx] += g; hb[idx] += b; hc[idx]++;
-  }
+  histogram(rgb, n_pixels, lookup_bpc, hr, hg, hb, hc);
 
-  std::vector<Entry> t;
+  Table t;
   for (size_t i = 0; i < n_bins; i++) {
-    if (hc[i]) {
-      Entry e{hr[i], hg[i], hb[i], hc[i], 0, 0, 0, HUGE_VALF, 0};
-      set_mean(e);
-      t.push_back(e);
-    }
+    if (hc[i]) t.push(hr[i], hg[i], hb[i], hc[i]);
   }
 
-  if (cap > 0 && int(t.size()) > cap) {
+  if (cap > 0 && t.size() > cap) {
     // order bins by count desc (stable: bin-index asc); keep the head
-    std::vector<int> order(t.size());
-    for (size_t i = 0; i < t.size(); i++) order[i] = int(i);
+    const int n = t.size();
+    std::vector<int> order((size_t)n);
+    for (int i = 0; i < n; i++) order[i] = i;
     std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
-      return t[a].count > t[b].count;
+      return t.cnt[a] > t.cnt[b];
     });
-    std::vector<char> kept(t.size(), 0);
+    std::vector<char> kept(size_t(n), 0);
     std::vector<int> keep(order.begin(), order.begin() + cap);
     std::sort(keep.begin(), keep.end());  // ascending bin-index compaction
     for (int i : keep) kept[i] = 1;
-    for (size_t i = 0; i < t.size(); i++) {
+    // SoA copies of the kept means for the vectorizable nearest scan
+    const int kn = int(keep.size());
+    std::vector<int> krr(kn), kgg(kn), kbb(kn);
+    for (int j = 0; j < kn; j++) {
+      krr[j] = t.rr[keep[j]]; kgg[j] = t.gg[keep[j]]; kbb[j] = t.bb[keep[j]];
+    }
+    std::vector<int64_t> dbuf((size_t)kn);
+    for (int i = 0; i < n; i++) {
       if (kept[i]) continue;
       // nearest kept bin by squared RGB of rounded means (first min wins)
-      int64_t best = INT64_MAX;
-      int tgt = keep[0];
-      for (int j : keep) {
-        int64_t dr = t[i].rr - t[j].rr, dg = t[i].gg - t[j].gg,
-                db = t[i].bb - t[j].bb;
-        int64_t d = dr * dr + dg * dg + db * db;
-        if (d < best) { best = d; tgt = j; }
+      const int irr = t.rr[i], igg = t.gg[i], ibb = t.bb[i];
+      for (int j = 0; j < kn; j++) {
+        int64_t dr = irr - krr[j], dg = igg - kgg[j], db = ibb - kbb[j];
+        dbuf[j] = dr * dr + dg * dg + db * db;
       }
-      t[tgt].r += t[i].r; t[tgt].g += t[i].g; t[tgt].b += t[i].b;
-      t[tgt].count += t[i].count;
+      int64_t best = INT64_MAX;
+      int tj = 0;
+      for (int j = 0; j < kn; j++) {
+        if (dbuf[j] < best) { best = dbuf[j]; tj = j; }
+      }
+      int tgt = keep[tj];
+      t.r[tgt] += t.r[i]; t.g[tgt] += t.g[i]; t.b[tgt] += t.b[i];
+      t.cnt[tgt] += t.cnt[i];
     }
-    std::vector<Entry> capped;
+    Table capped;
     capped.reserve(keep.size());
     for (int i : keep) {
-      set_mean(t[i]);
-      capped.push_back(t[i]);
+      t.set_mean(i);
+      capped.push(t.r[i], t.g[i], t.b[i], t.cnt[i]);
     }
-    t.swap(capped);
+    std::swap(t, capped);
   }
   return reduce_entries(t, quant_to, out_pal, quant_to);
 }
@@ -197,59 +270,13 @@ int tiler_dl3_quant_bins(const int64_t* r_sums, const int64_t* g_sums,
                          const int64_t* b_sums, const int64_t* counts,
                          int64_t n, int quant_to, uint8_t* out_pal) {
   std::memset(out_pal, 0, size_t(quant_to) * 3);
-  std::vector<Entry> t;
+  Table t;
   t.reserve(size_t(n));
   for (int64_t i = 0; i < n; i++) {
     if (counts[i] <= 0) continue;
-    Entry e{r_sums[i], g_sums[i], b_sums[i], counts[i], 0, 0, 0,
-            HUGE_VALF, 0};
-    set_mean(e);
-    t.push_back(e);
+    t.push(r_sums[i], g_sums[i], b_sums[i], counts[i]);
   }
   return reduce_entries(t, quant_to, out_pal, quant_to);
 }
 
 }  // extern "C"
-
-int reduce_entries(std::vector<Entry>& t, int quant_to, uint8_t* out_pal,
-                   int max_out) {
-  int tot = int(t.size());
-
-  if (tot > quant_to) {
-    for (int i = 0; i < tot - 1; i++) recount_next(t, tot, i);
-    t[tot - 1].err = HUGE_VALF;
-    t[tot - 1].cc = tot;
-
-    while (tot > quant_to) {
-      // first strict minimum in scan order, as in reduce_table3
-      float err = HUGE_VALF;
-      int c1 = 0;
-      for (int i = 0; i < tot; i++) {
-        if (t[i].err < err) { err = t[i].err; c1 = i; }
-      }
-      int c2 = t[c1].cc;
-      t[c2].r += t[c1].r; t[c2].g += t[c1].g; t[c2].b += t[c1].b;
-      t[c2].count += t[c1].count;
-      set_mean(t[c2]);
-      tot--;
-      t[c1] = t[tot];
-      t[tot - 1].err = HUGE_VALF;
-      t[tot - 1].cc = tot;
-      for (int i = 0; i < c1; i++) {
-        if (t[i].cc == tot) t[i].cc = c1;
-      }
-      for (int i = c1 + 1; i < tot; i++) {
-        if (t[i].cc == tot) recount_next(t, tot, i);
-      }
-      recount_dist(t, tot, c1);
-      if (c2 != tot) recount_dist(t, tot, c2);
-    }
-  }
-
-  for (int i = 0; i < tot && i < max_out; i++) {
-    out_pal[i * 3 + 0] = uint8_t(t[i].rr);
-    out_pal[i * 3 + 1] = uint8_t(t[i].gg);
-    out_pal[i * 3 + 2] = uint8_t(t[i].bb);
-  }
-  return tot < max_out ? tot : max_out;
-}

@@ -112,6 +112,44 @@ def _masked_dissim(x, c, valid_k, n_modalities=None):
     return jnp.where(valid_k[None, :], d, _BIG)
 
 
+def make_dissim_fn(x, valid_k, n_modalities):
+    """Returns cents -> [n,k] masked dissim with the POINT-side encodings
+    precomputed once (they are iteration-invariant; re-materializing the
+    [n, A*M] one-hots every while_loop step dominated the assign cost).
+
+    Encodings are bf16 — exact for 0/1 values, and the MXU accumulates
+    bf16 products into f32 (preferred_element_type), so every dot is an
+    exact integer (max 80*16=1280 << 2^24). Falls back to the broadcast
+    form for large modality counts."""
+    if n_modalities is None or n_modalities > 32:
+        return lambda cents: _masked_dissim(x, cents, valid_k, None)
+
+    n, a = x.shape
+    m = n_modalities
+    xi = x.astype(jnp.int32)
+    ex = jax.nn.one_hot(xi, m, dtype=jnp.bfloat16).reshape(n, a * m)
+    thresholds = jnp.arange(m - 1)
+    gx = (xi[:, :, None] > thresholds).astype(
+        jnp.bfloat16).reshape(n, a * (m - 1))
+    gx_sum = jnp.sum(gx.astype(jnp.float32), axis=1)
+
+    def dissim(cents):
+        k = cents.shape[0]
+        ci = cents.astype(jnp.int32)
+        ec = jax.nn.one_hot(ci, m, dtype=jnp.bfloat16).reshape(k, a * m)
+        gc = (ci[:, :, None] > thresholds).astype(
+            jnp.bfloat16).reshape(k, a * (m - 1))
+        matches = jnp.dot(ex, ec.T, preferred_element_type=jnp.float32)
+        ham = jnp.float32(a) - matches
+        gc_sum = jnp.sum(gc.astype(jnp.float32), axis=1)
+        l1 = (gx_sum[:, None] + gc_sum[None, :]
+              - 2.0 * jnp.dot(gx, gc.T, preferred_element_type=jnp.float32))
+        d = (ham * (1 << DISSIM_SUB_MATCHING_BITS) + l1).astype(jnp.int32)
+        return jnp.where(valid_k[None, :], d, _BIG)
+
+    return dissim
+
+
 def _farthest_first(x, k_pad, valid_n, start_point):
     """Farthest-first centroids [k_pad, A] (kmodes.pas:698-776)."""
     n = x.shape[0]
@@ -148,9 +186,10 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
     w = valid_n.astype(jnp.float32)
 
     cents = _farthest_first(x, k_pad, valid_n, start_point)
+    dissim_to = make_dissim_fn(x, valid_k, n_modalities)
 
     def assign(cents):
-        d = _masked_dissim(x, cents, valid_k, n_modalities)
+        d = dissim_to(cents)
         lab = jnp.argmin(d, axis=1).astype(jnp.int32)
         cost = _cost_triple(jnp.where(valid_n, jnp.min(d, axis=1), 0))
         return lab, cost

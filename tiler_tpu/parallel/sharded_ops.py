@@ -132,7 +132,7 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
 
     Returns (labels [n] int32, centroids [k, A] uint8).
     """
-    from ..ops.kmodes import (_cost_less, _masked_dissim,
+    from ..ops.kmodes import (_cost_less, make_dissim_fn,
                               _normalize_cost_triple, _next_pow2)
     from ..constants import DISSIM_SUB_MATCHING_BITS
 
@@ -205,9 +205,10 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
 
         cents, _ = jax.lax.fori_loop(1, k_pad, ff_body, (cents, mind))
         cents = cents.astype(jnp.uint8)
+        dissim_to = make_dissim_fn(x_loc, valid_k, n_modalities)
 
         def assign(cents):
-            d = _masked_dissim(x_loc, cents, valid_k, n_modalities)
+            d = dissim_to(cents)
             lab = jnp.argmin(d, axis=1).astype(jnp.int32)
             md = jnp.where(v_loc, jnp.min(d, axis=1), 0).astype(jnp.int32)
             digits = (jax.lax.psum(jnp.sum(md >> 12), ax),

@@ -30,27 +30,35 @@ def _dithering_gamma(cfg):
     return cfg.encoder_gamma if cfg.dithering_gamma else None
 
 
+def _gather_feats(tiles_all, idx, gamma_value, use_lab, use_wavelets):
+    """Device gather + PsyV for dither clustering (module-level so the jit
+    cache persists across keyframes/encodes; a per-call jit recompiles
+    through the tunnel every time)."""
+    return features.psyv_features_rgb(
+        tiles_all[idx], gamma_value=gamma_value, use_lab=use_lab,
+        use_wavelets=use_wavelets)
+
+
+_gather_feats_jit = None
+
+
 def prepare_dither_keyframe(state: EncoderState, k: int) -> None:
     """PsyV(LAB) features of every referenced tile + k-means clustering into
     palette_count groups (PrepareDitherTiles). The tile gather and feature
     transform run on device against the cached tile tensor; only the cell
     index vector goes up."""
-    import functools
     import jax
     import jax.numpy as jnp
     cfg = state.config
     s, e = state.keyframes[k]
     cell_tiles = state.tm_tile[s:e + 1].ravel()
     if len(cell_tiles) > 1 and cfg.palette_count > 1:
-
-        @functools.partial(jax.jit,
-                           static_argnames=('gamma_value', 'use_lab',
-                                            'use_wavelets'))
-        def gather_feats(tiles_all, idx, gamma_value, use_lab,
-                         use_wavelets):
-            return features.psyv_features_rgb(
-                tiles_all[idx], gamma_value=gamma_value, use_lab=use_lab,
-                use_wavelets=use_wavelets)
+        global _gather_feats_jit
+        if _gather_feats_jit is None:
+            _gather_feats_jit = jax.jit(
+                _gather_feats, static_argnames=('gamma_value', 'use_lab',
+                                                'use_wavelets'))
+        gather_feats = _gather_feats_jit
 
         n_pad = features.pad_pow2(len(cell_tiles))
         idx = np.zeros(n_pad, np.int32)

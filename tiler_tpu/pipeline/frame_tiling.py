@@ -33,28 +33,38 @@ def _ft_gamma(cfg):
     return cfg.encoder_gamma if cfg.ft_gamma else None
 
 
+def _expand_mirrors(t_u8):
+    """[A,8,8] u8 -> [4A,64] f32 mirror variants, on device. MODULE-LEVEL
+    jit: a jit defined inside the calling function gets a fresh cache per
+    call and recompiles every encode — 7s per compile through the
+    tunneled TPU."""
+    import jax.numpy as jnp
+    variants = jnp.stack([
+        t_u8,                    # attrs 0: no mirror
+        t_u8[:, :, ::-1],        # attrs 1: H
+        t_u8[:, ::-1, ::-1],     # attrs 3: HV
+        t_u8[:, ::-1, :],        # attrs 2: V
+    ], axis=1)  # [A,4,8,8]
+    return variants.reshape(-1, TILE_W * TILE_W).astype(jnp.float32)
+
+
 def build_global_dataset(state: EncoderState):
     """[4A, 64] float32 mirrored PalPixels (device-resident; the u8 tiles
     upload once and the 4 mirror variants are built on device) + maps to
     (tile, attrs)."""
     import jax
     import jax.numpy as jnp
+    global _expand_jit
+    if _expand_jit is None:
+        _expand_jit = jax.jit(_expand_mirrors)
     act = np.flatnonzero(state.tile_active)
-
-    @jax.jit
-    def expand(t_u8):
-        variants = jnp.stack([
-            t_u8,                    # attrs 0: no mirror
-            t_u8[:, :, ::-1],        # attrs 1: H
-            t_u8[:, ::-1, ::-1],     # attrs 3: HV
-            t_u8[:, ::-1, :],        # attrs 2: V
-        ], axis=1)  # [A,4,8,8]
-        return variants.reshape(-1, TILE_W * TILE_W).astype(jnp.float32)
-
-    ds = expand(jnp.asarray(state.tiles_pal[act]))
+    ds = _expand_jit(jnp.asarray(state.tiles_pal[act]))
     tile_of = np.repeat(act, 4)
     attrs_of = np.tile(_ATTR_ORDER, len(act))
     return ds, tile_of, attrs_of
+
+
+_expand_jit = None
 
 
 def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
@@ -125,16 +135,12 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
     tiles_pal_d = jnp.asarray(state.tiles_pal) if tiles_pal_dev is None \
         else tiles_pal_dev  # uploaded once per encode by run_frame_tiling
     pals_d = jnp.asarray(state.palettes_rgb[k])
-
-    @functools.partial(jax.jit, static_argnames=('gamma_value',
-                                                 'use_wavelets'))
-    def chunk_feats(tp_all, pal_all, tidx, pidx, hm, vm, gamma_value,
-                    use_wavelets):
-        tp = tp_all[tidx]
-        pals = pal_all[pidx]
-        t = features.mirror_tiles(tp, hm, vm)
-        cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
-        return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
+    global _chunk_feats_jit
+    if _chunk_feats_jit is None:
+        _chunk_feats_jit = functools.partial(
+            jax.jit, static_argnames=('gamma_value', 'use_wavelets'))(
+                _chunk_feats)
+    chunk_feats = _chunk_feats_jit
 
     # candidate features stay ON DEVICE: only int32 index vectors go up,
     # nothing comes down (the 1-NN scan consumes them in place)
@@ -156,6 +162,20 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
         parts.append(res[:hi - lo])
     feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     return feats, pal_idx.astype(np.int32), tiles.astype(np.int32), attrs
+
+
+def _chunk_feats(tp_all, pal_all, tidx, pidx, hm, vm, gamma_value,
+                 use_wavelets):
+    """Candidate-combo PsyV features via device gathers (module-level so
+    the jit cache persists across keyframes and encodes)."""
+    tp = tp_all[tidx]
+    pals = pal_all[pidx]
+    t = features.mirror_tiles(tp, hm, vm)
+    cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
+    return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
+
+
+_chunk_feats_jit = None
 
 
 def _query_assign_factory():
@@ -181,24 +201,39 @@ _query_assign = None
 
 
 def run_frame_tiling(state: EncoderState) -> EncoderState:
+    import jax
     import jax.numpy as jnp
     global _query_assign
     if _query_assign is None:
         _query_assign = _query_assign_factory()
+    import time
     cfg = state.config
+    phases = {'mark': 0.0, 'cand_feats': 0.0, 'assign': 0.0}
+    t0 = time.perf_counter()
     ds, tile_of, attrs_of = build_global_dataset(state)
+    jax.block_until_ready(ds)
+    phases['dataset'] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     tiles_pal_dev = jnp.asarray(state.tiles_pal)
+    jax.block_until_ready(tiles_pal_dev)
+    phases['upload'] = round(time.perf_counter() - t0, 3)
     residual = 0.0
     knn_sizes = []
 
     for k in range(len(state.keyframes)):
         s, e = state.keyframes[k]
+        t0 = time.perf_counter()
         pal_mask = palette_similarity_mask(state, k) \
             if cfg.ft_quality == FTQuality.MEDIUM else None
         used = mark_candidates(state, k, ds, tile_of, attrs_of, pal_mask)
+        phases['mark'] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         feats, cand_pal, cand_tile, cand_attrs = candidate_features(
             state, k, used, tile_of, attrs_of, tiles_pal_dev=tiles_pal_dev)
         knn_sizes.append(len(feats))
+        jax.block_until_ready(feats)
+        phases['cand_feats'] += time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         # reshape candidates to scan chunks on device (pad with far points)
         c_chunk = 8192
@@ -235,7 +270,9 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         state.tm_v[s:e + 1] = (cand_attrs[best_idx] & 2).astype(bool) \
             .reshape(shape)
         residual += float(best_err.sum())
+        phases['assign'] += time.perf_counter() - t0
 
     state.metrics['ft_residual_err'] = residual
     state.metrics['ft_knn_sizes'] = knn_sizes
+    state.metrics['ft_phases'] = {k: round(v, 3) for k, v in phases.items()}
     return state
