@@ -51,35 +51,57 @@ def _knoll_chunk(tiles_u8, pal_u8):
     luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
     cols = t.reshape(c * 64, 3)
     pal_px = jnp.repeat(pal, 64, axis=0)
-    luma_px = jnp.repeat(luma, 64, axis=0)
-    plans = _knoll_plans(cols, pal_px, luma_px)
-    bayer = jnp.asarray(_BAYER.reshape(-1))
-    sel = jnp.take_along_axis(
-        plans, jnp.tile(bayer, (c,))[:, None], axis=1)[:, 0]
+    counts = _knoll_counts(cols, pal_px)  # [C*64, S]
+    order = jnp.argsort(luma, axis=1, stable=True)  # [C,S]
+    order_px = jnp.repeat(order, 64, axis=0)
+    rank = jnp.tile(jnp.asarray(_BAYER.reshape(-1)), (c,))  # [C*64]
+    sel = _rank_select(counts, order_px, rank)
     return sel.astype(jnp.uint8).reshape(c, TILE_W, TILE_W)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _knoll_plans(cols, pal, luma_pal):
-    """cols [M,3] i32 pixels; pal [M,S,3] i32 per-pixel palette;
-    luma_pal [M,S] i32. Returns sorted plans [M,64] i32 (palette indices,
-    luma-ascending)."""
-    s = cols.astype(jnp.int32)
+def _knoll_counts(cols, pal):
+    """cols [M,3] i32 pixels; pal [M,S,3] i32 per-pixel palette. Returns
+    [M,S] i32: how many of the 64 Knoll plan steps chose each palette index.
 
-    def step(e, _):
+    The luma-sorted plan (PlanCompareLuma, main.pas:1544-1555) is a
+    multiset ordered by each entry's palette luma, so it is fully
+    determined by these counts plus the palette's luma order — no [M,64]
+    plan buffer, no per-row argsort, no per-step gather. Tie divergence:
+    two DISTINCT palette entries with exactly equal weighted luma would
+    interleave by plan position in the reference but group by index here
+    (exact-duplicate entries are unaffected: the strict-< argmin always
+    picks the lowest duplicate index)."""
+    s = cols.astype(jnp.int32)
+    s_size = pal.shape[1]
+    iota = jnp.arange(s_size, dtype=jnp.int32)[None, :]
+
+    def step(carry, _):
+        e, counts = carry
         t = s + jax_div_trunc(e * 9, 100)
         pens = color_compare_i32(t[:, None, :], pal)  # [M,S]
         chosen = jnp.argmin(pens, axis=1)  # first min wins, as in Pascal
-        picked = jnp.take_along_axis(pal, chosen[:, None, None], axis=1)[:, 0]
+        oh = (iota == chosen[:, None])
+        picked = jnp.sum(pal * oh[..., None], axis=1)
         e = e + s - picked
-        return e, chosen
+        return (e, counts + oh.astype(jnp.int32)), None
 
     e0 = jnp.zeros_like(s)
-    _, plans = jax.lax.scan(step, e0, None, length=64)  # [64, M]
-    plans = plans.T  # [M, 64]
-    keys = jnp.take_along_axis(luma_pal, plans, axis=1)
-    order = jnp.argsort(keys, axis=1, stable=True)
-    return jnp.take_along_axis(plans, order, axis=1)
+    c0 = jnp.zeros((s.shape[0], s_size), jnp.int32)
+    (_, counts), _ = jax.lax.scan(step, (e0, c0), None, length=64)
+    return counts
+
+
+def _rank_select(counts, order, rank):
+    """Select sorted-plan entry at `rank` from per-index counts.
+
+    counts [..., S] i32 (sums to the plan length), order [..., S] i32
+    (palette indices luma-ascending), rank [...] i32. Entry r of the
+    sorted plan is the luma-rank j whose cumulative count range covers r:
+    j = #{ranks with inclusive-cumsum <= r}."""
+    cnt_sorted = jnp.take_along_axis(counts, order, axis=-1)
+    cum = jnp.cumsum(cnt_sorted, axis=-1)
+    j = jnp.sum((cum <= rank[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.take_along_axis(order, j[..., None], axis=-1)[..., 0]
 
 
 def knoll_dither_tiles(tiles_rgb, palettes_rgb, chunk: int = 16384):
@@ -164,19 +186,6 @@ def _yliluoma_plans(cols, pal, luma_pal, mixed_colors: int):
 
 
 @jax.jit
-def _knoll_plans_grouped(cols_u8, group_idx, group_pals_u8):
-    """Full sorted plans for unique (color, palette-group) rows with the
-    palette expansion done ON DEVICE: cols [U,3] u8, group_idx [U] i32,
-    group_pals [G,S,3] u8 -> [U,64] i32.
-
-    Transfer-lean: the tunnel ships U*3 bytes + U indices + one small
-    palette table instead of U*(3+S*4)*4 bytes of expanded int32 rows."""
-    pal = group_pals_u8[group_idx].astype(jnp.int32)  # [U,S,3]
-    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
-    return _knoll_plans(cols_u8.astype(jnp.int32), pal, luma)
-
-
-@jax.jit
 def _dedup_keys(tiles_u8, pal_group):
     """Pack (group<<24 | b<<16 | g<<8 | r) uint32 pixel keys and sort them.
 
@@ -204,28 +213,38 @@ def _compact_unique(skeys, u_cap: int):
 
 
 @jax.jit
-def _plans_from_keys(uniq_chunk, group_pals_u8):
-    """Unique u32 keys -> sorted Knoll plans [chunk, 64] u8, on device."""
+def _counts_from_keys(uniq_chunk, group_pals_u8):
+    """Unique u32 keys -> Knoll plan counts [chunk, S] u8, on device."""
     cols = jnp.stack([uniq_chunk & 0xff, (uniq_chunk >> 8) & 0xff,
                       (uniq_chunk >> 16) & 0xff], 1).astype(jnp.int32)
     grp = (uniq_chunk >> 24).astype(jnp.int32)
     g = jnp.minimum(grp, group_pals_u8.shape[0] - 1)  # sentinel rows clamp
     pal = group_pals_u8[g].astype(jnp.int32)
-    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
-    return _knoll_plans(cols, pal, luma).astype(jnp.uint8)
+    return _knoll_counts(cols, pal).astype(jnp.uint8)
 
 
 @jax.jit
-def _assign_plans(plans_u8, uniq, keys):
-    """Per-pixel Bayer-rank plan lookup: searchsorted into the unique keys
-    then gather — all on device; only [N,64] u8 returns to host."""
+def _assign_counts(counts_u8, uniq, keys, group_pals_u8):
+    """Per-pixel Bayer-rank selection from dedup'd plan counts: searchsorted
+    into the unique keys, gather each pixel's [S] counts, rank-select at its
+    Bayer position — all on device; only [N,64] u8 returns to host."""
+    n = keys.shape[0]
     inv = jnp.searchsorted(uniq, keys.reshape(-1)).reshape(keys.shape)
+    pal = group_pals_u8.astype(jnp.int32)
+    luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
+    order = jnp.argsort(luma, axis=1, stable=True)  # [G,S] tiny
+    grp = (keys[:, 0] >> 24).astype(jnp.int32)  # group is per tile
+    order_px = order[jnp.minimum(grp, pal.shape[0] - 1)][:, None, :]
+    cnt = counts_u8[inv].astype(jnp.int32)  # [N,64,S]
     bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
-    return plans_u8[inv, bayer[None, :]]
+    rank = jnp.broadcast_to(bayer[None, :], (n, 64))
+    return _rank_select(cnt, jnp.broadcast_to(order_px, cnt.shape),
+                        rank).astype(jnp.uint8)
 
 
 def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
-                              chunk: int = 262144):
+                              chunk: int = 262144,
+                              return_device: bool = False):
     """Knoll dithering with plan deduplication — the TPU equivalent of the
     reference's per-color plan caches (main.pas:2010-2053).
 
@@ -258,11 +277,25 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     plan_parts = []
     for lo in range(0, u_cap, chunk):
         hi = min(u_cap, lo + chunk)
-        plan_parts.append(_plans_from_keys(uniq[lo:hi], pals_d))
-    plans_dev = jnp.concatenate(plan_parts) if len(plan_parts) > 1 \
+        plan_parts.append(_counts_from_keys(uniq[lo:hi], pals_d))
+    counts_dev = jnp.concatenate(plan_parts) if len(plan_parts) > 1 \
         else plan_parts[0]
-    out = _assign_plans(plans_dev, uniq, keys)
-    return np.asarray(out).reshape(n, TILE_W, TILE_W)
+    # assign in pow2-padded tile chunks: the [C,64,S] gather intermediate
+    # stays bounded and shapes bucket (no per-size recompiles)
+    parts = []
+    tchunk = 65536
+    for lo in range(0, n, tchunk):
+        hi = min(n, lo + tchunk)
+        cp = _pad_pow2(hi - lo)
+        kchunk = keys[lo:hi]
+        if cp != hi - lo:
+            kchunk = jnp.pad(kchunk, ((0, cp - (hi - lo)), (0, 0)))
+        parts.append(_assign_counts(counts_dev, uniq, kchunk,
+                                    pals_d)[:hi - lo])
+    sel = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    if return_device:
+        return sel.reshape(n, TILE_W, TILE_W)
+    return np.asarray(sel).reshape(n, TILE_W, TILE_W)
 
 
 @functools.partial(jax.jit, static_argnames=('mixed_colors',))
@@ -292,7 +325,8 @@ def _assign_plans_yil(plans_u8, counts_u8, uniq, keys):
 
 def yliluoma_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
                                  mixed_colors: int = 4,
-                                 chunk: int = 131072):
+                                 chunk: int = 131072,
+                                 return_device: bool = False):
     """Yliluoma-2 dithering with plan deduplication per (palette, color) —
     the same treatment as knoll_dither_tiles_cached: mixing plans depend
     only on the palette and the source color (the reference caches them
@@ -326,6 +360,8 @@ def yliluoma_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     counts_dev = jnp.concatenate(count_parts) if len(count_parts) > 1 \
         else count_parts[0]
     out = _assign_plans_yil(plans_dev, counts_dev, uniq, keys)
+    if return_device:
+        return out.reshape(n, TILE_W, TILE_W)
     return np.asarray(out).reshape(n, TILE_W, TILE_W)
 
 

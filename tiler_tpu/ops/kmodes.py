@@ -314,6 +314,80 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
     return out
 
 
+def _winner_from(x, valid_n, labels, cents, k_pad: int):
+    """Per-cluster winner: member with the smallest dissimilarity to its
+    centroid, LAST index on ties (min_dissim_index_last semantics /
+    kmodes.pas:598-612), computed on device via two segment passes."""
+    xi = x.astype(jnp.int32)
+    ci = jnp.take(cents, labels, axis=0).astype(jnp.int32)
+    d = (jnp.sum((xi != ci).astype(jnp.int32), axis=1)
+         << DISSIM_SUB_MATCHING_BITS) + jnp.sum(jnp.abs(xi - ci), axis=1)
+    d = jnp.where(valid_n, d, _BIG)
+    dmin = jax.ops.segment_min(d, labels, num_segments=k_pad)
+    ismin = valid_n & (d == jnp.take(dmin, labels))
+    iota = jnp.arange(x.shape[0], dtype=jnp.int32)
+    return jax.ops.segment_max(jnp.where(ismin, iota, -1), labels,
+                               num_segments=k_pad)
+
+
+@functools.lru_cache(maxsize=32)
+def _batch_gather_solver(k_pad: int, n_modalities: int, max_iters: int):
+    """Cached jitted vmapped solve+winner (one compile per shape bucket)."""
+    def one(sigs, idx, valid_n, valid_k, s):
+        x = jnp.take(sigs, idx, axis=0)
+        labels, cents, _cost = _kmodes_padded(
+            x, valid_n, valid_k, s, k_pad, n_modalities, max_iters)
+        return labels, cents, _winner_from(x, valid_n, labels, cents, k_pad)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
+
+
+def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
+                        bins_k: list[int], bins_start: list[int],
+                        n_modalities: int, max_iters: int = 100):
+    """kmodes_batch against a DEVICE-resident signature matrix: bins are
+    host index arrays into sigs_dev's rows; the per-group padded inputs
+    are gathered on device (only int32 indices upload) and each solve also
+    returns the per-cluster winner row, so the [A,80] signatures never
+    reach the host.
+
+    Returns list of (labels [n_i] np, cents [k_i,A] np, winner [k_i] np
+    local member indices, -1 for empty clusters).
+    """
+    b = len(bins_sel)
+    if b == 0:
+        return []
+    out: list = [None] * b
+    order = sorted(range(b), key=lambda i: len(bins_sel[i]))
+    group_cap = 8
+    for gs in range(0, b, group_cap):
+        grp = order[gs:gs + group_cap]
+        n_pad = _next_pow2(max(max(len(bins_sel[i]) for i in grp), 8))
+        k_pad = _next_pow2(max(max(bins_k[i] for i in grp), 2))
+        g = len(grp)
+        idxmat = np.zeros((g, n_pad), np.int32)
+        vn = np.zeros((g, n_pad), bool)
+        vk = np.zeros((g, k_pad), bool)
+        starts = np.asarray([bins_start[i] for i in grp], np.int32)
+        for j, i in enumerate(grp):
+            sel = bins_sel[i]
+            idxmat[j, :len(sel)] = sel
+            vn[j, :len(sel)] = True
+            vk[j, :bins_k[i]] = True
+
+        labels, cents, winner = _batch_gather_solver(
+            k_pad, n_modalities, max_iters)(
+                sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
+                jnp.asarray(vk), jnp.asarray(starts))
+        labels = np.asarray(labels)
+        cents = np.asarray(cents)
+        winner = np.asarray(winner)
+        for j, i in enumerate(grp):
+            out[i] = (labels[j][:len(bins_sel[i])], cents[j][:bins_k[i]],
+                      winner[j][:bins_k[i]])
+    return out
+
+
 def min_dissim_index_last(rows: np.ndarray, target: np.ndarray) -> int:
     """GetMinMatchingDissim (kmodes.pas:598-612): index of the row with the
     smallest dissimilarity to target; ties take the LAST row (the asm scan

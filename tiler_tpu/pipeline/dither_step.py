@@ -155,6 +155,22 @@ def canonicalize_mirrors(tiles_pal: np.ndarray):
     return out, hf, vf
 
 
+def _canonicalize_mirrors_dev(tiles_u8):
+    """canonicalize_mirrors on device: [N,8,8] u8 -> (baked [N,8,8] u8,
+    mirror bits h|v<<1 [N] u8). Zero tiles pick quadrant 0 (no flip), so
+    running over the FULL tile array (inactive rows are zero) matches the
+    host path's act-only treatment."""
+    import jax.numpy as jnp
+    n = tiles_u8.shape[0]
+    q = tiles_u8.astype(jnp.int32).reshape(n, 2, 4, 2, 4).sum((2, 4))
+    best = jnp.argmax(q.reshape(n, 4), axis=1)  # first max wins
+    vf = (best >> 1).astype(bool)
+    hf = (best & 1).astype(bool)
+    t = jnp.where(hf[:, None, None], tiles_u8[:, :, ::-1], tiles_u8)
+    t = jnp.where(vf[:, None, None], t[:, ::-1, :], t)
+    return t, (hf.astype(jnp.uint8) | (vf.astype(jnp.uint8) << 1))
+
+
 def run_dither(state: EncoderState) -> EncoderState:
     import time
     cfg = state.config
@@ -184,33 +200,36 @@ def run_dither(state: EncoderState) -> EncoderState:
         cfg.use_thomas_knoll else functools.partial(
             dither.yliluoma_dither_tiles_cached,
             mixed_colors=cfg.yliluoma_mix)
-    dithered = np.empty((len(act), 8, 8), np.uint8)
     act_kf = tile_kf[act]
     tiles_dev = state.device_tiles_rgb()
+    n_total = state.n_tiles
+    buf = jnp.zeros((n_total, TILE_W, TILE_W), jnp.uint8)
     for k in range(len(state.keyframes)):
         rows = np.flatnonzero(act_kf == k)
         if rows.size == 0:
             continue
-        sel = tiles_dev[jnp.asarray(act[rows].astype(np.int32))]
-        dithered[rows] = dither_cached(
+        idx = jnp.asarray(act[rows].astype(np.int32))
+        sel = tiles_dev[idx]
+        dithered = dither_cached(
             sel, state.palettes_rgb[k],
-            jnp.asarray(dpi[rows].astype(np.int32)))
+            jnp.asarray(dpi[rows].astype(np.int32)), return_device=True)
+        buf = buf.at[idx].set(dithered)
     phases['dither'] = time.perf_counter() - t0
     state.metrics['dither_phases'] = {k: round(v, 3)
                                       for k, v in phases.items()}
 
-    baked, hf, vf = canonicalize_mirrors(dithered)
-    state.tiles_pal[act] = baked
+    # mirror canonicalization stays on device; only the 2-bit flags come
+    # down (the [N,8,8] tiles remain device-resident through MakeUnique /
+    # GlobalTiling; see state.tiles_pal property)
+    baked, mir_bits = _canonicalize_mirrors_dev(buf)
+    state.set_tiles_pal_device(baked)
+    mir = np.asarray(mir_bits)
 
     # tilemap: palette choice + effective mirrors (= baked flags, so the
     # decoder reconstructs the original orientation; see state.py docstring)
     f, th, tw = state.tm_tile.shape
     flat_tiles = state.tm_tile.reshape(-1)
     state.tm_pal = state.tile_dpi[flat_tiles].reshape(f, th, tw).copy()
-    hmap = np.zeros(state.n_tiles, bool)
-    vmap = np.zeros(state.n_tiles, bool)
-    hmap[act] = hf
-    vmap[act] = vf
-    state.tm_h = hmap[flat_tiles].reshape(f, th, tw)
-    state.tm_v = vmap[flat_tiles].reshape(f, th, tw)
+    state.tm_h = ((mir & 1) != 0)[flat_tiles].reshape(f, th, tw)
+    state.tm_v = ((mir & 2) != 0)[flat_tiles].reshape(f, th, tw)
     return state

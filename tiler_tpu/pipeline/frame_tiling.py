@@ -58,7 +58,8 @@ def build_global_dataset(state: EncoderState):
     if _expand_jit is None:
         _expand_jit = jax.jit(_expand_mirrors)
     act = np.flatnonzero(state.tile_active)
-    ds = _expand_jit(jnp.asarray(state.tiles_pal[act]))
+    ds = _expand_jit(state.device_tiles_pal()[jnp.asarray(
+        act.astype(np.int32))])
     tile_of = np.repeat(act, 4)
     attrs_of = np.tile(_ATTR_ORDER, len(act))
     return ds, tile_of, attrs_of
@@ -132,7 +133,7 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
     tiles = tile_of[dentry]
     attrs = attrs_of[dentry]
 
-    tiles_pal_d = jnp.asarray(state.tiles_pal) if tiles_pal_dev is None \
+    tiles_pal_d = state.device_tiles_pal() if tiles_pal_dev is None \
         else tiles_pal_dev  # uploaded once per encode by run_frame_tiling
     pals_d = jnp.asarray(state.palettes_rgb[k])
     global _chunk_feats_jit
@@ -214,7 +215,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     jax.block_until_ready(ds)
     phases['dataset'] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    tiles_pal_dev = jnp.asarray(state.tiles_pal)
+    tiles_pal_dev = state.device_tiles_pal()
     jax.block_until_ready(tiles_pal_dev)
     phases['upload'] = round(time.perf_counter() - t0, 3)
     residual = 0.0

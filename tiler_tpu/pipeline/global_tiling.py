@@ -108,6 +108,100 @@ def compute_global_tiling_fwd(tiles_pal: np.ndarray, tile_active: np.ndarray,
     return fwd, new_use, new_active, merges
 
 
+def _signatures_device_jit():
+    global _sig_dev_fn
+    if _sig_dev_fn is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=('palette_size',))
+        def kernel(tiles_u8, act_idx, palette_size: int):
+            flat = tiles_u8[act_idx].reshape(act_idx.shape[0], 64) \
+                .astype(jnp.int32)
+            zone_of = flat * KMODES_ZONE_COUNT // palette_size
+            acc = jnp.sum(
+                (zone_of[:, :, None] ==
+                 jnp.arange(KMODES_ZONE_COUNT)[None, None, :]
+                 ).astype(jnp.int32), axis=1)
+            thres = palette_size // KMODES_ZONE_COUNT
+            zones = (acc > thres).astype(jnp.uint8)
+            sigs = jnp.concatenate(
+                [flat.astype(jnp.uint8), zones], axis=1)
+            return sigs, jnp.sum(sigs.astype(jnp.int32), axis=1)
+
+        _sig_dev_fn = kernel
+    return _sig_dev_fn
+
+
+_sig_dev_fn = None
+
+
+def compute_global_tiling_fwd_device(state: EncoderState, cfg,
+                                     desired_tiles: int):
+    """Device-resident variant of compute_global_tiling_fwd: signatures,
+    KModes solves and per-cluster winner selection all run on device
+    against state's tiles_pal mirror; only labels/winners (small) come
+    down. Identical fwd/use/active results (tested vs the host path)."""
+    import jax.numpy as jnp
+    n = state.n_tiles
+    act = np.flatnonzero(state.tile_active)
+    a_pad = 1 << max(8, (act.size - 1).bit_length())
+    act_p = np.full(a_pad, n, np.int32)  # sentinel: clamps to last row
+    act_p[:act.size] = act
+    sigs_dev, sums_dev = _signatures_device_jit()(
+        state.device_tiles_pal(), jnp.asarray(act_p),
+        cfg.tile_palette_size)
+    sums = np.asarray(sums_dev)[:act.size].astype(np.int64)
+    dpi = state.tile_dpi[act]
+
+    bin_sizes = np.bincount(np.maximum(dpi, 0), minlength=cfg.palette_count)
+    eqtc = np.array([equal_quality_tile_count(s) for s in bin_sizes])
+    share = desired_tiles / max(eqtc.sum(), 1)
+    cluster_counts = np.ceil(eqtc * share).astype(np.int64)
+
+    jobs = []
+    for p in range(cfg.palette_count):
+        sel = np.flatnonzero(dpi == p)
+        n_bin, k = len(sel), int(cluster_counts[p])
+        if n_bin == 0 or n_bin <= k or k == 0:
+            continue
+        s = sums[sel]
+        mins = np.flatnonzero(s == s.min())
+        jobs.append(dict(sel=sel, k=k, start=int(mins[-1])))
+
+    from ..ops.kmodes import kmodes_batch_gather
+    solved = kmodes_batch_gather(
+        sigs_dev, [j['sel'].astype(np.int32) for j in jobs],
+        [j['k'] for j in jobs], [j['start'] for j in jobs],
+        cfg.tile_palette_size)
+
+    merges = 0
+    fwd = np.arange(n)
+    new_use = state.tile_use.copy()
+    new_active = state.tile_active.copy()
+    for job, (labels, _cents, winner) in zip(jobs, solved):
+        sel, k = job['sel'], job['k']
+        global_idx = act[sel]
+        members = np.bincount(labels, minlength=k)
+        merged = members >= 2
+        if not merged.any():
+            continue
+        win_global = np.where(winner >= 0, global_idx[winner], 0)
+        use_sum = np.bincount(labels, weights=new_use[global_idx],
+                              minlength=k).astype(np.int64)
+        is_loser = merged[labels] & (global_idx != win_global[labels])
+        losers = global_idx[is_loser]
+        fwd[losers] = win_global[labels[is_loser]]
+        new_use[win_global[merged]] += (use_sum
+                                        - new_use[win_global])[merged]
+        new_use[losers] = 0
+        new_active[losers] = False
+        merges += len(losers)
+    return fwd, new_use, new_active, merges
+
+
 def run_global_tiling(state: EncoderState,
                       desired_tiles: int | None = None,
                       gts_out: str | None = None) -> EncoderState:
@@ -121,9 +215,13 @@ def run_global_tiling(state: EncoderState,
             round(cfg.qb_tiles * equal_quality_tile_count(raw))
         desired_tiles = min(budget, raw)
 
-    fwd, new_use, new_active, merges = compute_global_tiling_fwd(
-        state.tiles_pal, state.tile_active, state.tile_use, state.tile_dpi,
-        cfg, desired_tiles)
+    if state._tiles_pal_dev is not None and state._tiles_pal_host is None:
+        fwd, new_use, new_active, merges = compute_global_tiling_fwd_device(
+            state, cfg, desired_tiles)
+    else:
+        fwd, new_use, new_active, merges = compute_global_tiling_fwd(
+            state.tiles_pal, state.tile_active, state.tile_use,
+            state.tile_dpi, cfg, desired_tiles)
     state.tile_use = new_use
     state.tile_active = new_active
     state.tm_tile = fwd[state.tm_tile].astype(np.int32)
@@ -180,6 +278,7 @@ def run_reload_tiling(state: EncoderState, gts_path: str) -> EncoderState:
             pool_sigs, pool_tiles = ds_sigs, scaled
         j = batch_match(sigs[rows], pool_sigs)
         state.tiles_pal[act[rows]] = pool_tiles[j]
+    state.drop_tiles_pal_dev()  # in-place host mutation above
 
     run_make_unique(state)
     return state

@@ -30,7 +30,14 @@ def run_reindex(state: EncoderState) -> EncoderState:
     order, idx_map = compute_reindex(use)
 
     state.tiles_rgb = state.tiles_rgb[order]
-    state.tiles_pal = state.tiles_pal[order]
+    if state._tiles_pal_dev is not None and state._tiles_pal_host is None:
+        # permute on device; the survivor set is small, so any later host
+        # access (save/render) syncs cheaply
+        import jax.numpy as jnp
+        state.set_tiles_pal_device(
+            state.device_tiles_pal()[jnp.asarray(order.astype(np.int32))])
+    else:
+        state.tiles_pal = state.tiles_pal[order]
     state.tile_use = use[order]
     state.tile_dpi = state.tile_dpi[order]
     state.tile_active = np.ones(len(order), bool)

@@ -115,7 +115,7 @@ def run_smooth(state: EncoderState) -> EncoderState:
     state.stm_smooth = np.zeros_like(state.tm_tile, bool)
 
     smoothed_cells = 0
-    tiles_dev = jnp.asarray(state.tiles_pal)  # reduced tileset, once
+    tiles_dev = state.device_tiles_pal()  # reduced tileset, resident
     for k, (s, e) in enumerate(state.keyframes):
         n_f = e - s + 1
         if n_f < 2:

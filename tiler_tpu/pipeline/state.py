@@ -54,7 +54,8 @@ class EncoderState:
     stm_smooth: Optional[np.ndarray] = None  # bool
 
     tiles_rgb: Optional[np.ndarray] = None
-    tiles_pal: Optional[np.ndarray] = None
+    _tiles_pal_host: Optional[np.ndarray] = None
+    _tiles_pal_dev: object = None  # jax array mirror (see tiles_pal property)
     tile_active: Optional[np.ndarray] = None
     tile_use: Optional[np.ndarray] = None
     tile_dpi: Optional[np.ndarray] = None    # DitheringPalIndex
@@ -78,6 +79,47 @@ class EncoderState:
                                'arr': jnp.asarray(self.tiles_rgb)}
         return self._dev_cache['arr']
 
+    # -- tiles_pal host/device residency ------------------------------------
+    # Between Dither and Reindex the dithered tiles stay ON DEVICE (the
+    # tunneled TPU's D2H bandwidth makes the [N,8,8] round trip the
+    # dominant cost, RESULTS.md); the host copy materializes lazily on
+    # first .tiles_pal access. Exactly one side is authoritative: the
+    # device mirror after set_tiles_pal_device(), the host array after the
+    # setter ran or the property materialized it. Code that MUTATES the
+    # host array in place must call drop_tiles_pal_dev() afterwards.
+
+    @property
+    def tiles_pal(self):
+        if self._tiles_pal_host is None and self._tiles_pal_dev is not None:
+            # np.array (copy): np.asarray of a jax array is read-only and
+            # several consumers mutate the host tiles in place
+            self._tiles_pal_host = np.array(self._tiles_pal_dev)
+        return self._tiles_pal_host
+
+    @tiles_pal.setter
+    def tiles_pal(self, value):
+        self._tiles_pal_host = value
+        self._tiles_pal_dev = None
+
+    def set_tiles_pal_device(self, arr) -> None:
+        """Make the device array authoritative (host copy is stale)."""
+        self._tiles_pal_dev = arr
+        self._tiles_pal_host = None
+
+    def drop_tiles_pal_dev(self) -> None:
+        """Invalidate the device mirror after in-place host mutation."""
+        if self._tiles_pal_host is None and self._tiles_pal_dev is not None:
+            self._tiles_pal_host = np.array(self._tiles_pal_dev)
+        self._tiles_pal_dev = None
+
+    def device_tiles_pal(self):
+        """tiles_pal resident on device; uploads (and caches) from host
+        when the host side is authoritative."""
+        import jax.numpy as jnp
+        if self._tiles_pal_dev is None:
+            self._tiles_pal_dev = jnp.asarray(self._tiles_pal_host)
+        return self._tiles_pal_dev
+
     @property
     def n_frames(self) -> int:
         return 0 if self.frames_rgb is None else len(self.frames_rgb)
@@ -96,7 +138,11 @@ class EncoderState:
 
     @property
     def n_tiles(self) -> int:
-        return 0 if self.tiles_pal is None else len(self.tiles_pal)
+        if self._tiles_pal_host is not None:
+            return len(self._tiles_pal_host)
+        if self._tiles_pal_dev is not None:
+            return self._tiles_pal_dev.shape[0]
+        return 0
 
     def active_tile_count(self) -> int:
         return int(self.tile_active.sum())

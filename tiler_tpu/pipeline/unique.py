@@ -16,9 +16,50 @@ allgathered global tileset (parallel.gop_exact).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .state import EncoderState
+
+
+@functools.lru_cache(maxsize=1)
+def _unique_fwd_dev_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kernel(tiles_u8, act_idx):
+        """Device dedup: gather the [A,64] active rows, lex-sort them as
+        16 big-endian u32 words (byte order == row byte order), group
+        equal rows, winner = lowest original tile index per group.
+
+        Returns fwd over the ACTIVE rows: fwd_act[i] = winning tile index
+        for active tile act_idx[i]."""
+        rows = tiles_u8[act_idx].reshape(act_idx.shape[0], 16, 4)
+        w = rows.astype(jnp.uint32)
+        words = (w[..., 0] << 24) | (w[..., 1] << 16) | \
+                (w[..., 2] << 8) | w[..., 3]  # [A,16]
+        # lexicographic sort as 16 LSD-radix passes of STABLE single-key
+        # sorts (a single 17-operand lax.sort comparator compiles
+        # pathologically slowly on TPU)
+        perm = jnp.arange(act_idx.shape[0], dtype=jnp.int32)
+        for i in reversed(range(16)):
+            _, perm = jax.lax.sort((jnp.take(words[:, i], perm), perm),
+                                   num_keys=1, is_stable=True)
+        sw = jnp.take(words, perm, axis=0)
+        sidx = jnp.take(act_idx, perm)
+        new = jnp.concatenate([
+            jnp.ones(1, bool),
+            jnp.any(sw[1:] != sw[:-1], axis=1)])
+        gid = jnp.cumsum(new.astype(jnp.int32)) - 1
+        a = act_idx.shape[0]
+        winner_of_group = jax.ops.segment_min(sidx, gid, num_segments=a)
+        winner_sorted = winner_of_group[gid]
+        # (tile index, its winner) pairs in sorted order; host scatters
+        return sidx, winner_sorted
+
+    return kernel
 
 
 def compute_unique_fwd(tiles_pal: np.ndarray, tile_active: np.ndarray,
@@ -49,12 +90,55 @@ def compute_unique_fwd(tiles_pal: np.ndarray, tile_active: np.ndarray,
     return fwd, new_use, new_active, losers
 
 
+def compute_unique_fwd_device(state: EncoderState):
+    """compute_unique_fwd against the device-resident tiles: the [A,64]
+    rows never leave the chip; only the (tile, winner) pairs come down."""
+    import jax.numpy as jnp
+    n = state.n_tiles
+    fwd = np.arange(n)
+    act = np.flatnonzero(state.tile_active)
+    if act.size == 0:
+        return fwd, state.tile_use.copy(), state.tile_active.copy(), act
+    # pow2-pad with sentinel index n: the gather clamps to the last row
+    # (duplicating its bytes — harmless, min-index winner still real) and
+    # the host scatter filters the sentinels out. Bounded compile count.
+    a_pad = 1 << max(8, (act.size - 1).bit_length())
+    act_p = np.full(a_pad, n, np.int32)
+    act_p[:act.size] = act
+    sidx, winner = _unique_fwd_dev_jit()(
+        state.device_tiles_pal(), jnp.asarray(act_p))
+    sidx = np.asarray(sidx)
+    winner = np.asarray(winner)
+    valid = sidx < n
+    fwd[sidx[valid]] = winner[valid]
+
+    tile_use = state.tile_use
+    new_use = tile_use.copy()
+    acc = np.bincount(fwd[act], weights=tile_use[act],
+                      minlength=n).astype(np.int64)
+    losers = act[fwd[act] != act]
+    new_use[act] = 0
+    new_use += acc
+    new_active = state.tile_active.copy()
+    new_active[losers] = False
+    return fwd, new_use, new_active, losers
+
+
 def run_make_unique(state: EncoderState) -> EncoderState:
-    fwd, new_use, new_active, losers = compute_unique_fwd(
-        state.tiles_pal, state.tile_active, state.tile_use)
+    if state._tiles_pal_dev is not None and state._tiles_pal_host is None:
+        fwd, new_use, new_active, losers = compute_unique_fwd_device(state)
+        if losers.size:
+            import jax.numpy as jnp
+            state.set_tiles_pal_device(
+                state.device_tiles_pal().at[jnp.asarray(
+                    losers.astype(np.int32))].set(0))
+    else:
+        fwd, new_use, new_active, losers = compute_unique_fwd(
+            state.tiles_pal, state.tile_active, state.tile_use)
+        state.tiles_pal[losers] = 0  # reference zeroes merged losers
+        state.drop_tiles_pal_dev()
     state.tile_use = new_use
     state.tile_active = new_active
-    state.tiles_pal[losers] = 0  # reference zeroes merged losers
 
     state.tm_tile = fwd[state.tm_tile].astype(np.int32)
     if state.stm_tile is not None:
