@@ -187,18 +187,25 @@ def _yliluoma_plans(cols, pal, luma_pal, mixed_colors: int):
 
 @jax.jit
 def _dedup_keys(tiles_u8, pal_group):
-    """Pack (group<<24 | b<<16 | g<<8 | r) uint32 pixel keys and sort them.
+    """Pack (group<<24 | b<<16 | g<<8 | r) uint32 pixel keys, sort them
+    with pixel positions as payload, and emit the sort-join inverse map.
 
-    Returns (keys [N*64] u32 per pixel, sorted keys, unique count)."""
+    Returns (keys [N,64] u32, sorted keys, inv [N*64] i32 = position of
+    each pixel's key among the uniques, unique count). Producing inv here
+    costs one scatter; a separate searchsorted over [N*64] queries fused
+    into the assign kernel ran ~180ms at 1.2M pixels."""
     t = tiles_u8.astype(jnp.uint32)
     n = t.shape[0]
     keys = (t[..., 0] | (t[..., 1] << 8) | (t[..., 2] << 16)).reshape(n, 64)
     keys = keys | (pal_group.astype(jnp.uint32)[:, None] << 24)
     flat = keys.reshape(-1)
-    skeys = jnp.sort(flat)
+    skeys, spos = jax.lax.sort(
+        (flat, jnp.arange(flat.shape[0], dtype=jnp.int32)), num_keys=1)
     newgrp = jnp.concatenate(
         [jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
-    return keys, skeys, jnp.sum(newgrp.astype(jnp.int32))
+    gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    inv = jnp.zeros(flat.shape[0], jnp.int32).at[spos].set(gid)
+    return keys, skeys, inv, gid[-1] + 1
 
 
 @functools.partial(jax.jit, static_argnames=('u_cap',))
@@ -224,22 +231,42 @@ def _counts_from_keys(uniq_chunk, group_pals_u8):
 
 
 @jax.jit
-def _assign_counts(counts_u8, uniq, keys, group_pals_u8):
-    """Per-pixel Bayer-rank selection from dedup'd plan counts: searchsorted
-    into the unique keys, gather each pixel's [S] counts, rank-select at its
-    Bayer position — all on device; only [N,64] u8 returns to host."""
+def _assign_counts(counts_u8, inv, keys, group_pals_u8):
+    """Per-pixel Bayer-rank selection from dedup'd plan counts: gather
+    each pixel's [S] counts by its precomputed unique position (inv from
+    _dedup_keys' sort-join), rank-select at its Bayer position — all on
+    device; only [N,64] u8 returns to host.
+
+    The selection is GATHER-FREE past the row gather: sorted-plan entry r
+    is the unique palette index t whose luma-ordered cumulative-count
+    window covers r, and the cumulative counts C[:, :, t] come from one
+    batched [64,S]x[S,S] matmul against the group's rank-comparison matrix
+    (take_along_axis along the minor dim lowers to per-element dynamic
+    indexing on TPU — ~500ms for this shape; the matmul form is ~100x
+    faster)."""
     n = keys.shape[0]
-    inv = jnp.searchsorted(uniq, keys.reshape(-1)).reshape(keys.shape)
+    s_size = counts_u8.shape[1]
+    cnt = counts_u8[inv].astype(jnp.float32).reshape(n, 64, s_size)
     pal = group_pals_u8.astype(jnp.int32)
     luma = (pal[..., 0] * 2126 + pal[..., 1] * 7152 + pal[..., 2] * 722)
     order = jnp.argsort(luma, axis=1, stable=True)  # [G,S] tiny
-    grp = (keys[:, 0] >> 24).astype(jnp.int32)  # group is per tile
-    order_px = order[jnp.minimum(grp, pal.shape[0] - 1)][:, None, :]
-    cnt = counts_u8[inv].astype(jnp.int32)  # [N,64,S]
-    bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
-    rank = jnp.broadcast_to(bayer[None, :], (n, 64))
-    return _rank_select(cnt, jnp.broadcast_to(order_px, cnt.shape),
-                        rank).astype(jnp.uint8)
+    g = pal.shape[0]
+    rank = jnp.zeros((g, s_size), jnp.int32).at[
+        jnp.arange(g)[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(s_size, dtype=jnp.int32)[None, :],
+                         (g, s_size)))
+    # R[g, t, s] = 1 if index s sorts at-or-before index t in luma order
+    R = (rank[:, None, :] <= rank[:, :, None]).astype(jnp.float32)
+    grp = jnp.minimum((keys[:, 0] >> 24).astype(jnp.int32), g - 1)
+    Rg = R[grp]  # [n,S,S] row gather (fast)
+    C = jnp.einsum('nps,nts->npt', cnt, Rg,
+                   preferred_element_type=jnp.float32)  # cumulative counts
+    low = C - cnt  # window start of index t (counts are exact in f32)
+    r = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.float32))
+    hit = (low <= r[None, :, None]) & (r[None, :, None] < C)
+    iota = jnp.arange(s_size, dtype=jnp.int32)
+    sel = jnp.sum(jnp.where(hit, iota[None, None, :], 0), axis=-1)
+    return sel.astype(jnp.uint8)
 
 
 def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
@@ -268,7 +295,7 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
         else jnp.asarray(np.asarray(tiles_rgb))
     group_d = pal_group if isinstance(pal_group, jnp.ndarray) \
         else jnp.asarray(np.asarray(pal_group, np.int32))
-    keys, skeys, count = _dedup_keys(tiles_d, group_d)
+    keys, skeys, inv, count = _dedup_keys(tiles_d, group_d)
     u = int(count)  # one scalar sync
     u_cap = _pad_pow2(u, minimum=256)
     uniq = _compact_unique(skeys, u_cap)
@@ -283,14 +310,17 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     # assign in pow2-padded tile chunks: the [C,64,S] gather intermediate
     # stays bounded and shapes bucket (no per-size recompiles)
     parts = []
+    inv2d = inv.reshape(n, 64)
     tchunk = 65536
     for lo in range(0, n, tchunk):
         hi = min(n, lo + tchunk)
         cp = _pad_pow2(hi - lo)
         kchunk = keys[lo:hi]
+        ichunk = inv2d[lo:hi].reshape(-1)
         if cp != hi - lo:
             kchunk = jnp.pad(kchunk, ((0, cp - (hi - lo)), (0, 0)))
-        parts.append(_assign_counts(counts_dev, uniq, kchunk,
+            ichunk = jnp.pad(ichunk, (0, (cp - (hi - lo)) * 64))
+        parts.append(_assign_counts(counts_dev, ichunk, kchunk,
                                     pals_d)[:hi - lo])
     sel = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     if return_device:
@@ -313,14 +343,19 @@ def _yil_plans_from_keys(uniq_chunk, group_pals_u8, mixed_colors: int):
 
 
 @jax.jit
-def _assign_plans_yil(plans_u8, counts_u8, uniq, keys):
-    """Per-pixel Yliluoma pick list[(bayer*count)>>6] via searchsorted
-    into the unique keys — all on device."""
-    inv = jnp.searchsorted(uniq, keys.reshape(-1)).reshape(keys.shape)
+def _assign_plans_yil(plans_u8, counts_u8, inv2d):
+    """Per-pixel Yliluoma pick list[(bayer*count)>>6] from the sort-join
+    inverse — all on device. The minor-dim plan pick is a one-hot
+    compare+sum (take_along_axis on the minor dim lowers to per-element
+    dynamic indexing on TPU)."""
     bayer = jnp.asarray(DITHERING_MAP.reshape(-1).astype(np.int32))
-    counts = counts_u8[inv].astype(jnp.int32)
+    counts = counts_u8[inv2d].astype(jnp.int32)
     mv = (bayer[None, :] * counts) >> 6
-    return plans_u8[inv, mv]
+    rows = plans_u8[inv2d].astype(jnp.int32)  # [N,64,L]
+    lbuf = rows.shape[-1]
+    oh = (jnp.arange(lbuf, dtype=jnp.int32)[None, None, :] ==
+          mv[..., None])
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1).astype(jnp.uint8)
 
 
 def yliluoma_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
@@ -343,7 +378,7 @@ def yliluoma_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
         else jnp.asarray(np.asarray(tiles_rgb))
     group_d = pal_group if isinstance(pal_group, jnp.ndarray) \
         else jnp.asarray(np.asarray(pal_group, np.int32))
-    keys, skeys, count = _dedup_keys(tiles_d, group_d)
+    keys, skeys, inv, count = _dedup_keys(tiles_d, group_d)
     u = int(count)  # one scalar sync
     u_cap = _pad_pow2(u, minimum=256)
     uniq = _compact_unique(skeys, u_cap)
@@ -359,7 +394,7 @@ def yliluoma_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
         else plan_parts[0]
     counts_dev = jnp.concatenate(count_parts) if len(count_parts) > 1 \
         else count_parts[0]
-    out = _assign_plans_yil(plans_dev, counts_dev, uniq, keys)
+    out = _assign_plans_yil(plans_dev, counts_dev, inv.reshape(n, 64))
     if return_device:
         return out.reshape(n, TILE_W, TILE_W)
     return np.asarray(out).reshape(n, TILE_W, TILE_W)
