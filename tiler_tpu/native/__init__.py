@@ -33,7 +33,8 @@ def _needs_build() -> bool:
 def _build() -> None:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES
             if os.path.exists(os.path.join(_DIR, s))]
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
+    cmd = ['g++', '-O3', '-march=native', '-fno-math-errno',
+           '-shared', '-fPIC', '-std=c++17',
            '-o', _SO_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
 

@@ -162,17 +162,34 @@ int reduce_entries(Table& t, int quant_to, uint8_t* out_pal, int max_out) {
   return tot < max_out ? tot : max_out;
 }
 
-void histogram(const uint8_t* rgb, int64_t n_pixels, int lookup_bpc,
-               std::vector<int64_t>& hr, std::vector<int64_t>& hg,
-               std::vector<int64_t>& hb, std::vector<int64_t>& hc) {
+// Sort-based histogram: bins in ascending bin-index order (identical to a
+// dense-array sweep) without allocating+zeroing the 4x8B x 2^(3*bpc)
+// dense tables (~64MB of memset per call at bpc=7 — it dominated the
+// per-palette cost for typical pixel counts). Each pixel packs to
+// bin_index<<24 | r<<16 | g<<8 | b in a u64; one sort + one run scan.
+void histogram_into_table(const uint8_t* rgb, int64_t n_pixels,
+                          int lookup_bpc, Table& t) {
   const int mbpc = (1 << lookup_bpc) - 1;
+  std::vector<uint64_t> keys(static_cast<size_t>(n_pixels));
   for (int64_t i = 0; i < n_pixels; i++) {
-    int r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
-    size_t idx = size_t(b * mbpc / 255) |
-                 (size_t(g * mbpc / 255) << lookup_bpc) |
-                 (size_t(r * mbpc / 255) << (lookup_bpc * 2));
-    hr[idx] += r; hg[idx] += g; hb[idx] += b; hc[idx]++;
+    uint64_t r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
+    uint64_t idx = (b * mbpc / 255) | ((g * mbpc / 255) << lookup_bpc) |
+                   ((r * mbpc / 255) << (lookup_bpc * 2));
+    keys[size_t(i)] = (idx << 24) | (r << 16) | (g << 8) | b;
   }
+  std::sort(keys.begin(), keys.end());
+  int64_t rs = 0, gs = 0, bs = 0, c = 0;
+  uint64_t bin = keys[0] >> 24;
+  for (size_t i = 0; i < keys.size(); i++) {
+    uint64_t k = keys[i];
+    if ((k >> 24) != bin) {
+      t.push(rs, gs, bs, c);
+      rs = gs = bs = c = 0;
+      bin = k >> 24;
+    }
+    rs += (k >> 16) & 0xff; gs += (k >> 8) & 0xff; bs += k & 0xff; c++;
+  }
+  t.push(rs, gs, bs, c);
 }
 
 }  // namespace
@@ -184,15 +201,8 @@ int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
   std::memset(out_pal, 0, size_t(quant_to) * 3);
   if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
 
-  const size_t n_bins = size_t(1) << (lookup_bpc * 3);
-  std::vector<int64_t> hr(n_bins, 0), hg(n_bins, 0), hb(n_bins, 0),
-      hc(n_bins, 0);
-  histogram(rgb, n_pixels, lookup_bpc, hr, hg, hb, hc);
-
   Table t;
-  for (size_t i = 0; i < n_bins; i++) {
-    if (hc[i]) t.push(hr[i], hg[i], hb[i], hc[i]);
-  }
+  histogram_into_table(rgb, n_pixels, lookup_bpc, t);
   return reduce_entries(t, quant_to, out_pal, quant_to);
 }
 
@@ -206,15 +216,8 @@ int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
   std::memset(out_pal, 0, size_t(quant_to) * 3);
   if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
 
-  const size_t n_bins = size_t(1) << (lookup_bpc * 3);
-  std::vector<int64_t> hr(n_bins, 0), hg(n_bins, 0), hb(n_bins, 0),
-      hc(n_bins, 0);
-  histogram(rgb, n_pixels, lookup_bpc, hr, hg, hb, hc);
-
   Table t;
-  for (size_t i = 0; i < n_bins; i++) {
-    if (hc[i]) t.push(hr[i], hg[i], hb[i], hc[i]);
-  }
+  histogram_into_table(rgb, n_pixels, lookup_bpc, t);
 
   if (cap > 0 && t.size() > cap) {
     // order bins by count desc (stable: bin-index asc); keep the head
