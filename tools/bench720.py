@@ -1,0 +1,52 @@
+"""720p encode benchmark — the scale point between the CIF bench and the
+reference's 1080p cap (ReframeUI, /root/reference/main.pas:1931-1964).
+
+Synthetic 1280x720 x 24 frames (same generator as bench.py), reference
+default quality point: 128 palettes x 16 colors, Knoll dithering, FT
+Medium. Prints one JSON line with wall time, fps and per-step times.
+
+Settings are pinned here so cross-session numbers stay comparable; the
+round-1 worklist numbers (1587s -> 384s) predate this script and used the
+same shape but an unrecorded palette count.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+from bench import synthetic_clip  # noqa: E402
+
+F, H, W = 24, 720, 1280
+
+
+def main():
+    import numpy as np
+
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    frames = synthetic_clip(F, H, W)
+    cfg = EncoderConfig(palette_count=128, tile_palette_size=16)
+    enc = Encoder(cfg)
+    t0 = time.perf_counter()
+    blob = enc.run_all(frames, fps=24.0, fast_lzma=True)
+    dt = time.perf_counter() - t0
+
+    dec = decode_video(blob)
+    mse = np.mean((dec.astype(np.float64) - frames.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / mse) if mse else 99.0
+    print(json.dumps({
+        'metric': 'encode_720p24_wall_s',
+        'value': round(dt, 1),
+        'fps': round(F / dt, 4),
+        'psnr': round(float(psnr), 3),
+        'gtm_bytes': len(blob),
+        'step_times': {k: round(v, 1)
+                       for k, v in enc.state.step_times.items()},
+    }))
+
+
+if __name__ == '__main__':
+    main()
