@@ -113,16 +113,17 @@ def _masked_dissim(x, c, valid_k, n_modalities=None):
 
 
 def make_dissim_fn(x, valid_k, n_modalities):
-    """Returns cents -> [n,k] masked dissim with the POINT-side encodings
-    precomputed once (they are iteration-invariant; re-materializing the
-    [n, A*M] one-hots every while_loop step dominated the assign cost).
+    """Returns (cents -> [n,k] masked dissim, ex one-hot or None) with the
+    POINT-side encodings precomputed once (they are iteration-invariant;
+    re-materializing the [n, A*M] one-hots every while_loop step dominated
+    the assign cost).
 
     Encodings are bf16 — exact for 0/1 values, and the MXU accumulates
     bf16 products into f32 (preferred_element_type), so every dot is an
     exact integer (max 80*16=1280 << 2^24). Falls back to the broadcast
     form for large modality counts."""
     if n_modalities is None or n_modalities > 32:
-        return lambda cents: _masked_dissim(x, cents, valid_k, None)
+        return (lambda cents: _masked_dissim(x, cents, valid_k, None)), None
 
     n, a = x.shape
     m = n_modalities
@@ -147,7 +148,7 @@ def make_dissim_fn(x, valid_k, n_modalities):
         d = (ham * (1 << DISSIM_SUB_MATCHING_BITS) + l1).astype(jnp.int32)
         return jnp.where(valid_k[None, :], d, _BIG)
 
-    return dissim
+    return dissim, ex
 
 
 def _farthest_first(x, k_pad, valid_n, start_point):
@@ -186,7 +187,7 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
     w = valid_n.astype(jnp.float32)
 
     cents = _farthest_first(x, k_pad, valid_n, start_point)
-    dissim_to = make_dissim_fn(x, valid_k, n_modalities)
+    dissim_to, ex_onehot = make_dissim_fn(x, valid_k, n_modalities)
 
     def assign(cents):
         d = dissim_to(cents)
@@ -195,17 +196,27 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
         return lab, cost
 
     def update(cents, labels):
-        # per-(cluster, attribute) category frequencies via one flat
-        # segment-sum — no [n,A,M] one-hot cube in memory
-        ids = ((labels[:, None] * a + jnp.arange(a)[None, :])
-               * n_modalities + x.astype(jnp.int32))
-        weights = jnp.broadcast_to(w[:, None], (n, a)).ravel()
-        counts = jax.ops.segment_sum(
-            weights, ids.ravel(),
-            num_segments=k_pad * a * n_modalities
-        ).reshape(k_pad, a, n_modalities)
+        # per-(cluster, attribute) category frequencies. With the point
+        # one-hots already resident (bf16 [n, A*M]) this is ONE MXU
+        # matmul lab1h.T @ ex — exact f32 integers — instead of a
+        # scatter-add segment_sum, which serializes on TPU and dominated
+        # the vmapped solve (~0.5s/iteration at 128x4096 points).
+        lab1h = ((labels[:, None] == jnp.arange(k_pad)[None, :]) &
+                 valid_n[:, None])
+        if ex_onehot is not None:
+            counts = jnp.dot(lab1h.astype(jnp.bfloat16).T, ex_onehot,
+                             preferred_element_type=jnp.float32
+                             ).reshape(k_pad, a, n_modalities)
+        else:
+            ids = ((labels[:, None] * a + jnp.arange(a)[None, :])
+                   * n_modalities + x.astype(jnp.int32))
+            weights = jnp.broadcast_to(w[:, None], (n, a)).ravel()
+            counts = jax.ops.segment_sum(
+                weights, ids.ravel(),
+                num_segments=k_pad * a * n_modalities
+            ).reshape(k_pad, a, n_modalities)
         new_c = jnp.argmax(counts, axis=-1).astype(jnp.uint8)  # [k,A]
-        members = jax.ops.segment_sum(w, labels, num_segments=k_pad)
+        members = jnp.sum(lab1h.astype(jnp.float32), axis=0)
         empty = (members == 0) & valid_k
         # re-seed empty clusters with the currently worst-fit point
         d_own = jnp.sum(
@@ -285,32 +296,30 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
         return []
     a = bins_x[0].shape[1]
     out: list = [None] * b
-    # group size-sorted bins so each vmapped batch pads to a similar n;
-    # cap the group so the one-hot matmul working set stays bounded
-    order = sorted(range(b), key=lambda i: len(bins_x[i]))
-    group_cap = 8
-    for gs in range(0, b, group_cap):
-        grp = order[gs:gs + group_cap]
-        n_pad = _next_pow2(max(max(len(bins_x[i]) for i in grp), 8))
-        k_pad = _next_pow2(max(max(bins_k[i] for i in grp), 2))
-        g = len(grp)
-        xs = np.zeros((g, n_pad, a), np.uint8)
-        vn = np.zeros((g, n_pad), bool)
-        vk = np.zeros((g, k_pad), bool)
-        starts = np.asarray([bins_start[i] for i in grp], np.int32)
-        for j, i in enumerate(grp):
-            xs[j, :len(bins_x[i])] = bins_x[i]
-            vn[j, :len(bins_x[i])] = True
-            vk[j, :bins_k[i]] = True
+    # pow2 size buckets: one compiled super-shape per bucket (see
+    # _size_buckets)
+    for bucket in _size_buckets(bins_x, bins_k):
+        n_pad, k_pad, g, lane_chunks = bucket['shape']
         solver = jax.vmap(
             lambda x, valid_n, valid_k, s: _kmodes_padded(
                 x, valid_n, valid_k, s, k_pad, n_modalities, max_iters))
-        labels, cents, _cost = solver(jnp.asarray(xs), jnp.asarray(vn),
-                                      jnp.asarray(vk), jnp.asarray(starts))
-        labels = np.asarray(labels)
-        cents = np.asarray(cents)
-        for j, i in enumerate(grp):
-            out[i] = (labels[j][:len(bins_x[i])], cents[j][:bins_k[i]])
+        for lanes in lane_chunks:
+            xs = np.zeros((g, n_pad, a), np.uint8)
+            vn = np.zeros((g, n_pad), bool)
+            vk = np.zeros((g, k_pad), bool)
+            starts = np.zeros(g, np.int32)
+            for j, i in enumerate(lanes):
+                xs[j, :len(bins_x[i])] = bins_x[i]
+                vn[j, :len(bins_x[i])] = True
+                vk[j, :bins_k[i]] = True
+                starts[j] = bins_start[i]
+            labels, cents, _cost = solver(jnp.asarray(xs), jnp.asarray(vn),
+                                          jnp.asarray(vk),
+                                          jnp.asarray(starts))
+            labels = np.asarray(labels)
+            cents = np.asarray(cents)
+            for j, i in enumerate(lanes):
+                out[i] = (labels[j][:len(bins_x[i])], cents[j][:bins_k[i]])
     return out
 
 
@@ -353,39 +362,66 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
 
     Returns list of (labels [n_i] np, cents [k_i,A] np, winner [k_i] np
     local member indices, -1 for empty clusters).
+
+    ALL bins solve in ONE vmapped call at a single (n_pad, k_pad)
+    super-shape: per-iteration compute is small (one [n,1280]x[1280,k]
+    bf16 matmul per lane), but every distinct shape bucket costs a full
+    XLA compile — through the tunneled TPU those compiles dominated the
+    720p GlobalTiling step, so one shape per encode beats tighter
+    padding.
     """
     b = len(bins_sel)
     if b == 0:
         return []
     out: list = [None] * b
-    order = sorted(range(b), key=lambda i: len(bins_sel[i]))
-    group_cap = 8
-    for gs in range(0, b, group_cap):
-        grp = order[gs:gs + group_cap]
-        n_pad = _next_pow2(max(max(len(bins_sel[i]) for i in grp), 8))
-        k_pad = _next_pow2(max(max(bins_k[i] for i in grp), 2))
-        g = len(grp)
-        idxmat = np.zeros((g, n_pad), np.int32)
-        vn = np.zeros((g, n_pad), bool)
-        vk = np.zeros((g, k_pad), bool)
-        starts = np.asarray([bins_start[i] for i in grp], np.int32)
-        for j, i in enumerate(grp):
-            sel = bins_sel[i]
-            idxmat[j, :len(sel)] = sel
-            vn[j, :len(sel)] = True
-            vk[j, :bins_k[i]] = True
-
-        labels, cents, winner = _batch_gather_solver(
-            k_pad, n_modalities, max_iters)(
-                sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
-                jnp.asarray(vk), jnp.asarray(starts))
-        labels = np.asarray(labels)
-        cents = np.asarray(cents)
-        winner = np.asarray(winner)
-        for j, i in enumerate(grp):
-            out[i] = (labels[j][:len(bins_sel[i])], cents[j][:bins_k[i]],
-                      winner[j][:bins_k[i]])
+    for bucket in _size_buckets(bins_sel, bins_k):
+        n_pad, k_pad, g, lane_chunks = bucket['shape']
+        for lanes in lane_chunks:
+            idxmat = np.zeros((g, n_pad), np.int32)
+            vn = np.zeros((g, n_pad), bool)
+            vk = np.zeros((g, k_pad), bool)
+            starts = np.zeros(g, np.int32)
+            for j, i in enumerate(lanes):
+                sel = bins_sel[i]
+                idxmat[j, :len(sel)] = sel
+                vn[j, :len(sel)] = True
+                vk[j, :bins_k[i]] = True
+                starts[j] = bins_start[i]
+            labels, cents, winner = _batch_gather_solver(
+                k_pad, n_modalities, max_iters)(
+                    sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
+                    jnp.asarray(vk), jnp.asarray(starts))
+            labels = np.asarray(labels)
+            cents = np.asarray(cents)
+            winner = np.asarray(winner)
+            for j, i in enumerate(lanes):
+                out[i] = (labels[j][:len(bins_sel[i])],
+                          cents[j][:bins_k[i]], winner[j][:bins_k[i]])
     return out
+
+
+def _size_buckets(bins_x, bins_k, floor: int = 4096,
+                  point_budget: int = 1 << 20):
+    """Group bins into pow2 size buckets (floor 4096): each bucket solves
+    at ONE (n_pad, k_pad, g_pad) super-shape, so compile count stays small
+    (<= ~3 shapes per encode) while the many median-size bins stop paying
+    the biggest bin's padding (5x+ padded-point waste at 720p). Lane
+    counts pad to pow2 with dummy lanes; big buckets chunk to a padded-
+    point budget."""
+    buckets: dict[int, list[int]] = {}
+    for i, xrow in enumerate(bins_x):
+        n_pad = max(floor, _next_pow2(max(len(xrow), 8)))
+        buckets.setdefault(n_pad, []).append(i)
+    for n_pad in sorted(buckets):
+        members = buckets[n_pad]
+        k_pad = _next_pow2(max(max(bins_k[i] for i in members), 2))
+        g_cap = max(1, point_budget // n_pad)
+        lane_chunks = [members[lo:lo + g_cap]
+                       for lo in range(0, len(members), g_cap)]
+        g = _next_pow2(max(len(c) for c in lane_chunks)) \
+            if len(lane_chunks) == 1 else g_cap
+        g = min(g, max(1, point_budget // n_pad))
+        yield dict(shape=(n_pad, k_pad, g, lane_chunks))
 
 
 def min_dissim_index_last(rows: np.ndarray, target: np.ndarray) -> int:

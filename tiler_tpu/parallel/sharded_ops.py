@@ -205,7 +205,7 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
 
         cents, _ = jax.lax.fori_loop(1, k_pad, ff_body, (cents, mind))
         cents = cents.astype(jnp.uint8)
-        dissim_to = make_dissim_fn(x_loc, valid_k, n_modalities)
+        dissim_to, _ex = make_dissim_fn(x_loc, valid_k, n_modalities)
 
         def assign(cents):
             d = dissim_to(cents)

@@ -34,7 +34,7 @@ def main():
     blob = enc.run_all(frames, fps=24.0, fast_lzma=True)
     dt = time.perf_counter() - t0
 
-    dec = decode_video(blob)
+    dec, _stream = decode_video(blob)
     mse = np.mean((dec.astype(np.float64) - frames.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / mse) if mse else 99.0
     print(json.dumps({
