@@ -63,7 +63,7 @@ def prepare_dither_keyframe(state: EncoderState, k: int) -> None:
         n_pad = features.pad_pow2(len(cell_tiles))
         idx = np.zeros(n_pad, np.int32)
         idx[:len(cell_tiles)] = cell_tiles
-        feats = gather_feats(state.device_tiles_rgb(), jnp.asarray(idx),
+        feats = gather_feats(state.device_source_tiles(), jnp.asarray(idx),
                              _dithering_gamma(cfg), True,
                              cfg.use_wavelets)[:len(cell_tiles)]
         labels, cents, _ = kmeans(feats, cfg.palette_count)
@@ -201,7 +201,7 @@ def run_dither(state: EncoderState) -> EncoderState:
             dither.yliluoma_dither_tiles_cached,
             mixed_colors=cfg.yliluoma_mix)
     act_kf = tile_kf[act]
-    tiles_dev = state.device_tiles_rgb()
+    tiles_dev = state.device_source_tiles()
     n_total = state.n_tiles
     buf = jnp.zeros((n_total, TILE_W, TILE_W), jnp.uint8)
     for k in range(len(state.keyframes)):

@@ -23,7 +23,6 @@ import numpy as np
 from ..config import FTQuality
 from ..constants import TILE_W
 from ..ops import features, knn
-from .load import split_into_tiles
 from .state import EncoderState
 
 _ATTR_ORDER = np.array([0, 1, 3, 2], np.int32)  # h|v<<1 per dataset slot
@@ -247,19 +246,23 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
                                  jnp.float32)])
         cands3d = feats.reshape(n_chunks, c_chunk, -1)
 
-        # stage 3: fused per-chunk query features + 1-NN assignment
-        src_tiles = split_into_tiles(state.frames_rgb[s:e + 1],
-                                     state.tilemap_h, state.tilemap_w)
-        n_q = len(src_tiles)
+        # stage 3: fused per-chunk query features + 1-NN assignment. The
+        # query tiles are device slices of the identity source-tile tensor
+        # (one frames upload per encode) — no per-chunk H2D traffic.
+        src_all = state.device_source_tiles()
+        base = s * state.tilemap_size
+        n_q = (e - s + 1) * state.tilemap_size
         best_idx = np.empty(n_q, np.int32)
         best_err = np.empty(n_q, np.float32)
         qchunk = 16384
         for lo in range(0, n_q, qchunk):
             hi = min(n_q, lo + qchunk)
             qp = features.pad_pow2(hi - lo)
-            buf = np.zeros((qp, 8, 8, 3), np.uint8)
-            buf[:hi - lo] = src_tiles[lo:hi]
-            idx, err = _query_assign(jnp.asarray(buf), cands3d,
+            buf = src_all[base + lo:base + hi]
+            if qp != hi - lo:
+                buf = jnp.pad(buf, ((0, qp - (hi - lo)), (0, 0), (0, 0),
+                                    (0, 0)))
+            idx, err = _query_assign(buf, cands3d,
                                      _ft_gamma(cfg), cfg.use_wavelets)
             best_idx[lo:hi] = np.asarray(idx)[:hi - lo]
             best_err[lo:hi] = np.asarray(err)[:hi - lo]

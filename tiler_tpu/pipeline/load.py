@@ -141,7 +141,11 @@ def run_load(state: EncoderState, frames: np.ndarray,
     state.tm_h = np.zeros((f, th, tw), bool)
     state.tm_v = np.zeros((f, th, tw), bool)
 
-    state.keyframes = detect_keyframes(state.fs_pixels, th * tw)
+    # correlations read the device frames (single upload, reused by the
+    # dither gathers and FrameTiling queries via device_source_tiles)
+    kf_src = state.device_frames() if BITS_PER_COMP >= 8 else \
+        state.fs_pixels
+    state.keyframes = detect_keyframes(kf_src, th * tw)
     k = len(state.keyframes)
     state.palettes_rgb = np.zeros(
         (k, cfg.palette_count, cfg.tile_palette_size, 3), np.uint8)

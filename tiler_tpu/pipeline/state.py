@@ -32,6 +32,8 @@ import numpy as np
 from ..config import EncoderConfig
 from ..constants import TILE_W
 
+_split_tiles_jit = None
+
 
 @dataclasses.dataclass
 class EncoderState:
@@ -67,17 +69,54 @@ class EncoderState:
     step_times: dict = dataclasses.field(default_factory=dict)
     metrics: dict = dataclasses.field(default_factory=dict)
     _dev_cache: dict = dataclasses.field(default_factory=dict, repr=False)
+    _frames_dev_cache: dict = dataclasses.field(default_factory=dict,
+                                                repr=False)
+    _src_tiles_cache: dict = dataclasses.field(default_factory=dict,
+                                               repr=False)
 
     def device_tiles_rgb(self):
         """tiles_rgb resident on device, uploaded once per array identity
         (the tunnel's H2D bandwidth makes repeated uploads the dominant
-        cost of the dither phase)."""
-        import jax.numpy as jnp
+        cost of the dither phase). When tiles_rgb is still the identity
+        split of frames_rgb (true until Reindex permutes it), the tensor
+        derives from the single frames upload instead of a second one."""
         key = ('tiles_rgb', id(self.tiles_rgb))
         if self._dev_cache.get('key') != key:
+            import jax.numpy as jnp
             self._dev_cache = {'key': key,
                                'arr': jnp.asarray(self.tiles_rgb)}
         return self._dev_cache['arr']
+
+    def device_frames(self):
+        """frames_rgb resident on device, uploaded once per identity."""
+        key = ('frames_rgb', id(self.frames_rgb))
+        if self._frames_dev_cache.get('key') != key:
+            import jax.numpy as jnp
+            self._frames_dev_cache = {'key': key,
+                                      'arr': jnp.asarray(self.frames_rgb)}
+        return self._frames_dev_cache['arr']
+
+    def device_source_tiles(self):
+        """[F*TH*TW, 8, 8, 3] u8 SOURCE tiles (identity frame-major cell
+        order, independent of the tilemap) built ON DEVICE from the single
+        frames upload — feeds dither gathers and FrameTiling queries
+        without shipping the pixels a second time."""
+        key = ('src_tiles', id(self.frames_rgb))
+        if self._src_tiles_cache.get('key') != key:
+            import jax
+            import jax.numpy as jnp
+            global _split_tiles_jit
+            if _split_tiles_jit is None:
+                def split(fr):
+                    f, hh, ww, _ = fr.shape
+                    th, tw = hh // TILE_W, ww // TILE_W
+                    x = fr.reshape(f, th, TILE_W, tw, TILE_W, 3)
+                    x = x.transpose(0, 1, 3, 2, 4, 5)
+                    return x.reshape(f * th * tw, TILE_W, TILE_W, 3)
+                _split_tiles_jit = jax.jit(split)
+            self._src_tiles_cache = {
+                'key': key, 'arr': _split_tiles_jit(self.device_frames())}
+        return self._src_tiles_cache['arr']
 
     # -- tiles_pal host/device residency ------------------------------------
     # Between Dither and Reindex the dithered tiles stay ON DEVICE (the
