@@ -13,10 +13,13 @@ import os as _os
 def _enable_compile_cache():
     """Persistent XLA compilation cache — OPT-IN via TILER_COMPILE_CACHE=1.
 
-    Not enabled by default: on tunneled TPU backends the cache writes
-    serialize executables over the tunnel and can hang first compiles for
-    many minutes (observed empirically); XLA:CPU additionally persists
-    machine-feature-specific AOT blobs that can SIGILL on other hosts."""
+    Not enabled by default: on tunneled TPU backends each executable
+    serialization stalls ~16s regardless of size (measured: a small
+    encode's 22-entry population run took 437s vs 87.5s uncached), and
+    XLA:CPU additionally persists machine-feature-specific AOT blobs that
+    can SIGILL on other hosts. With a POPULATED cache the same cold
+    encode drops to 25.6s (3.4x) — enable it when running many encodes
+    on a stable shape set and eat the one-time population cost."""
     if _os.environ.get('TILER_COMPILE_CACHE') != '1':
         return
     try:
