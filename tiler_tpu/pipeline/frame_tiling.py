@@ -200,6 +200,36 @@ def _query_assign_factory():
 _query_assign = None
 
 
+def _query_feats_factory():
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=('gamma_value',
+                                                 'use_wavelets'))
+    def feats(src_tiles_u8, gamma_value, use_wavelets):
+        return features.psyv_features_rgb(src_tiles_u8,
+                                          gamma_value=gamma_value,
+                                          use_wavelets=use_wavelets)
+
+    return feats
+
+
+_query_feats = None
+
+
+def _use_pallas_nn() -> bool:
+    """Stage-3 1-NN path selection: the fused Pallas streaming kernel on
+    real TPU (the [Q,C] distance matrix never touches HBM — 2.9x the XLA
+    scan at 720p shapes, identical winner indices there; distances round
+    differently so the residual METRIC can differ in low bits), the XLA
+    scan elsewhere. TILER_NO_PALLAS=1 forces the scan path."""
+    import os
+    if os.environ.get('TILER_NO_PALLAS') == '1':
+        return False
+    import jax
+    return jax.default_backend() == 'tpu'
+
+
 def run_frame_tiling(state: EncoderState) -> EncoderState:
     import jax
     import jax.numpy as jnp
@@ -235,8 +265,9 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         phases['cand_feats'] += time.perf_counter() - t0
         t0 = time.perf_counter()
 
-        # reshape candidates to scan chunks on device (pad with far points)
-        c_chunk = 8192
+        # lay the candidates out for the 1-NN path (pad with far points)
+        use_pallas = _use_pallas_nn()
+        c_chunk = 4096 if use_pallas else 8192
         n_c = feats.shape[0]
         n_chunks = max(1, -(-n_c // c_chunk))
         pad_rows = n_chunks * c_chunk - n_c
@@ -244,7 +275,8 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
             feats = jnp.concatenate(
                 [feats, jnp.full((pad_rows, feats.shape[1]), 1e9,
                                  jnp.float32)])
-        cands3d = feats.reshape(n_chunks, c_chunk, -1)
+        cands3d = None if use_pallas else feats.reshape(n_chunks, c_chunk,
+                                                        -1)
 
         # stage 3: fused per-chunk query features + 1-NN assignment. The
         # query tiles are device slices of the identity source-tile tensor
@@ -255,6 +287,9 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         best_idx = np.empty(n_q, np.int32)
         best_err = np.empty(n_q, np.float32)
         qchunk = 16384
+        global _query_feats
+        if _query_feats is None:
+            _query_feats = _query_feats_factory()
         for lo in range(0, n_q, qchunk):
             hi = min(n_q, lo + qchunk)
             qp = features.pad_pow2(hi - lo)
@@ -262,8 +297,14 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
             if qp != hi - lo:
                 buf = jnp.pad(buf, ((0, qp - (hi - lo)), (0, 0), (0, 0),
                                     (0, 0)))
-            idx, err = _query_assign(buf, cands3d,
-                                     _ft_gamma(cfg), cfg.use_wavelets)
+            if use_pallas:
+                from ..ops.pallas_kernels import _nn_call
+                qf = _query_feats(buf, _ft_gamma(cfg), cfg.use_wavelets)
+                err, idx = _nn_call(qf, feats, min(2048, qp), c_chunk,
+                                    False)
+            else:
+                idx, err = _query_assign(buf, cands3d,
+                                         _ft_gamma(cfg), cfg.use_wavelets)
             best_idx[lo:hi] = np.asarray(idx)[:hi - lo]
             best_err[lo:hi] = np.asarray(err)[:hi - lo]
         shape = (e - s + 1, state.tilemap_h, state.tilemap_w)
