@@ -68,12 +68,24 @@ inline int64_t fast_div(int64_t num, int64_t den) {
   return q;
 }
 
+// fast_div with the divisor's reciprocal precomputed: the quotient estimate
+// is within 1 of exact (num < 2^53, num/den <= 255, so the relative error
+// of num*inv is far below 1), and the same +-1 fixup lands it. One divide
+// per PAIR instead of three (the divide is the sweep's longest-latency op).
+inline int64_t fast_div_inv(int64_t num, int64_t den, double inv) {
+  int64_t q = int64_t(double(num) * inv);
+  q -= int64_t(q * den > num);
+  q += int64_t((q + 1) * den <= num);
+  return q;
+}
+
 inline float pair_err(const Table& t, int64_t ar, int64_t ag, int64_t ab,
                       int64_t ac, int arr, int agg, int abb, int j) {
   int64_t p2 = t.cnt[j], p3 = ac + p2, h = p3 >> 1;
-  int r3 = int(fast_div(ar + t.r[j] + h, p3));
-  int g3 = int(fast_div(ag + t.g[j] + h, p3));
-  int b3 = int(fast_div(ab + t.b[j] + h, p3));
+  double inv = 1.0 / double(p3);
+  int r3 = int(fast_div_inv(ar + t.r[j] + h, p3, inv));
+  int g3 = int(fast_div_inv(ag + t.g[j] + h, p3, inv));
+  int b3 = int(fast_div_inv(ab + t.b[j] + h, p3, inv));
   float d1 = float((r3 - arr) * (r3 - arr) + (g3 - agg) * (g3 - agg) +
                    (b3 - abb) * (b3 - abb));
   float d2 = float((t.rr[j] - r3) * (t.rr[j] - r3) +
@@ -87,6 +99,26 @@ inline float calc_err(const Table& t, int c1, int c2) {
                   t.rr[c1], t.gg[c1], t.bb[c1], c2);
 }
 
+// First strict minimum of buf[lo..hi): vectorizable two-pass form — a
+// lane-wise min reduction (no NaNs occur here), then the first index
+// holding the min. Identical result to the scalar first-strict-min scan.
+inline int first_min_index(const float* buf, int lo, int hi, float* out_min) {
+  float lanes[16];
+  for (int l = 0; l < 16; l++) lanes[l] = HUGE_VALF;
+  int j = lo;
+  for (; j + 16 <= hi; j += 16)
+    for (int l = 0; l < 16; l++)
+      lanes[l] = std::min(lanes[l], buf[j + l]);
+  float m = HUGE_VALF;
+  for (int l = 0; l < 16; l++) m = std::min(m, lanes[l]);
+  for (; j < hi; j++) m = std::min(m, buf[j]);
+  *out_min = m;
+  if (m == HUGE_VALF) return 0;
+  for (j = lo; j < hi; j++)
+    if (buf[j] == m) return j;
+  return 0;
+}
+
 void recount_next(Table& t, int tot, int i, float* ebuf) {
   const int64_t ar = t.r[i], ag = t.g[i], ab = t.b[i], ac = t.cnt[i];
   const int arr = t.rr[i], agg = t.gg[i], abb = t.bb[i];
@@ -94,11 +126,8 @@ void recount_next(Table& t, int tot, int i, float* ebuf) {
   for (int j = i + 1; j < tot; j++)
     ebuf[j] = pair_err(t, ar, ag, ab, ac, arr, agg, abb, j);
   // pass 2: first strict minimum in scan order, as in recount_next
-  float err = HUGE_VALF;
-  int c2 = 0;
-  for (int j = i + 1; j < tot; j++) {
-    if (ebuf[j] < err) { err = ebuf[j]; c2 = j; }
-  }
+  float err;
+  int c2 = first_min_index(ebuf, i + 1, tot, &err);
   t.err[i] = err;
   t.cc[i] = c2;
 }
@@ -130,11 +159,8 @@ int reduce_entries(Table& t, int quant_to, uint8_t* out_pal, int max_out) {
 
     while (tot > quant_to) {
       // first strict minimum in scan order, as in reduce_table3
-      float err = HUGE_VALF;
-      int c1 = 0;
-      for (int i = 0; i < tot; i++) {
-        if (t.err[i] < err) { err = t.err[i]; c1 = i; }
-      }
+      float err;
+      int c1 = first_min_index(t.err.data(), 0, tot, &err);
       int c2 = t.cc[c1];
       t.r[c2] += t.r[c1]; t.g[c2] += t.g[c1]; t.b[c2] += t.b[c1];
       t.cnt[c2] += t.cnt[c1];
@@ -237,20 +263,28 @@ int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
     for (int j = 0; j < kn; j++) {
       krr[j] = t.rr[keep[j]]; kgg[j] = t.gg[keep[j]]; kbb[j] = t.bb[keep[j]];
     }
-    std::vector<int64_t> dbuf((size_t)kn);
+    // distances fit int32 (means <= 255, so d <= 3*255^2) — the narrower
+    // lanes double SIMD width and avoid 64-bit multiplies in the sweep
+    std::vector<int32_t> dbuf((size_t)kn);
     for (int i = 0; i < n; i++) {
       if (kept[i]) continue;
       // nearest kept bin by squared RGB of rounded means (first min wins)
       const int irr = t.rr[i], igg = t.gg[i], ibb = t.bb[i];
       for (int j = 0; j < kn; j++) {
-        int64_t dr = irr - krr[j], dg = igg - kgg[j], db = ibb - kbb[j];
+        int32_t dr = irr - krr[j], dg = igg - kgg[j], db = ibb - kbb[j];
         dbuf[j] = dr * dr + dg * dg + db * db;
       }
-      int64_t best = INT64_MAX;
+      int32_t lanes[16];
+      for (int l = 0; l < 16; l++) lanes[l] = INT32_MAX;
+      int j = 0;
+      for (; j + 16 <= kn; j += 16)
+        for (int l = 0; l < 16; l++)
+          lanes[l] = std::min(lanes[l], dbuf[j + l]);
+      int32_t best = INT32_MAX;
+      for (int l = 0; l < 16; l++) best = std::min(best, lanes[l]);
+      for (; j < kn; j++) best = std::min(best, dbuf[j]);
       int tj = 0;
-      for (int j = 0; j < kn; j++) {
-        if (dbuf[j] < best) { best = dbuf[j]; tj = j; }
-      }
+      while (dbuf[tj] != best) tj++;
       int tgt = keep[tj];
       t.r[tgt] += t.r[i]; t.g[tgt] += t.g[i]; t.b[tgt] += t.b[i];
       t.cnt[tgt] += t.cnt[i];
