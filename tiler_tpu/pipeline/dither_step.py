@@ -40,6 +40,7 @@ def _gather_feats(tiles_all, idx, gamma_value, use_lab, use_wavelets):
 
 
 _gather_feats_jit = None
+_canon_jit = None
 
 
 def prepare_dither_keyframe(state: EncoderState, k: int) -> None:
@@ -159,7 +160,8 @@ def _canonicalize_mirrors_dev(tiles_u8):
     """canonicalize_mirrors on device: [N,8,8] u8 -> (baked [N,8,8] u8,
     mirror bits h|v<<1 [N] u8). Zero tiles pick quadrant 0 (no flip), so
     running over the FULL tile array (inactive rows are zero) matches the
-    host path's act-only treatment."""
+    host path's act-only treatment. Jitted at call site (eager execution
+    costs one tunnel dispatch per op)."""
     import jax.numpy as jnp
     n = tiles_u8.shape[0]
     q = tiles_u8.astype(jnp.int32).reshape(n, 2, 4, 2, 4).sum((2, 4))
@@ -221,7 +223,11 @@ def run_dither(state: EncoderState) -> EncoderState:
     # mirror canonicalization stays on device; only the 2-bit flags come
     # down (the [N,8,8] tiles remain device-resident through MakeUnique /
     # GlobalTiling; see state.tiles_pal property)
-    baked, mir_bits = _canonicalize_mirrors_dev(buf)
+    import jax
+    global _canon_jit
+    if _canon_jit is None:
+        _canon_jit = jax.jit(_canonicalize_mirrors_dev)
+    baked, mir_bits = _canon_jit(buf)
     state.set_tiles_pal_device(baked)
     mir = np.asarray(mir_bits)
 

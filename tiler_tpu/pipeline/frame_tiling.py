@@ -200,21 +200,27 @@ def _query_assign_factory():
 _query_assign = None
 
 
-def _query_feats_factory():
+def _query_assign_pallas_factory():
     import functools
     import jax
 
-    @functools.partial(jax.jit, static_argnames=('gamma_value',
+    @functools.partial(jax.jit, static_argnames=('bq', 'bc', 'gamma_value',
                                                  'use_wavelets'))
-    def feats(src_tiles_u8, gamma_value, use_wavelets):
-        return features.psyv_features_rgb(src_tiles_u8,
-                                          gamma_value=gamma_value,
-                                          use_wavelets=use_wavelets)
+    def step(src_tiles_u8, cand_feats, bq: int, bc: int, gamma_value,
+             use_wavelets):
+        """Pallas stage 3 in ONE dispatch: query features + fused
+        streaming 1-NN (the two-dispatch form pays an extra tunnel round
+        trip per query chunk)."""
+        from ..ops.pallas_kernels import _nn_call
+        q = features.psyv_features_rgb(src_tiles_u8,
+                                       gamma_value=gamma_value,
+                                       use_wavelets=use_wavelets)
+        return _nn_call(q, cand_feats, bq, bc, False)
 
-    return feats
+    return step
 
 
-_query_feats = None
+_query_assign_pallas = None
 
 
 def _use_pallas_nn() -> bool:
@@ -284,12 +290,14 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         src_all = state.device_source_tiles()
         base = s * state.tilemap_size
         n_q = (e - s + 1) * state.tilemap_size
-        best_idx = np.empty(n_q, np.int32)
-        best_err = np.empty(n_q, np.float32)
         qchunk = 16384
-        global _query_feats
-        if _query_feats is None:
-            _query_feats = _query_feats_factory()
+        global _query_assign_pallas
+        if _query_assign_pallas is None:
+            _query_assign_pallas = _query_assign_pallas_factory()
+        # queue EVERY chunk's dispatch, sync ONCE at the end: per-chunk
+        # np.asarray blocks on the tunnel RTT and serialized the device
+        # (2 syncs x 22 chunks was most of the assign phase at 720p)
+        idx_parts, err_parts = [], []
         for lo in range(0, n_q, qchunk):
             hi = min(n_q, lo + qchunk)
             qp = features.pad_pow2(hi - lo)
@@ -298,15 +306,18 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
                 buf = jnp.pad(buf, ((0, qp - (hi - lo)), (0, 0), (0, 0),
                                     (0, 0)))
             if use_pallas:
-                from ..ops.pallas_kernels import _nn_call
-                qf = _query_feats(buf, _ft_gamma(cfg), cfg.use_wavelets)
-                err, idx = _nn_call(qf, feats, min(2048, qp), c_chunk,
-                                    False)
+                err, idx = _query_assign_pallas(
+                    buf, feats, min(2048, qp), c_chunk,
+                    _ft_gamma(cfg), cfg.use_wavelets)
             else:
                 idx, err = _query_assign(buf, cands3d,
                                          _ft_gamma(cfg), cfg.use_wavelets)
-            best_idx[lo:hi] = np.asarray(idx)[:hi - lo]
-            best_err[lo:hi] = np.asarray(err)[:hi - lo]
+            idx_parts.append(idx[:hi - lo])
+            err_parts.append(err[:hi - lo])
+        best_idx = np.asarray(jnp.concatenate(idx_parts)
+                              if len(idx_parts) > 1 else idx_parts[0])
+        best_err = np.asarray(jnp.concatenate(err_parts)
+                              if len(err_parts) > 1 else err_parts[0])
         shape = (e - s + 1, state.tilemap_h, state.tilemap_w)
         state.tm_tile[s:e + 1] = cand_tile[best_idx].reshape(shape)
         state.tm_pal[s:e + 1] = cand_pal[best_idx].reshape(shape)

@@ -144,7 +144,11 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
     KModes solves and per-cluster winner selection all run on device
     against state's tiles_pal mirror; only labels/winners (small) come
     down. Identical fwd/use/active results (tested vs the host path)."""
+    import time
+
     import jax.numpy as jnp
+    phases = {}
+    t0 = time.perf_counter()
     n = state.n_tiles
     act = np.flatnonzero(state.tile_active)
     a_pad = 1 << max(8, (act.size - 1).bit_length())
@@ -170,12 +174,16 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
         s = sums[sel]
         mins = np.flatnonzero(s == s.min())
         jobs.append(dict(sel=sel, k=k, start=int(mins[-1])))
+    phases['sigs_bins'] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     from ..ops.kmodes import kmodes_batch_gather
     solved = kmodes_batch_gather(
         sigs_dev, [j['sel'].astype(np.int32) for j in jobs],
         [j['k'] for j in jobs], [j['start'] for j in jobs],
         cfg.tile_palette_size)
+    phases['solve'] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     merges = 0
     fwd = np.arange(n)
@@ -199,6 +207,8 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
         new_use[losers] = 0
         new_active[losers] = False
         merges += len(losers)
+    phases['merge_host'] = round(time.perf_counter() - t0, 3)
+    state.metrics['gt_phases'] = phases
     return fwd, new_use, new_active, merges
 
 
@@ -226,8 +236,13 @@ def run_global_tiling(state: EncoderState,
     state.tile_active = new_active
     state.tm_tile = fwd[state.tm_tile].astype(np.int32)
     state.metrics['global_tiling_merged'] = merges
+    import time
+    t0 = time.perf_counter()
     run_make_unique(state)
     run_reindex(state)
+    if 'gt_phases' in state.metrics:
+        state.metrics['gt_phases']['unique_reindex'] = round(
+            time.perf_counter() - t0, 3)
     if gts_out:
         n_active = int(state.tile_active.sum())
         write_gts(gts_out, state.tiles_pal[:n_active],

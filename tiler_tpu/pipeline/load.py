@@ -119,9 +119,14 @@ def run_load(state: EncoderState, frames: np.ndarray,
     state.tilemap_h, state.tilemap_w = th, tw
     frames = np.ascontiguousarray(frames[:, :th * TILE_W, :tw * TILE_W])
     state.frames_rgb = frames
+    from ..constants import BITS_PER_COMP
+    if BITS_PER_COMP >= 8:
+        # kick off the async H2D frames upload NOW so it overlaps the
+        # host-side tile split below (the tunnel transfer is the dominant
+        # cost of this step; jnp.asarray only blocks when consumed)
+        state.device_frames()
 
     # whole-frame FS posterize (identity at the default 8 bits/comp)
-    from ..constants import BITS_PER_COMP
     if BITS_PER_COMP >= 8:
         state.fs_pixels = frames
     else:

@@ -48,6 +48,10 @@ def main():
         'gtm_bytes': len(blob),
         'step_times': {k: round(v, 1)
                        for k, v in enc.state.step_times.items()},
+        'dither_phases': enc.state.metrics.get('dither_phases'),
+        'ft_phases': enc.state.metrics.get('ft_phases'),
+        'gt_phases': enc.state.metrics.get('gt_phases'),
+        'ft_knn_sizes': enc.state.metrics.get('ft_knn_sizes'),
     }))
 
 
