@@ -113,15 +113,24 @@ def _masked_dissim(x, c, valid_k, n_modalities=None):
 
 
 def make_dissim_fn(x, valid_k, n_modalities):
-    """Returns (cents -> [n,k] masked dissim, ex one-hot or None) with the
-    POINT-side encodings precomputed once (they are iteration-invariant;
-    re-materializing the [n, A*M] one-hots every while_loop step dominated
-    the assign cost).
+    """Returns (cents -> [n,k] masked dissim, point one-hots [n, A*M] or
+    None) with the POINT-side encodings precomputed once (they are
+    iteration-invariant; re-materializing them every while_loop step
+    dominated the assign cost).
 
-    Encodings are bf16 — exact for 0/1 values, and the MXU accumulates
-    bf16 products into f32 (preferred_element_type), so every dot is an
-    exact integer (max 80*16=1280 << 2^24). Falls back to the broadcast
-    form for large modality counts."""
+    The Hamming and L1 dots fuse into ONE matmul: with the point side
+    X = [onehot(x), thresholds(x)] and the centroid side
+    C = [onehot(c)<<BITS, 2*thresholds(c)],
+      d = (A<<BITS) + sum(thr_x) + sum(thr_c) - X @ C.T
+    (ham<<BITS = (A - onehot.onehot)<<BITS; l1 = sums - 2*thr.thr). One
+    [n, A(2M-1)] @ [A(2M-1), k] dot replaces two — measured 3.2x on the
+    720p bucket shape (two batched matmuls paid operand-handling overhead
+    per step, tools/kmodes_dissim_variants.py).
+
+    Encodings are bf16 — exact for the 0/1/2/2048 values used, and the MXU
+    accumulates bf16 products into f32 (preferred_element_type), so every
+    dot is an exact integer (max 80<<11 + 2*1200 < 2^24). Falls back to
+    the broadcast form for large modality counts."""
     if n_modalities is None or n_modalities > 32:
         return (lambda cents: _masked_dissim(x, cents, valid_k, None)), None
 
@@ -132,23 +141,25 @@ def make_dissim_fn(x, valid_k, n_modalities):
     thresholds = jnp.arange(m - 1)
     gx = (xi[:, :, None] > thresholds).astype(
         jnp.bfloat16).reshape(n, a * (m - 1))
+    x_cat = jnp.concatenate([ex, gx], axis=1)  # [n, A*(2M-1)]
     gx_sum = jnp.sum(gx.astype(jnp.float32), axis=1)
+    bits = DISSIM_SUB_MATCHING_BITS
 
     def dissim(cents):
-        k = cents.shape[0]
         ci = cents.astype(jnp.int32)
-        ec = jax.nn.one_hot(ci, m, dtype=jnp.bfloat16).reshape(k, a * m)
+        ec = jax.nn.one_hot(ci, m, dtype=jnp.bfloat16).reshape(
+            cents.shape[0], a * m) * jnp.bfloat16(1 << bits)
         gc = (ci[:, :, None] > thresholds).astype(
-            jnp.bfloat16).reshape(k, a * (m - 1))
-        matches = jnp.dot(ex, ec.T, preferred_element_type=jnp.float32)
-        ham = jnp.float32(a) - matches
-        gc_sum = jnp.sum(gc.astype(jnp.float32), axis=1)
-        l1 = (gx_sum[:, None] + gc_sum[None, :]
-              - 2.0 * jnp.dot(gx, gc.T, preferred_element_type=jnp.float32))
-        d = (ham * (1 << DISSIM_SUB_MATCHING_BITS) + l1).astype(jnp.int32)
+            jnp.bfloat16).reshape(cents.shape[0], a * (m - 1)) \
+            * jnp.bfloat16(2)
+        c_cat = jnp.concatenate([ec, gc], axis=1)
+        dot = jnp.dot(x_cat, c_cat.T, preferred_element_type=jnp.float32)
+        gc_sum = jnp.sum(gc.astype(jnp.float32), axis=1) * 0.5
+        d = (jnp.float32(a << bits) + gx_sum[:, None] + gc_sum[None, :]
+             - dot).astype(jnp.int32)
         return jnp.where(valid_k[None, :], d, _BIG)
 
-    return dissim, ex
+    return dissim, x_cat[:, :a * m]
 
 
 def _farthest_first(x, k_pad, valid_n, start_point):
@@ -248,7 +259,7 @@ def _kmodes_padded(x, valid_n, valid_k, start_point, k_pad: int,
     cents, labels, _, _, cost, _, it = jax.lax.while_loop(cond, body, init)
     cents = update(cents, labels)
     labels, cost = assign(cents)
-    return labels, cents, cost
+    return labels, cents, cost, it
 
 
 def _next_pow2(v: int) -> int:
@@ -273,7 +284,7 @@ def kmodes(x: np.ndarray, k: int, start_point: int, n_modalities: int,
     valid_n[:n] = True
     valid_k = np.zeros(k_pad, bool)
     valid_k[:k] = True
-    labels, cents, _cost = _kmodes_padded(
+    labels, cents, _cost, _it = _kmodes_padded(
         jnp.asarray(xp), jnp.asarray(valid_n), jnp.asarray(valid_k),
         jnp.int32(start_point), k_pad, n_modalities, max_iters)
     return np.asarray(labels)[:n], np.asarray(cents)[:k]
@@ -302,7 +313,7 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         solver = jax.vmap(
             lambda x, valid_n, valid_k, s: _kmodes_padded(
-                x, valid_n, valid_k, s, k_pad, n_modalities, max_iters))
+                x, valid_n, valid_k, s, k_pad, n_modalities, max_iters)[:3])
         for lanes in lane_chunks:
             xs = np.zeros((g, n_pad, a), np.uint8)
             vn = np.zeros((g, n_pad), bool)
@@ -341,19 +352,26 @@ def _winner_from(x, valid_n, labels, cents, k_pad: int):
 
 @functools.lru_cache(maxsize=32)
 def _batch_gather_solver(k_pad: int, n_modalities: int, max_iters: int):
-    """Cached jitted vmapped solve+winner (one compile per shape bucket)."""
+    """Cached jitted vmapped solve+winner (one compile per shape bucket).
+
+    Labels return as int16 (k_pad <= 32767): through the tunneled TPU the
+    [g, n_pad] label download is a visible share of the GlobalTiling
+    step, and halving it is free."""
     def one(sigs, idx, valid_n, valid_k, s):
         x = jnp.take(sigs, idx, axis=0)
-        labels, cents, _cost = _kmodes_padded(
+        labels, cents, _cost, it = _kmodes_padded(
             x, valid_n, valid_k, s, k_pad, n_modalities, max_iters)
-        return labels, cents, _winner_from(x, valid_n, labels, cents, k_pad)
+        return (labels.astype(jnp.int16), cents,
+                _winner_from(x, valid_n, labels, cents, k_pad), it)
 
     return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
 
 
 def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
                         bins_k: list[int], bins_start: list[int],
-                        n_modalities: int, max_iters: int = 100):
+                        n_modalities: int, max_iters: int = 100,
+                        iters_out: list | None = None,
+                        need_cents: bool = True):
     """kmodes_batch against a DEVICE-resident signature matrix: bins are
     host index arrays into sigs_dev's rows; the per-group padded inputs
     are gathered on device (only int32 indices upload) and each solve also
@@ -374,6 +392,10 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
     if b == 0:
         return []
     out: list = [None] * b
+    # two-phase: queue EVERY bucket's solve first, materialize afterwards —
+    # per-bucket np.asarray blocks on the tunnel RTT and serializes the
+    # device between buckets
+    pending = []
     for bucket in _size_buckets(bins_sel, bins_k):
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         for lanes in lane_chunks:
@@ -387,16 +409,24 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
                 vn[j, :len(sel)] = True
                 vk[j, :bins_k[i]] = True
                 starts[j] = bins_start[i]
-            labels, cents, winner = _batch_gather_solver(
+            labels, cents, winner, iters = _batch_gather_solver(
                 k_pad, n_modalities, max_iters)(
                     sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
                     jnp.asarray(vk), jnp.asarray(starts))
-            labels = np.asarray(labels)
-            cents = np.asarray(cents)
-            winner = np.asarray(winner)
+            pending.append((lanes, labels, cents, winner, iters))
+    for lanes, labels, cents, winner, iters in pending:
+        labels = np.asarray(labels)
+        cents_np = np.asarray(cents) if need_cents else None
+        winner = np.asarray(winner)
+        if iters_out is not None:
+            it_np = np.asarray(iters)
             for j, i in enumerate(lanes):
-                out[i] = (labels[j][:len(bins_sel[i])],
-                          cents[j][:bins_k[i]], winner[j][:bins_k[i]])
+                iters_out.append((len(bins_sel[i]), bins_k[i],
+                                  int(it_np[j])))
+        for j, i in enumerate(lanes):
+            out[i] = (labels[j][:len(bins_sel[i])],
+                      cents_np[j][:bins_k[i]] if need_cents else None,
+                      winner[j][:bins_k[i]])
     return out
 
 

@@ -178,11 +178,13 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
     t0 = time.perf_counter()
 
     from ..ops.kmodes import kmodes_batch_gather
+    iters: list = []
     solved = kmodes_batch_gather(
         sigs_dev, [j['sel'].astype(np.int32) for j in jobs],
         [j['k'] for j in jobs], [j['start'] for j in jobs],
-        cfg.tile_palette_size)
+        cfg.tile_palette_size, iters_out=iters, need_cents=False)
     phases['solve'] = round(time.perf_counter() - t0, 3)
+    state.metrics['gt_iters'] = iters
     t0 = time.perf_counter()
 
     merges = 0
