@@ -130,7 +130,8 @@ def dl3_quant(pixels_rgb, quant_to: int, lookup_bpc: int):
     lib = get_lib()
     px = np.ascontiguousarray(pixels_rgb, np.uint8)
     out = np.zeros((quant_to, 3), np.uint8)
-    n = lib.tiler_dl3_quant(px.tobytes(), px.shape[0], quant_to, lookup_bpc,
+    n = lib.tiler_dl3_quant(px.ctypes.data_as(ctypes.c_char_p), px.shape[0],
+                            quant_to, lookup_bpc,
                             out.ctypes.data_as(ctypes.c_void_p))
     return out, n
 
@@ -143,8 +144,8 @@ def dl3_quant_capped(pixels_rgb, quant_to: int, lookup_bpc: int,
     px = np.ascontiguousarray(pixels_rgb, np.uint8)
     out = np.zeros((quant_to, 3), np.uint8)
     n = lib.tiler_dl3_quant_capped(
-        px.tobytes(), px.shape[0], quant_to, lookup_bpc, cap,
-        out.ctypes.data_as(ctypes.c_void_p))
+        px.ctypes.data_as(ctypes.c_char_p), px.shape[0], quant_to,
+        lookup_bpc, cap, out.ctypes.data_as(ctypes.c_void_p))
     return out, n
 
 

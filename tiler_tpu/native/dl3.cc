@@ -132,17 +132,41 @@ void recount_next(Table& t, int tot, int i, float* ebuf) {
   t.cc[i] = c2;
 }
 
-void recount_dist(Table& t, int tot, int c1, float* ebuf) {
+// pair_err with j fixed and i varying (the mirror of recount_next's sweep):
+// d1 uses i's mean shift, d2 uses j's — matches calc_err(i, j) exactly.
+void pair_err_imajor(const Table& t, int j, int n, float* ebuf) {
+  const int64_t jr = t.r[j], jg = t.g[j], jb = t.b[j], jc = t.cnt[j];
+  const int jrr = t.rr[j], jgg = t.gg[j], jbb = t.bb[j];
+  for (int i = 0; i < n; i++) {
+    int64_t p1 = t.cnt[i], p3 = p1 + jc, h = p3 >> 1;
+    double inv = 1.0 / double(p3);
+    int r3 = int(fast_div_inv(t.r[i] + jr + h, p3, inv));
+    int g3 = int(fast_div_inv(t.g[i] + jg + h, p3, inv));
+    int b3 = int(fast_div_inv(t.b[i] + jb + h, p3, inv));
+    float d1 = float((r3 - t.rr[i]) * (r3 - t.rr[i]) +
+                     (g3 - t.gg[i]) * (g3 - t.gg[i]) +
+                     (b3 - t.bb[i]) * (b3 - t.bb[i]));
+    float d2 = float((jrr - r3) * (jrr - r3) + (jgg - g3) * (jgg - g3) +
+                     (jbb - b3) * (jbb - b3));
+    ebuf[i] = sqrtf(d1) * float(p1) + sqrtf(d2) * float(jc);
+  }
+}
+
+void recount_dist(Table& t, int tot, int c1, float* ebuf, float* ibuf) {
   recount_next(t, tot, c1, ebuf);
-  const int64_t ar = t.r[c1], ag = t.g[c1], ab = t.b[c1], ac = t.cnt[c1];
-  const int arr = t.rr[c1], agg = t.gg[c1], abb = t.bb[c1];
+  // The reference walks i<c1 scalar, lazily evaluating calc_err(i,c1) per
+  // row — the dominant cost of the merge loop (2*tot scalar pair errors
+  // per merge). Two-pass form: a branch-free i-major error sweep into its
+  // own buffer (vectorizes like recount_next's), then the compare/update
+  // pass. calc_err(i,c1) depends only on rows i and c1, neither of which
+  // the updates below touch, so precomputing every value is identical to
+  // the lazy walk (recount_next rows reuse ebuf, not ibuf).
+  pair_err_imajor(t, c1, c1, ibuf);
   for (int i = 0; i < c1; i++) {
     if (t.cc[i] == c1) {
       recount_next(t, tot, i, ebuf);
     } else {
-      // calc_err(i, c1) == pair_err with i's sums against c1; symmetric
-      // formula (d1 uses i's mean, d2 uses c1's) — keep i-major order
-      float e = calc_err(t, i, c1);
+      float e = ibuf[i];
       if (e < t.err[i]) { t.err[i] = e; t.cc[i] = c1; }
     }
   }
@@ -152,7 +176,7 @@ int reduce_entries(Table& t, int quant_to, uint8_t* out_pal, int max_out) {
   int tot = t.size();
 
   if (tot > quant_to) {
-    std::vector<float> ebuf((size_t)tot);
+    std::vector<float> ebuf((size_t)tot), ibuf((size_t)tot);
     for (int i = 0; i < tot - 1; i++) recount_next(t, tot, i, ebuf.data());
     t.err[tot - 1] = HUGE_VALF;
     t.cc[tot - 1] = tot;
@@ -175,8 +199,8 @@ int reduce_entries(Table& t, int quant_to, uint8_t* out_pal, int max_out) {
       for (int i = c1 + 1; i < tot; i++) {
         if (t.cc[i] == tot) recount_next(t, tot, i, ebuf.data());
       }
-      recount_dist(t, tot, c1, ebuf.data());
-      if (c2 != tot) recount_dist(t, tot, c2, ebuf.data());
+      recount_dist(t, tot, c1, ebuf.data(), ibuf.data());
+      if (c2 != tot) recount_dist(t, tot, c2, ebuf.data(), ibuf.data());
     }
   }
 
