@@ -1,0 +1,138 @@
+"""Conformance of repo-encoded GTM against the REAL reference JS player.
+
+Executes /root/reference/decoders/htmljs/gtm.player.js + lzma.js +
+lzma.shim.js UNMODIFIED under tools/minijs (a clean-room mini-JS engine),
+and pixel-compares every frame the player draws against our own decoder
+(tiler_tpu.decode.decode_video). This closes the shared-misinterpretation
+gap: header field order, palette format byte, mirror attr bit order and
+skip-run semantics are now pinned by the reference decoder itself
+(gtm.player.js:115-139, 182-251, 274-363).
+
+A real-browser variant of the same check lives in tools/js_conformance/
+(harness.html + serve.py) for environments that have one.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+from tiler_tpu.bitstream.gtm import GTMWriter  # noqa: E402
+from tiler_tpu.config import EncoderConfig  # noqa: E402
+from tiler_tpu.decode import decode_video  # noqa: E402
+from tiler_tpu.pipeline.encoder import Encoder  # noqa: E402
+
+REF_DIR = '/root/reference/decoders/htmljs'
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_DIR, 'gtm.player.js')),
+    reason='reference JS player not present')
+
+
+@pytest.fixture(scope='module')
+def player_vm():
+    from minijs.player_driver import PlayerVM
+    return PlayerVM()
+
+
+def synthetic_multishot(w=160, h=96, shots=3, shot_len=6, seed=7):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for s in range(shots):
+        coarse = rng.integers(0, 256, (h // 16 + 1, w // 16 + 1, 3))
+        bg = np.stack([
+            np.kron(coarse[..., c], np.ones((16, 16)))[:h, :w]
+            for c in range(3)], axis=-1)
+        bg = (bg * 0.7 + rng.integers(0, 256, (h, w, 3)) * 0.3
+              ).astype(np.uint8)
+        for t in range(shot_len):
+            f = bg.copy()
+            x0 = (8 + 16 * t) % (w - 24)
+            y0 = (12 + 8 * t) % (h - 24)
+            f[y0:y0 + 16, x0:x0 + 16] = [255 - 40 * s, 32 + 50 * s, 200]
+            frames.append(f)
+    return np.stack(frames)
+
+
+def test_encoded_stream_matches_reference_player(player_vm):
+    """Full-pipeline encode (multi-keyframe, smoothed, mirrored) decoded by
+    the unmodified reference JS player == our decoder, pixel-exact."""
+    from tiler_tpu.bitstream.gtm import parse_gtm
+    from tiler_tpu.decode import interpret_commands
+
+    frames = synthetic_multishot()
+    cfg = EncoderConfig(palette_count=24, tile_palette_size=16,
+                        smoothing_strength=0.06)
+    blob = Encoder(cfg).run_all(frames, fps=24.0)
+
+    # the stream really exercises what it claims to
+    parsed = parse_gtm(blob)
+    assert parsed.header.kf_count >= 2
+    stream = interpret_commands(parsed)
+    attrs = np.concatenate([f.attrs for f in stream.frames])
+    assert ((attrs & 1) != 0).any() and ((attrs & 2) != 0).any()
+    drawn = sum(f.positions.size for f in stream.frames)
+    assert drawn < stream.tilemap_w * stream.tilemap_h * len(stream.frames)
+
+    got = player_vm.play(blob)
+    want, _ = decode_video(blob)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def _mkframe(rng, cells, n_tiles, smooth_p=0.3, with_hi=True):
+    tile_idx = rng.integers(0, 1024, cells, np.int64)
+    if with_hi:  # indices >= 2^16 -> gtLongTileIdx words
+        tile_idx[::7] = rng.integers(65536, n_tiles, (cells + 6) // 7)
+    return {
+        'tile_idx': tile_idx,
+        'pal_idx': rng.integers(0, 256, cells, np.int64),
+        'hmir': rng.integers(0, 2, cells).astype(bool),
+        'vmir': rng.integers(0, 2, cells).astype(bool),
+        'smoothed': rng.random(cells) < smooth_p,
+    }
+
+
+def test_longtileidx_stream_matches_reference_player(player_vm):
+    """Writer-built stream with tile indices >= 2^16 (gtLongTileIdx), 256
+    palettes, a palette reload at keyframe 2, sparse gtTileSet segments and
+    a full-frame skip run > 1024 cells (chunked gtSkipBlock), decoded by
+    the unmodified reference JS player == our decoder."""
+    rng = np.random.default_rng(3)
+    tw, th = 40, 30
+    cells = tw * th
+    n_tiles = 65536 + 512
+    pal_size = 16
+    tiles_lo = rng.integers(0, pal_size, (1024, 8, 8), np.uint8)
+    tiles_hi = rng.integers(0, pal_size, (512, 8, 8), np.uint8)
+    pals1 = rng.integers(0, 256, (256, pal_size, 3), np.uint8)
+    pals2 = rng.integers(0, 256, (256, pal_size, 3), np.uint8)
+
+    wr = GTMWriter(width=tw * 8, height=th * 8, fps=24.0, tiles_pal=None,
+                   palette_size=pal_size, frame_count=4, kf_count=2,
+                   total_tile_count=n_tiles)
+    # keyframe 1 may only reference the tile segment emitted with it
+    f0 = _mkframe(rng, cells, n_tiles, with_hi=False)
+    f0['smoothed'][:] = False  # frame 0 draws every cell
+    f_allskip = _mkframe(rng, cells, n_tiles, with_hi=False)
+    f_allskip['smoothed'][:] = True  # 1200-cell run -> 1024 + 176 chunks
+    wr.add_keyframe(0, 0, 1, pals1, [f0, f_allskip],
+                    tileset=(0, tiles_lo))
+    wr.add_keyframe(1, 2, 3, pals2,
+                    [_mkframe(rng, cells, n_tiles),
+                     _mkframe(rng, cells, n_tiles)],
+                    tileset=(65536, tiles_hi))
+    blob = wr.tobytes()
+
+    got = player_vm.play(blob)
+    want, _ = decode_video(blob)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+# The reference's own demo streams (legacy headerless, lc=8 LZMA, ~15MB
+# raw) are too large to pump through the interpreted player in test time;
+# they are covered by (a) our decoder's golden test (test_decode_paths)
+# and (b) the real-browser harness in tools/js_conformance/.
