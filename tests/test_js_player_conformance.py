@@ -37,6 +37,36 @@ def player_vm():
     return PlayerVM()
 
 
+@pytest.fixture(scope='module')
+def web_player_vm():
+    """Our own browser player (decoders/web/gtm_player.js) loaded in the
+    mini-JS engine."""
+    from minijs.engine import Interpreter
+    from minijs.host import BrowserHost
+    it = Interpreter()
+    BrowserHost(it)
+    root = os.path.join(os.path.dirname(__file__), '..')
+    it.run(open(os.path.join(root, 'decoders/web/gtm_player.js')).read())
+    return it
+
+
+def play_web(it, blob: bytes, n_frames: int) -> np.ndarray:
+    """Drive decoders/web/gtm_player.js's TilerGTM directly."""
+    from minijs.engine import TypedArray, js_tonumber
+    player = it.construct(it.get_global('TilerGTM'),
+                          [TypedArray(bytearray(blob))])
+    decode = it.get_property(player, 'decodeFrame')
+    frames = []
+    for _ in range(n_frames):
+        ok = decode.call_impl(player, [])
+        assert ok is True
+        w = int(js_tonumber(player.get('width')))
+        h = int(js_tonumber(player.get('height')))
+        px = np.frombuffer(player.get('pixels').data, np.uint8)
+        frames.append(px.reshape(h, w, 4)[..., :3].copy())
+    return np.stack(frames)
+
+
 def synthetic_multishot(w=160, h=96, shots=3, shot_len=6, seed=7):
     rng = np.random.default_rng(seed)
     frames = []
@@ -56,9 +86,9 @@ def synthetic_multishot(w=160, h=96, shots=3, shot_len=6, seed=7):
     return np.stack(frames)
 
 
-def test_encoded_stream_matches_reference_player(player_vm):
-    """Full-pipeline encode (multi-keyframe, smoothed, mirrored) decoded by
-    the unmodified reference JS player == our decoder, pixel-exact."""
+@pytest.fixture(scope='module')
+def encoded_blob():
+    """Full-pipeline encode: multi-keyframe, smoothed, mirrored."""
     from tiler_tpu.bitstream.gtm import parse_gtm
     from tiler_tpu.decode import interpret_commands
 
@@ -75,10 +105,24 @@ def test_encoded_stream_matches_reference_player(player_vm):
     assert ((attrs & 1) != 0).any() and ((attrs & 2) != 0).any()
     drawn = sum(f.positions.size for f in stream.frames)
     assert drawn < stream.tilemap_w * stream.tilemap_h * len(stream.frames)
+    return blob
 
-    got = player_vm.play(blob)
-    want, _ = decode_video(blob)
+
+def test_encoded_stream_matches_reference_player(player_vm, encoded_blob):
+    """Full-pipeline encode decoded by the unmodified reference JS player ==
+    our decoder, pixel-exact."""
+    got = player_vm.play(encoded_blob)
+    want, _ = decode_video(encoded_blob)
     assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encoded_stream_matches_our_web_player(web_player_vm, encoded_blob):
+    """Our own browser player (decoders/web/) == our decoder on the same
+    full-pipeline stream (its LZMA + command interpreter are independent
+    implementations)."""
+    want, _ = decode_video(encoded_blob)
+    got = play_web(web_player_vm, encoded_blob, want.shape[0])
     np.testing.assert_array_equal(got, want)
 
 
@@ -95,11 +139,11 @@ def _mkframe(rng, cells, n_tiles, smooth_p=0.3, with_hi=True):
     }
 
 
-def test_longtileidx_stream_matches_reference_player(player_vm):
+@pytest.fixture(scope='module')
+def long_blob():
     """Writer-built stream with tile indices >= 2^16 (gtLongTileIdx), 256
     palettes, a palette reload at keyframe 2, sparse gtTileSet segments and
-    a full-frame skip run > 1024 cells (chunked gtSkipBlock), decoded by
-    the unmodified reference JS player == our decoder."""
+    a full-frame skip run > 1024 cells (chunked gtSkipBlock)."""
     rng = np.random.default_rng(3)
     tw, th = 40, 30
     cells = tw * th
@@ -124,11 +168,19 @@ def test_longtileidx_stream_matches_reference_player(player_vm):
                     [_mkframe(rng, cells, n_tiles),
                      _mkframe(rng, cells, n_tiles)],
                     tileset=(65536, tiles_hi))
-    blob = wr.tobytes()
+    return wr.tobytes()
 
-    got = player_vm.play(blob)
-    want, _ = decode_video(blob)
+
+def test_longtileidx_stream_matches_reference_player(player_vm, long_blob):
+    got = player_vm.play(long_blob)
+    want, _ = decode_video(long_blob)
     assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_longtileidx_stream_matches_our_web_player(web_player_vm, long_blob):
+    want, _ = decode_video(long_blob)
+    got = play_web(web_player_vm, long_blob, want.shape[0])
     np.testing.assert_array_equal(got, want)
 
 

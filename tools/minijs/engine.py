@@ -1461,6 +1461,12 @@ class Interpreter:
             'abs': self.native('abs', lambda t, a: abs(js_tonumber(a[0]))),
             'imul': self.native('imul', lambda t, a: float(to_int32(
                 to_int32(js_tonumber(a[0])) * to_int32(js_tonumber(a[1]))))),
+            'pow': self.native('pow', lambda t, a: float(
+                js_tonumber(a[0]) ** js_tonumber(a[1]))),
+            'sqrt': self.native('sqrt', lambda t, a: math.sqrt(
+                js_tonumber(a[0]))),
+        })
+        math_obj.props.update({
         })
         g['Math'] = math_obj
         g['Infinity'] = math.inf
