@@ -31,3 +31,19 @@ def test_kmodes_dissim_pallas_matches(rng):
     import jax.numpy as jnp
     want = np.asarray(kmodes.dissim_matrix(jnp.asarray(x), jnp.asarray(c)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_nearest1_bf16_variant_matches_on_bf16_exact_features(rng):
+    """_nn_call_bf16 (bf16 operands, f32 accumulate) equals the f32 kernel
+    when features are exactly representable in bfloat16 (small integers:
+    8 mantissa bits cover ints up to 256)."""
+    import jax.numpy as jnp
+    q = rng.integers(-64, 64, (256, 192)).astype(np.float32)
+    c = rng.integers(-64, 64, (512, 192)).astype(np.float32)
+    err_b, idx_b = pk._nn_call_bf16(jnp.asarray(q), jnp.asarray(c),
+                                    256, 256, True)
+    err_f, idx_f = pk._nn_call(jnp.asarray(q), jnp.asarray(c),
+                               256, 256, True)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_f))
+    np.testing.assert_allclose(np.asarray(err_b), np.asarray(err_f),
+                               rtol=1e-5, atol=1e-2)

@@ -69,8 +69,14 @@ class EncoderConfig:
     scaling: float = 1.0
     fps: float = 24.0
 
-    # kmodes restarts (cRandomKModesCount, main.pas:21)
-    kmodes_restarts: int = 7
+    # KModes multi-restart: 0 = single solve from the computed min-byte-sum
+    # starting row (the reference's effective main-path behavior,
+    # main.pas:4300-4308); N > 0 = best-of-N golden-ratio-spread restarts
+    # per bin (kmodes.pas:949-966, lowest cost wins — the reference wires
+    # cRandomKModesCount = 7, main.pas:21, for bins without a computed
+    # start). Restarts run as extra vmap lanes: ~N x GlobalTiling solve
+    # cost.
+    kmodes_restarts: int = 0
 
     # GTS tileset reload instead of global tiling (chkReload)
     reload_tileset: str | None = None

@@ -269,13 +269,43 @@ def _next_pow2(v: int) -> int:
     return p
 
 
+def golden_ratio_starts(n: int, num_init: int) -> list[int]:
+    """Multi-restart starting points spread by repeated multiplication with
+    n^(1/num_init) (kmodes.pas:949-966): strictly increasing, clamped to
+    [0, n-1]. float32 accumulation mirrors the reference's Single math."""
+    inv = np.float32(float(n) ** (1.0 / num_init))
+    acc = np.float32(1.0)
+    out: list[int] = []
+    for i in range(num_init):
+        sp = int(np.round(acc)) - 1  # round-half-even, like Pascal Round
+        if i > 0 and sp <= out[-1]:
+            sp = min(n - 1, out[-1] + 1)
+        out.append(sp)
+        acc = np.float32(acc * inv)
+    return out
+
+
+def _cost_key(cost_triple) -> tuple:
+    """Host-side lexicographic key for a normalized (hi, mid, lo) cost."""
+    c, b, a = (int(v) for v in cost_triple)
+    return (c, b, a)
+
+
 def kmodes(x: np.ndarray, k: int, start_point: int, n_modalities: int,
-           max_iters: int = 100):
+           max_iters: int = 100, return_cost: bool = False):
     """Cluster [n, 80] uint8 rows into k groups.
 
-    Returns (labels [n] int32, centroids [k, 80] uint8)."""
+    start_point >= 0: farthest-first init from that row (the reference
+    passes the bin's min-byte-sum row, main.pas:4300-4308).
+    start_point < 0: |start_point| golden-ratio-spread restarts
+    (kmodes.pas:949-966); the lowest-cost run wins, first on ties
+    (kmodes.pas:1046-1053).
+
+    Returns (labels [n] int32, centroids [k, 80] uint8[, cost tuple])."""
     n = x.shape[0]
     assert 0 < k <= n
+    starts = ([start_point] if start_point >= 0
+              else golden_ratio_starts(n, -start_point))
     n_pad = _next_pow2(max(n, 8))
     k_pad = _next_pow2(max(k, 2))
     xp = np.zeros((n_pad, x.shape[1]), np.uint8)
@@ -284,10 +314,17 @@ def kmodes(x: np.ndarray, k: int, start_point: int, n_modalities: int,
     valid_n[:n] = True
     valid_k = np.zeros(k_pad, bool)
     valid_k[:k] = True
-    labels, cents, _cost, _it = _kmodes_padded(
-        jnp.asarray(xp), jnp.asarray(valid_n), jnp.asarray(valid_k),
-        jnp.int32(start_point), k_pad, n_modalities, max_iters)
-    return np.asarray(labels)[:n], np.asarray(cents)[:k]
+    best = None
+    for s in starts:
+        labels, cents, cost, _it = _kmodes_padded(
+            jnp.asarray(xp), jnp.asarray(valid_n), jnp.asarray(valid_k),
+            jnp.int32(s), k_pad, n_modalities, max_iters)
+        key = _cost_key(cost)
+        if best is None or key < best[0]:
+            best = (key, labels, cents)
+    _, labels, cents = best
+    out = (np.asarray(labels)[:n], np.asarray(cents)[:k])
+    return out + (best[0],) if return_cost else out
 
 
 def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
@@ -300,16 +337,33 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
     single vmapped while_loop solves them all — one compile, one dispatch
     for the whole GlobalTiling step.
 
+    Negative bins_start[i] requests |start| golden-ratio restarts (one vmap
+    lane each; lowest cost wins, first on ties — kmodes.pas:949-966,
+    1046-1053).
+
     Returns list of (labels [n_i], centroids [k_i, A]).
     """
     b = len(bins_x)
     if b == 0:
         return []
     a = bins_x[0].shape[1]
-    out: list = [None] * b
+    exp_x: list[np.ndarray] = []
+    exp_k: list[int] = []
+    exp_start: list[int] = []
+    exp_owner: list[int] = []
+    for i in range(b):
+        starts = ([bins_start[i]] if bins_start[i] >= 0 else
+                  golden_ratio_starts(len(bins_x[i]), -bins_start[i]))
+        for s in starts:
+            exp_x.append(bins_x[i])
+            exp_k.append(bins_k[i])
+            exp_start.append(s)
+            exp_owner.append(i)
+
+    results: list = [None] * len(exp_x)
     # pow2 size buckets: one compiled super-shape per bucket (see
     # _size_buckets)
-    for bucket in _size_buckets(bins_x, bins_k):
+    for bucket in _size_buckets(exp_x, exp_k):
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         solver = jax.vmap(
             lambda x, valid_n, valid_k, s: _kmodes_padded(
@@ -320,18 +374,27 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
             vk = np.zeros((g, k_pad), bool)
             starts = np.zeros(g, np.int32)
             for j, i in enumerate(lanes):
-                xs[j, :len(bins_x[i])] = bins_x[i]
-                vn[j, :len(bins_x[i])] = True
-                vk[j, :bins_k[i]] = True
-                starts[j] = bins_start[i]
-            labels, cents, _cost = solver(jnp.asarray(xs), jnp.asarray(vn),
-                                          jnp.asarray(vk),
-                                          jnp.asarray(starts))
+                xs[j, :len(exp_x[i])] = exp_x[i]
+                vn[j, :len(exp_x[i])] = True
+                vk[j, :exp_k[i]] = True
+                starts[j] = exp_start[i]
+            labels, cents, cost = solver(jnp.asarray(xs), jnp.asarray(vn),
+                                         jnp.asarray(vk),
+                                         jnp.asarray(starts))
             labels = np.asarray(labels)
             cents = np.asarray(cents)
+            cost = tuple(np.asarray(c) for c in cost)
             for j, i in enumerate(lanes):
-                out[i] = (labels[j][:len(bins_x[i])], cents[j][:bins_k[i]])
-    return out
+                results[i] = (labels[j][:len(exp_x[i])],
+                              cents[j][:exp_k[i]],
+                              tuple(int(c[j]) for c in cost))
+
+    out: list = [None] * b
+    for i, owner in enumerate(exp_owner):
+        lab, cen, cost = results[i]
+        if out[owner] is None or cost < out[owner][2]:
+            out[owner] = (lab, cen, cost)
+    return [(lab, cen) for (lab, cen, _cost) in out]
 
 
 def _winner_from(x, valid_n, labels, cents, k_pad: int):
@@ -359,10 +422,11 @@ def _batch_gather_solver(k_pad: int, n_modalities: int, max_iters: int):
     step, and halving it is free."""
     def one(sigs, idx, valid_n, valid_k, s):
         x = jnp.take(sigs, idx, axis=0)
-        labels, cents, _cost, it = _kmodes_padded(
+        labels, cents, cost, it = _kmodes_padded(
             x, valid_n, valid_k, s, k_pad, n_modalities, max_iters)
         return (labels.astype(jnp.int16), cents,
-                _winner_from(x, valid_n, labels, cents, k_pad), it)
+                _winner_from(x, valid_n, labels, cents, k_pad), it,
+                jnp.stack(cost))
 
     return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
 
@@ -378,6 +442,10 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
     returns the per-cluster winner row, so the [A,80] signatures never
     reach the host.
 
+    Negative bins_start[i] requests |start| golden-ratio restarts for that
+    bin (kmodes.pas:949-966): each restart becomes an extra vmap LANE and
+    the lowest-cost lane wins (first on ties, kmodes.pas:1046-1053).
+
     Returns list of (labels [n_i] np, cents [k_i,A] np, winner [k_i] np
     local member indices, -1 for empty clusters).
 
@@ -391,12 +459,26 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
     b = len(bins_sel)
     if b == 0:
         return []
-    out: list = [None] * b
+    # expand multi-restart bins into one lane per starting point
+    exp_sel: list[np.ndarray] = []
+    exp_k: list[int] = []
+    exp_start: list[int] = []
+    exp_owner: list[int] = []
+    for i in range(b):
+        starts = ([bins_start[i]] if bins_start[i] >= 0 else
+                  golden_ratio_starts(len(bins_sel[i]), -bins_start[i]))
+        for s in starts:
+            exp_sel.append(bins_sel[i])
+            exp_k.append(bins_k[i])
+            exp_start.append(s)
+            exp_owner.append(i)
+
+    results: list = [None] * len(exp_sel)
     # two-phase: queue EVERY bucket's solve first, materialize afterwards —
     # per-bucket np.asarray blocks on the tunnel RTT and serializes the
     # device between buckets
     pending = []
-    for bucket in _size_buckets(bins_sel, bins_k):
+    for bucket in _size_buckets(exp_sel, exp_k):
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         for lanes in lane_chunks:
             idxmat = np.zeros((g, n_pad), np.int32)
@@ -404,30 +486,38 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
             vk = np.zeros((g, k_pad), bool)
             starts = np.zeros(g, np.int32)
             for j, i in enumerate(lanes):
-                sel = bins_sel[i]
+                sel = exp_sel[i]
                 idxmat[j, :len(sel)] = sel
                 vn[j, :len(sel)] = True
-                vk[j, :bins_k[i]] = True
-                starts[j] = bins_start[i]
-            labels, cents, winner, iters = _batch_gather_solver(
+                vk[j, :exp_k[i]] = True
+                starts[j] = exp_start[i]
+            labels, cents, winner, iters, costs = _batch_gather_solver(
                 k_pad, n_modalities, max_iters)(
                     sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
                     jnp.asarray(vk), jnp.asarray(starts))
-            pending.append((lanes, labels, cents, winner, iters))
-    for lanes, labels, cents, winner, iters in pending:
+            pending.append((lanes, labels, cents, winner, iters, costs))
+    for lanes, labels, cents, winner, iters, costs in pending:
         labels = np.asarray(labels)
         cents_np = np.asarray(cents) if need_cents else None
         winner = np.asarray(winner)
+        costs_np = np.asarray(costs)
         if iters_out is not None:
             it_np = np.asarray(iters)
             for j, i in enumerate(lanes):
-                iters_out.append((len(bins_sel[i]), bins_k[i],
+                iters_out.append((len(exp_sel[i]), exp_k[i],
                                   int(it_np[j])))
         for j, i in enumerate(lanes):
-            out[i] = (labels[j][:len(bins_sel[i])],
-                      cents_np[j][:bins_k[i]] if need_cents else None,
-                      winner[j][:bins_k[i]])
-    return out
+            results[i] = (labels[j][:len(exp_sel[i])],
+                          cents_np[j][:exp_k[i]] if need_cents else None,
+                          winner[j][:exp_k[i]],
+                          tuple(int(v) for v in costs_np[j]))
+
+    out: list = [None] * b
+    for i, owner in enumerate(exp_owner):
+        lab, cen, win, cost = results[i]
+        if out[owner] is None or cost < out[owner][3]:
+            out[owner] = (lab, cen, win, cost)
+    return [(lab, cen, win) for (lab, cen, win, _cost) in out]
 
 
 def _size_buckets(bins_x, bins_k, floor: int = 4096,

@@ -108,6 +108,61 @@ def nearest_1_pallas(queries: np.ndarray, candidates: np.ndarray,
     return np.asarray(idx)[:nq], np.asarray(err)[:nq]
 
 
+def _nn_kernel_bf16(q_ref, c_ref, err_ref, idx_ref):
+    """As _nn_kernel but the dominant [BQ,D]@[D,BC] dot runs with bfloat16
+    OPERANDS and float32 accumulation (one MXU pass instead of the f32
+    multi-pass emulation). The norms stay f32."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        err_ref[:] = jnp.full_like(err_ref, jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    q = q_ref[:]
+    c = c_ref[:]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    c2 = jnp.sum(c * c, axis=1, keepdims=True).T
+    d = q2 + c2 - 2.0 * jnp.dot(q.astype(jnp.bfloat16),
+                                c.astype(jnp.bfloat16).T,
+                                preferred_element_type=jnp.float32)
+    local_idx = jnp.argmin(d, axis=1)
+    local_err = jnp.min(d, axis=1)
+    base = j * c.shape[0]
+    better = local_err < err_ref[:]
+    err_ref[:] = jnp.where(better, local_err, err_ref[:])
+    idx_ref[:] = jnp.where(better, local_idx.astype(jnp.int32) + base,
+                           idx_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bc', 'interpret'))
+def _nn_call_bf16(q, c, bq: int, bc: int, interpret: bool):
+    nq, d_dim = q.shape
+    nc = c.shape[0]
+    grid = (nq // bq, nc // bc)
+    return pl.pallas_call(
+        _nn_kernel_bf16,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, d_dim), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq,), jnp.float32),
+            jax.ShapeDtypeStruct((nq,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, c)
+
+
 # ---------------------------------------------------------------------------
 # KModes dissimilarity matrix
 # ---------------------------------------------------------------------------

@@ -260,17 +260,34 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
         cents, labels, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
         cents = update(cents, labels)
         labels, cost = assign(cents)
-        return labels, cents
+        return labels, cents, jnp.stack(cost)
 
     data_sh = NamedSharding(flat_mesh, P(ax))
     fn = jax.jit(jax.shard_map(
         solver, mesh=flat_mesh,
         in_specs=(P(ax), P(ax), P(None), P()),
-        out_specs=(P(ax), P(None, None)),
+        out_specs=(P(ax), P(None, None), P(None)),
         check_vma=False))
-    labels, cents = fn(jax.device_put(xp, data_sh),
-                       jax.device_put(valid_n, data_sh),
-                       jnp.asarray(valid_k), jnp.int32(start_point))
+
+    def run(sp: int):
+        labels, cents, cost = fn(jax.device_put(xp, data_sh),
+                                 jax.device_put(valid_n, data_sh),
+                                 jnp.asarray(valid_k), jnp.int32(sp))
+        return labels, cents, tuple(int(v) for v in np.asarray(cost))
+
+    if start_point >= 0:
+        labels, cents, _cost = run(start_point)
+    else:
+        # golden-ratio multi-restart, lowest cost wins, first on ties
+        # (kmodes.pas:949-966, 1046-1053) — identical selection to the
+        # single-device paths so N-host stays bit-equal to 1-host
+        from ..ops.kmodes import golden_ratio_starts
+        best = None
+        for sp in golden_ratio_starts(n, -start_point):
+            labels_i, cents_i, cost = run(sp)
+            if best is None or cost < best[0]:
+                best = (cost, labels_i, cents_i)
+        _, labels, cents = best
     return np.asarray(labels)[:n], np.asarray(cents)[:k]
 
 

@@ -173,7 +173,11 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
             continue
         s = sums[sel]
         mins = np.flatnonzero(s == s.min())
-        jobs.append(dict(sel=sel, k=k, start=int(mins[-1])))
+        # kmodes_restarts > 0 requests best-of-N golden-ratio restarts
+        # (kmodes.pas:949-966) instead of the single min-byte-sum start
+        start = (-cfg.kmodes_restarts if cfg.kmodes_restarts > 0
+                 else int(mins[-1]))
+        jobs.append(dict(sel=sel, k=k, start=start))
     phases['sigs_bins'] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
 

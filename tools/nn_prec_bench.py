@@ -45,6 +45,9 @@ def main():
     n_c = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     n_q = 16384
     bq, bc = 2048, 4096
+    # _nn_call builds its grid with nc // bc: a ragged n_c would silently
+    # drop tail candidates and corrupt both agreement and TF/s figures
+    n_c = -(-n_c // bc) * bc
     cands = make_features(n_c, 1)
     c_dev = jnp.asarray(cands)
     reps = 4
@@ -75,6 +78,9 @@ def main():
     # variant: round once, search exactly in the rounded space)
     qs_r = [q.astype(jnp.bfloat16).astype(jnp.float32) for q in qs]
     c_r = c_dev.astype(jnp.bfloat16).astype(jnp.float32)
+    # untimed warm-up: compiles the astype cast chains so the timed reps
+    # measure steady state like the two variants above
+    np.asarray(_nn_call_bf16(qs_r[0], c_r, bq, bc, False)[0])
     outs = []
     t0 = time.perf_counter()
     for r in range(reps):
