@@ -430,3 +430,42 @@ def hsv_to_rgb_int(h, s, v):
     r = v - (ls * (42 - f)) // (255 * 42)
     return [(v, r, p), (q, v, p), (p, v, r),
             (p, q, v), (r, p, v), (v, p, q)][h] if h < 6 else (0, 0, 0)
+
+
+def keyframe_ranges_oracle(corr, tilemap_size, n_frames):
+    """Shot/keyframe detection loop (main.pas:1099-1155, constants at
+    main.pas:985-990): EWMA of inter-frame correlation, hard/soft ratio
+    thresholds, grace period, per-keyframe tile budget. Mirrors the
+    Pascal structure: frames are ASSIGNED to keyframe ids first, ranges
+    are recovered afterwards by a min/max scan (main.pas:1148-1155)."""
+    C_MAX_TILES = 24 * 1920 * 1080 // (TILE_W * TILE_W)
+    C_GRACE = 24
+    C_SAVG = 6
+    C_SOFT = 0.9
+    C_HARD = 0.5
+
+    kf_of_frame = np.zeros(n_frames, np.int64)
+    kf_idx = 0
+    av = -1.0
+    last_kf_idx = 0
+    for i in range(1, n_frames):
+        v = float(corr[i - 1])
+        if av == -1.0:
+            av = v
+        else:
+            av = av * (1.0 - 1.0 / C_SAVG) + v * (1.0 / C_SAVG)
+        ratio = max(0.01, v) / max(0.01, av)
+        is_kf = (ratio < C_HARD) or \
+            ((ratio < C_SOFT) and ((i - last_kf_idx + 1) > C_GRACE)) or \
+            ((i - last_kf_idx + 1) * tilemap_size > C_MAX_TILES)
+        if is_kf:
+            kf_idx += 1
+            av = -1.0
+            last_kf_idx = i
+        kf_of_frame[i] = kf_idx
+
+    ranges = np.zeros((kf_idx + 1, 2), np.int32)
+    for j in range(kf_idx + 1):
+        members = np.flatnonzero(kf_of_frame == j)
+        ranges[j] = [members.min(), members.max()]
+    return ranges

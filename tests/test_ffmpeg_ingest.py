@@ -1,0 +1,98 @@
+"""ffmpeg ingestion (main.pas:4765-4800 equivalent): argv construction,
+fps scrape on real ffmpeg stderr shapes, and the full frames_from_video
+flow with a faked ffmpeg process (the test env has no ffmpeg binary; a
+real-binary test runs when one is present)."""
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import numpy.testing  # noqa: F401  (load before subprocess is monkeypatched:
+# its first import shells out to probe CPU features)
+import pytest
+
+from tiler_tpu.pipeline import load as L
+
+
+def test_ffmpeg_args_range_and_scale():
+    args = L.ffmpeg_args('in.mp4', '/tmp/x/%04d.png', start_frame=10,
+                         frame_count=5, scale=0.5)
+    vf = args[args.index('-vf') + 1]
+    assert 'between(n\\,10\\,14)' in vf
+    assert 'scale=iw*0.5:ih*0.5:flags=lanczos' in vf
+    assert 'out_range=full' in vf
+    assert args[-1] == '/tmp/x/%04d.png'
+    assert args[args.index('-pix_fmt') + 1] == 'rgb24'
+
+
+def test_ffmpeg_args_open_range():
+    args = L.ffmpeg_args('v.avi', 'o/%04d.png')
+    vf = args[args.index('-vf') + 1]
+    assert f'between(n\\,0\\,{2**30})' in vf
+
+
+@pytest.mark.parametrize('stderr,expect', [
+    ('Stream #0:0: Video: h264, yuv420p, 1280x720, 1074 kb/s, '
+     '29.97 fps, 30 tbr, 90k tbn', 29.97),
+    ('Stream #0:0(und): Video: mpeg4, 352x288 [SAR 1:1], 25 fps, '
+     '25 tbr, 25 tbn', 25.0),
+    ('Video: rawvideo, rgb24, 160x96, 23.976 fps, 23.98 tbr', 23.976),
+    ('no rate info anywhere', 24.0),
+    ('Video: h264, 640x480, 30 tbr, 90k tbn', 30.0),      # tbr fallback
+    ('Duration: 00:00:10.00, start: 0.000000', 24.0),
+])
+def test_parse_ffmpeg_fps(stderr, expect):
+    assert L.parse_ffmpeg_fps(stderr) == expect
+
+
+def test_frames_from_video_with_fake_ffmpeg(monkeypatch, tmp_path, rng):
+    """Full flow with subprocess.run faked: PNGs written to the requested
+    pattern, fps scraped from canned stderr, frames stacked in order."""
+    from PIL import Image
+    monkeypatch.setattr(shutil, 'which', lambda name: '/fake/ffmpeg')
+    src = rng.integers(0, 255, (3, 32, 48, 3)).astype(np.uint8)
+
+    def fake_run(argv, capture_output, text):
+        assert argv[0] == '/fake/ffmpeg'
+        pattern = argv[-1]
+        outdir = os.path.dirname(pattern)
+        for i, fr in enumerate(src):
+            Image.fromarray(fr).save(
+                os.path.join(outdir, '%04d.png' % (i + 1)))
+        return subprocess.CompletedProcess(
+            argv, 0, stdout='',
+            stderr='Stream #0:0: Video: h264, 48x32, 29.97 fps, 30 tbr')
+
+    monkeypatch.setattr(subprocess, 'run', fake_run)
+    frames, fps = L.frames_from_video('whatever.mp4', frame_count=3)
+    assert fps == 29.97
+    np.testing.assert_array_equal(frames, src)
+
+
+def test_frames_from_video_ffmpeg_failure(monkeypatch):
+    monkeypatch.setattr(shutil, 'which', lambda name: '/fake/ffmpeg')
+    monkeypatch.setattr(
+        subprocess, 'run',
+        lambda argv, capture_output, text: subprocess.CompletedProcess(
+            argv, 1, stdout='', stderr='in.mp4: No such file or directory'))
+    with pytest.raises(RuntimeError, match='ffmpeg failed'):
+        L.frames_from_video('in.mp4')
+
+
+def test_frames_from_video_no_binary(monkeypatch):
+    monkeypatch.setattr(shutil, 'which', lambda name: None)
+    with pytest.raises(RuntimeError, match='not available'):
+        L.frames_from_video('in.mp4')
+
+
+@pytest.mark.skipif(shutil.which('ffmpeg') is None,
+                    reason='no ffmpeg binary in this environment')
+def test_frames_from_video_real_binary(tmp_path, rng):
+    """When ffmpeg exists: synthesize a clip with lavfi and ingest it."""
+    out = str(tmp_path / 'clip.mp4')
+    subprocess.run(['ffmpeg', '-y', '-f', 'lavfi',
+                    '-i', 'testsrc=duration=1:size=160x96:rate=8', out],
+                   check=True, capture_output=True)
+    frames, fps = L.frames_from_video(out, frame_count=4)
+    assert frames.shape[0] == 4 and frames.shape[1:] == (96, 160, 3)
+    assert fps == 8.0

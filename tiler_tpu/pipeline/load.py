@@ -28,6 +28,39 @@ from ..ops.dither import floyd_steinberg_posterize
 from .state import EncoderState
 
 
+def ffmpeg_args(path: str, out_pattern: str, start_frame: int = 0,
+                frame_count: int = 0, scale: float = 1.0) -> list[str]:
+    """ffmpeg argv for frame extraction (DoExternalFFMpeg,
+    main.pas:4780-4787): frame-range select, full-range conversion and
+    Lanczos scale, rgb24 PNG sequence out."""
+    last = start_frame + frame_count - 1 if frame_count > 0 else 2**30
+    sel = (f"select=between(n\\,{start_frame}\\,{last}),"
+           f"setpts=PTS-STARTPTS,scale=in_range=auto:out_range=full")
+    vf = f"{sel},scale=iw*{scale}:ih*{scale}:flags=lanczos"
+    return ['-y', '-i', path, '-vf', vf, '-pix_fmt', 'rgb24', out_pattern]
+
+
+def parse_ffmpeg_fps(stderr: str, default: float = 24.0) -> float:
+    """Frame rate from ffmpeg's stream-info stderr.
+
+    The reference scrapes the token before the first ' fps'
+    (main.pas:4794-4799); real ffmpeg prints e.g.
+    `... 1280x720, 1074 kb/s, 29.97 fps, 30 tbr, ...`. We match the
+    number immediately preceding 'fps' anywhere (first occurrence), fall
+    back to the 'tbr' figure, then to `default`."""
+    import re
+    for unit in ('fps', 'tbr'):
+        m = re.search(r'(\d+(?:\.\d+)?)\s*' + unit + r'\b', stderr)
+        if m:
+            try:
+                v = float(m.group(1))
+                if v > 0:
+                    return v
+            except ValueError:
+                pass
+    return default
+
+
 def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
                       scale: float = 1.0) -> tuple[np.ndarray, float]:
     """Extract frames with ffmpeg (DoExternalFFMpeg equivalent: frame-range
@@ -36,22 +69,18 @@ def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
     if ffmpeg is None:
         raise RuntimeError('ffmpeg not available on this host')
     tmp = tempfile.mkdtemp(prefix='tiler_png_')
-    sel = (f"select=between(n\\,{start_frame}\\,"
-           f"{start_frame + frame_count - 1 if frame_count > 0 else 2**30}),"
-           f"setpts=PTS-STARTPTS,scale=in_range=auto:out_range=full")
-    vf = f"{sel},scale=iw*{scale}:ih*{scale}:flags=lanczos"
-    proc = subprocess.run(
-        [ffmpeg, '-y', '-i', path, '-vf', vf, '-pix_fmt', 'rgb24',
-         os.path.join(tmp, '%04d.png')],
-        capture_output=True, text=True)
-    fps = 24.0
-    for tok in proc.stderr.split(' fps')[:1]:
-        try:
-            fps = float(tok.strip().rsplit(' ', 1)[-1])
-        except ValueError:
-            pass
-    frames = frames_from_pngs(os.path.join(tmp, '*.png'))
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        proc = subprocess.run(
+            [ffmpeg] + ffmpeg_args(path, os.path.join(tmp, '%04d.png'),
+                                   start_frame, frame_count, scale),
+            capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(f'ffmpeg failed ({proc.returncode}): '
+                               f'{proc.stderr[-500:]}')
+        fps = parse_ffmpeg_fps(proc.stderr)
+        frames = frames_from_pngs(os.path.join(tmp, '*.png'))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return frames, fps
 
 
@@ -72,19 +101,16 @@ def split_into_tiles(frames: np.ndarray, th: int, tw: int) -> np.ndarray:
     return np.ascontiguousarray(x.reshape(f * th * tw, TILE_W, TILE_W, 3))
 
 
-def detect_keyframes(fs_pixels: np.ndarray, tilemap_size: int) -> np.ndarray:
-    """Shot-transition detection (main.pas:1099-1155).
-
-    Batched Pearson correlations on device; EWMA ratio thresholds on host.
-    Returns [K,2] inclusive frame ranges."""
-    f = len(fs_pixels)
-    if f == 1:
-        return np.array([[0, 0]], np.int32)
-    corr = np.asarray(stats.interframe_correlations(fs_pixels))
+def keyframes_from_correlations(corr: np.ndarray, tilemap_size: int,
+                                n_frames: int) -> np.ndarray:
+    """EWMA ratio thresholding of an inter-frame correlation trace into
+    keyframe ranges — the host half of shot detection (main.pas:1099-1155,
+    thresholds at 985-990). Oracle-pinned against a transliteration in
+    tests/reference_impls.py. Returns [K,2] inclusive frame ranges."""
     starts = [0]
     av = -1.0
     last_kf = 0
-    for i in range(1, f):
+    for i in range(1, n_frames):
         v = float(corr[i - 1])
         if av == -1.0:
             av = v
@@ -100,9 +126,21 @@ def detect_keyframes(fs_pixels: np.ndarray, tilemap_size: int) -> np.ndarray:
             starts.append(i)
             av = -1.0
             last_kf = i
-    starts.append(f)
+    starts.append(n_frames)
     return np.array([[starts[k], starts[k + 1] - 1]
                      for k in range(len(starts) - 1)], np.int32)
+
+
+def detect_keyframes(fs_pixels: np.ndarray, tilemap_size: int) -> np.ndarray:
+    """Shot-transition detection (main.pas:1099-1155).
+
+    Batched Pearson correlations on device; EWMA ratio thresholds on host.
+    Returns [K,2] inclusive frame ranges."""
+    f = len(fs_pixels)
+    if f == 1:
+        return np.array([[0, 0]], np.int32)
+    corr = np.asarray(stats.interframe_correlations(fs_pixels))
+    return keyframes_from_correlations(corr, tilemap_size, f)
 
 
 def run_load(state: EncoderState, frames: np.ndarray,
