@@ -363,7 +363,8 @@ def kmodes_batch(bins_x: list[np.ndarray], bins_k: list[int],
     results: list = [None] * len(exp_x)
     # pow2 size buckets: one compiled super-shape per bucket (see
     # _size_buckets)
-    for bucket in _size_buckets(exp_x, exp_k):
+    for bucket in _size_buckets(exp_x, exp_k, n_modalities=n_modalities,
+                                attr_count=a):
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         solver = jax.vmap(
             lambda x, valid_n, valid_k, s: _kmodes_padded(
@@ -478,7 +479,8 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
     # per-bucket np.asarray blocks on the tunnel RTT and serializes the
     # device between buckets
     pending = []
-    for bucket in _size_buckets(exp_sel, exp_k):
+    for bucket in _size_buckets(exp_sel, exp_k, n_modalities=n_modalities,
+                                attr_count=int(sigs_dev.shape[1])):
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         for lanes in lane_chunks:
             idxmat = np.zeros((g, n_pad), np.int32)
@@ -521,13 +523,26 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
 
 
 def _size_buckets(bins_x, bins_k, floor: int = 4096,
-                  point_budget: int = 1 << 20):
+                  n_modalities: int = 16, attr_count: int = 80,
+                  temp_budget_bytes: int = 4 << 30):
     """Group bins into pow2 size buckets (floor 4096): each bucket solves
     at ONE (n_pad, k_pad, g_pad) super-shape, so compile count stays small
     (<= ~3 shapes per encode) while the many median-size bins stop paying
     the biggest bin's padding (5x+ padded-point waste at 720p). Lane
-    counts pad to pow2 with dummy lanes; big buckets chunk to a padded-
-    point budget."""
+    counts pad to pow2 with dummy lanes; big buckets chunk so the solver's
+    HBM temporaries stay under temp_budget_bytes — the lane budget is in
+    BYTES, not points, because make_dissim_fn's per-point one-hot
+    encodings dominate: ~a*m*6 bytes of eq/convert temps plus
+    ~a*(2m-1)*6 bytes of x_cat + fusion copies per padded point (at
+    a=80, m=16 that's ~20KB/point; a 1M-padded-point chunk OOMed the
+    16G-HBM chip at 1080p)."""
+    a = attr_count
+    m = n_modalities
+    if m <= 32:
+        per_point = a * m * 6 + a * (2 * m - 1) * 6
+    else:  # broadcast dissim path materializes [n, k, a] int32 pairs
+        per_point = a * 16
+    point_budget = max(8192, temp_budget_bytes // per_point)
     buckets: dict[int, list[int]] = {}
     for i, xrow in enumerate(bins_x):
         n_pad = max(floor, _next_pow2(max(len(xrow), 8)))
