@@ -67,11 +67,13 @@ def compute_global_tiling_fwd(tiles_pal: np.ndarray, tile_active: np.ndarray,
             continue
         bin_sigs = sigs[sel]
         # starting point: line with the smallest byte sum (last min wins,
-        # main.pas:4301-4308 uses <=)
+        # main.pas:4301-4308 uses <=); kmodes_restarts > 0 requests
+        # best-of-N golden-ratio restarts instead (kmodes.pas:949-966)
         sums = bin_sigs.astype(np.int64).sum(1)
         mins = np.flatnonzero(sums == sums.min())
-        jobs.append(dict(p=p, sel=sel, sigs=bin_sigs, k=k,
-                         start=int(mins[-1])))
+        start = (-cfg.kmodes_restarts if cfg.kmodes_restarts > 0
+                 else int(mins[-1]))
+        jobs.append(dict(p=p, sel=sel, sigs=bin_sigs, k=k, start=start))
     if mesh is not None:
         from ..parallel.sharded_ops import sharded_kmodes
         solved = [sharded_kmodes(mesh, j['sigs'], j['k'], j['start'],
