@@ -469,3 +469,33 @@ def keyframe_ranges_oracle(corr, tilemap_size, n_frames):
         members = np.flatnonzero(kf_of_frame == j)
         ranges[j] = [members.min(), members.max()]
     return ranges
+
+
+def dither_floyd_steinberg_oracle(frame_rgb, bits_per_comp):
+    """DitherFloydSteinberg (main.pas:1966-1996), pointer-walk form: flat
+    byte buffer, neighbor offsets collapsing to 0 at the borders (the
+    error then lands on the current/processed pixels), EnsureRange
+    clamping."""
+    h, w, _ = frame_rgb.shape
+    cvt_pre = (1 << bits_per_comp) - 1
+    cvt_post = 256 // cvt_pre
+    px = list(frame_rgb.reshape(-1).astype(int))
+    p = 0
+    for y in range(h):
+        for x in range(w):
+            yp = w * 3 if y < h - 1 else 0
+            xp = 3 if x < w - 1 else 0
+            xm = -3 if x > 0 else 0
+            for _c in range(3):
+                old = px[p]
+                new = min(255, ((old * cvt_pre) // 255) * cvt_post)
+                err = old - new
+                px[p] = new
+                px[p + xp] = min(255, max(0, px[p + xp] + (err * 7 >> 4)))
+                px[p + yp + xm] = min(255, max(0, px[p + yp + xm] +
+                                               (err * 3 >> 4)))
+                px[p + yp] = min(255, max(0, px[p + yp] + (err * 5 >> 4)))
+                px[p + yp + xp] = min(255, max(0, px[p + yp + xp] +
+                                               (err * 1 >> 4)))
+                p += 1
+    return np.array(px, np.uint8).reshape(h, w, 3)

@@ -13,7 +13,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_DIR, 'libtiler_native.so')
-_SOURCES = ['lzma1.cc', 'dl3.cc', 'gtm_pack.cc']
+_SOURCES = ['lzma1.cc', 'dl3.cc', 'gtm_pack.cc', 'fs_dither.cc']
 _lock = threading.Lock()
 _lib = None
 _build_error: Exception | None = None
@@ -91,6 +91,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32)]
         lib.tiler_gtm_palettes.restype = ctypes.c_void_p
         lib.tiler_gtm_palettes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.tiler_fs_posterize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.tiler_fs_tile.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -234,3 +238,27 @@ def lzma_decode_concat(data: bytes) -> bytes:
             break
         off += consumed
     return b''.join(out)
+
+
+def fs_posterize(frame_rgb, bits: int):
+    """Whole-frame Floyd-Steinberg posterize to `bits` per component
+    (DitherFloydSteinberg, main.pas:1966-1996). Returns a new array."""
+    import numpy as np
+    lib = get_lib()
+    h, w, _ = frame_rgb.shape
+    buf = np.ascontiguousarray(frame_rgb, np.uint8).copy()
+    lib.tiler_fs_posterize(buf.ctypes.data_as(ctypes.c_void_p),
+                           h, w, bits)
+    return buf
+
+
+def fs_tile(tile_rgb, bits: int):
+    """Per-tile FS diffusion with replicated borders
+    (DitherTileFloydSteinberg, main.pas:1877-1929)."""
+    import numpy as np
+    lib = get_lib()
+    src = np.ascontiguousarray(tile_rgb, np.uint8)
+    dst = np.empty_like(src)
+    lib.tiler_fs_tile(src.ctypes.data_as(ctypes.c_void_p), bits,
+                      dst.ctypes.data_as(ctypes.c_void_p))
+    return dst
