@@ -46,35 +46,36 @@ def test_parse_ffmpeg_fps(stderr, expect):
 
 
 def test_frames_from_video_with_fake_ffmpeg(monkeypatch, tmp_path, rng):
-    """Full flow with subprocess.run faked: PNGs written to the requested
-    pattern, fps scraped from canned stderr, frames stacked in order."""
+    """Full flow with the process runner faked: PNGs written to the
+    requested pattern, fps scraped from canned stderr, frames stacked in
+    order."""
     from PIL import Image
+    from tiler_tpu.utils import progress
     monkeypatch.setattr(shutil, 'which', lambda name: '/fake/ffmpeg')
     src = rng.integers(0, 255, (3, 32, 48, 3)).astype(np.uint8)
 
-    def fake_run(argv, capture_output, text):
+    def fake_run(argv, echo=False, text=True, timeout=None):
         assert argv[0] == '/fake/ffmpeg'
         pattern = argv[-1]
         outdir = os.path.dirname(pattern)
         for i, fr in enumerate(src):
             Image.fromarray(fr).save(
                 os.path.join(outdir, '%04d.png' % (i + 1)))
-        return subprocess.CompletedProcess(
-            argv, 0, stdout='',
-            stderr='Stream #0:0: Video: h264, 48x32, 29.97 fps, 30 tbr')
+        return 0, '', 'Stream #0:0: Video: h264, 48x32, 29.97 fps, 30 tbr'
 
-    monkeypatch.setattr(subprocess, 'run', fake_run)
+    monkeypatch.setattr(progress, 'run_command', fake_run)
     frames, fps = L.frames_from_video('whatever.mp4', frame_count=3)
     assert fps == 29.97
     np.testing.assert_array_equal(frames, src)
 
 
 def test_frames_from_video_ffmpeg_failure(monkeypatch):
+    from tiler_tpu.utils import progress
     monkeypatch.setattr(shutil, 'which', lambda name: '/fake/ffmpeg')
     monkeypatch.setattr(
-        subprocess, 'run',
-        lambda argv, capture_output, text: subprocess.CompletedProcess(
-            argv, 1, stdout='', stderr='in.mp4: No such file or directory'))
+        progress, 'run_command',
+        lambda argv, echo=False, text=True, timeout=None:
+        (1, '', 'in.mp4: No such file or directory'))
     with pytest.raises(RuntimeError, match='ffmpeg failed'):
         L.frames_from_video('in.mp4')
 

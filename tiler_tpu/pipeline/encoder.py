@@ -17,6 +17,10 @@ class Encoder:
     def __init__(self, config: EncoderConfig | None = None):
         self.config = config or EncoderConfig()
         self.state = EncoderState(config=self.config)
+        from ..utils.progress import StepProgress
+        first = ENCODER_STEPS.index(self.config.start_step)
+        last = ENCODER_STEPS.index(self.config.end_step)
+        self.progress = StepProgress(ENCODER_STEPS[first:last + 1])
 
     # -- individual steps ---------------------------------------------------
 
@@ -117,6 +121,10 @@ class Encoder:
         return result
 
     def _report(self, name):
+        # reference-style step report (ProgressRedraw, main.pas:3622-3628)
+        # + step-weighted percent/ETA (cEncoderStepLen, main.pas:61)
         t = self.state.step_times[name]
         total = sum(self.state.step_times.values())
-        print(f'Step: {name:<14} Time: {t:8.3f}  All: {total:8.3f}')
+        self.progress.finish_step(name)
+        print(f'Step: {name:<14} Time: {t:8.3f}  All: {total:8.3f}  '
+              f'{self.progress.format_suffix()}')

@@ -68,16 +68,18 @@ def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
     ffmpeg = shutil.which('ffmpeg')
     if ffmpeg is None:
         raise RuntimeError('ffmpeg not available on this host')
+    from ..utils.progress import run_command
     tmp = tempfile.mkdtemp(prefix='tiler_png_')
     try:
-        proc = subprocess.run(
+        # progressive pipe pump with live echo (internalRuncommand,
+        # extern.pas:94-200): ffmpeg reports progress on stderr
+        code, _out, stderr = run_command(
             [ffmpeg] + ffmpeg_args(path, os.path.join(tmp, '%04d.png'),
                                    start_frame, frame_count, scale),
-            capture_output=True, text=True)
-        if proc.returncode != 0:
-            raise RuntimeError(f'ffmpeg failed ({proc.returncode}): '
-                               f'{proc.stderr[-500:]}')
-        fps = parse_ffmpeg_fps(proc.stderr)
+            echo=True)
+        if code != 0:
+            raise RuntimeError(f'ffmpeg failed ({code}): {stderr[-500:]}')
+        fps = parse_ffmpeg_fps(stderr)
         frames = frames_from_pngs(os.path.join(tmp, '*.png'))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
