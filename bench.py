@@ -1,10 +1,21 @@
-"""Benchmark: end-to-end GTM encode throughput on the default backend (TPU
-when available), against a single-host CPU run of the same pipeline as the
+"""Benchmark: end-to-end GTM encode throughput at the north-star
+resolution (1080p, BASELINE.md) on the default backend (TPU when
+available), against a single-host CPU run of the same pipeline as the
 baseline (the reference Pascal encoder is a Windows binary and cannot run
 here; see BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+   "step_times": {...}, "phases": {...}, "psnr": N, ...}
+
+The timed run is steady-state: an untimed warm-up encode at the same
+shapes compiles every kernel first (first-op tunnel stalls and XLA
+compiles are environmental, not pipeline throughput). The CPU baseline
+uses fewer frames (per-frame work dominates; fixed costs are excluded by
+per-frame normalization) and is skipped gracefully on timeout.
+
+Env knobs: TILER_BENCH_SMALL=1 -> 320x240 clip (the round-1 metric);
+TILER_BENCH_NO_CPU=1 -> skip the CPU-baseline subprocess.
 """
 import json
 import os
@@ -14,8 +25,10 @@ import time
 
 import numpy as np
 
-H, W, F = 240, 320, 16
-F_CPU = 8  # CPU baseline measures a shorter clip (same per-frame work)
+SMALL = os.environ.get('TILER_BENCH_SMALL') == '1'
+H, W, F = (240, 320, 16) if SMALL else (1080, 1920, 16)
+F_CPU = 8 if SMALL else 4  # CPU baseline: shorter clip, same per-frame work
+PAL = 32 if SMALL else 128
 
 
 def synthetic_clip(f, h, w, seed=0):
@@ -29,21 +42,19 @@ def synthetic_clip(f, h, w, seed=0):
     return frames
 
 
-def encode_fps(frames, warm: bool = True):
+def encode_once(frames, warm: bool = True):
     from tiler_tpu.config import EncoderConfig
     from tiler_tpu.pipeline.encoder import Encoder
-    cfg = EncoderConfig(palette_count=32, tile_palette_size=16)
+    cfg = EncoderConfig(palette_count=PAL, tile_palette_size=16)
     if warm:
         # warmup at the SAME shapes: shape-bucketed kernels compile here
         # so the timed run measures steady-state throughput
         Encoder(cfg).run_all(frames, fps=24.0, fast_lzma=True)
     enc = Encoder(cfg)
     t0 = time.perf_counter()
-    enc.run_all(frames, fps=24.0, fast_lzma=True)
+    blob = enc.run_all(frames, fps=24.0, fast_lzma=True)
     dt = time.perf_counter() - t0
-    print('phase metrics:', json.dumps(enc.state.metrics.get(
-        'dither_phases', {})), file=sys.stderr)
-    return len(frames) / dt
+    return len(frames) / dt, enc, blob
 
 
 def main():
@@ -51,36 +62,59 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
         frames = synthetic_clip(F_CPU, H, W)
-        print(json.dumps({'cpu_fps': encode_fps(frames, warm=False)}))
+        fps, _, _ = encode_once(frames, warm=False)
+        print(json.dumps({'cpu_fps': fps}))
         return
 
     import jax
     backend = jax.default_backend()
     frames = synthetic_clip(F, H, W)
-    fps = encode_fps(frames)
+    fps, enc, blob = encode_once(frames)
 
-    # CPU baseline in a subprocess (fresh process so the backend choice and
-    # compile caches don't leak); failures fall back to vs_baseline=1.
-    vs_baseline = 1.0
+    psnr = None
     try:
-        env = dict(os.environ, TILER_BENCH_CPU='1')
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, timeout=900)
-        for line in out.stdout.strip().splitlines():
-            try:
-                cpu_fps = json.loads(line).get('cpu_fps')
-                if cpu_fps:
-                    vs_baseline = fps / cpu_fps
-            except json.JSONDecodeError:
-                continue
+        from tiler_tpu.decode import decode_video
+        dec, _ = decode_video(blob)
+        mse = np.mean((dec.astype(np.float64) -
+                       frames.astype(np.float64)) ** 2)
+        psnr = round(float(10 * np.log10(255.0 ** 2 / mse)), 3) if mse \
+            else 99.0
     except Exception:
         pass
 
+    # CPU baseline in a subprocess (fresh process so the backend choice and
+    # compile caches don't leak); failures/timeouts fall back to 1.0
+    vs_baseline = 1.0
+    if os.environ.get('TILER_BENCH_NO_CPU') != '1':
+        try:
+            env = dict(os.environ, TILER_BENCH_CPU='1')
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True,
+                                 timeout=1800)
+            for line in out.stdout.strip().splitlines():
+                try:
+                    cpu_fps = json.loads(line).get('cpu_fps')
+                    if cpu_fps:
+                        vs_baseline = fps / cpu_fps
+                except json.JSONDecodeError:
+                    continue
+        except Exception:
+            pass
+
+    st = enc.state
     print(json.dumps({
         'metric': f'encode_fps_{W}x{H}_{backend}',
         'value': round(fps, 3),
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 3),
+        'psnr': psnr,
+        'gtm_bytes': len(blob),
+        'step_times': {k: round(v, 2) for k, v in st.step_times.items()},
+        'phases': {
+            'dither': st.metrics.get('dither_phases'),
+            'global_tiling': st.metrics.get('gt_phases'),
+            'frame_tiling': st.metrics.get('ft_phases'),
+        },
     }))
 
 
