@@ -1,7 +1,7 @@
 """Pallas kernels vs their jnp fallbacks (interpreter mode on CPU)."""
 import numpy as np
 
-from tiler_tpu.ops import knn, kmodes, pallas_kernels as pk
+from tiler_tpu.ops import knn, pallas_kernels as pk
 
 
 def test_nearest1_pallas_matches_fallback(rng):
@@ -24,13 +24,6 @@ def test_nearest1_pallas_exact_small():
     np.testing.assert_array_equal(idx, np.arange(8))
 
 
-def test_kmodes_dissim_pallas_matches(rng):
-    x = rng.integers(0, 16, (100, 80)).astype(np.uint8)
-    c = rng.integers(0, 16, (16, 80)).astype(np.uint8)
-    got = pk.kmodes_dissim_pallas(x, c, bn=64)
-    import jax.numpy as jnp
-    want = np.asarray(kmodes.dissim_matrix(jnp.asarray(x), jnp.asarray(c)))
-    np.testing.assert_array_equal(got, want)
 
 
 def test_nearest1_bf16_variant_matches_on_bf16_exact_features(rng):

@@ -5,12 +5,13 @@
    pair lives in the output block. The [Q,C] distance matrix never touches
    HBM. This replaces the reference's per-cell ANN kd-tree walk
    (/root/reference/main.pas:4027) at MXU speed.
-2. `kmodes_dissim_pallas` — the uint8 Hamming<<11 + L1 distance matrix
-   (kmodes.pas:239-250 / the SSE3 scan at kmodes.pas:316-453) as a VPU
-   kernel over int32 lanes.
+2. `_nn_call_bf16` — the same with bfloat16 dot operands (f32
+   accumulation); measured no faster than f32 on v5e (the f32 emulation
+   already saturates), kept for precision experiments
+   (tools/nn_prec_bench.py).
 
-Both have jnp fallbacks (ops.knn / ops.kmodes); `use_pallas()` gates on
-the backend so CPU tests run the kernels in interpreter mode.
+The kernels have jnp fallbacks (ops.knn); on non-TPU backends they run
+in interpreter mode for tests.
 """
 from __future__ import annotations
 
@@ -164,46 +165,13 @@ def _nn_call_bf16(q, c, bq: int, bc: int, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
-# KModes dissimilarity matrix
+# NOTE: a Pallas VPU kernel for the KModes dissimilarity matrix
+# (broadcast Hamming<<11 + L1 over [BN, K, A] int32 lanes) used to live
+# here, interpreter-verified but unused in production. Benchmarked on the
+# real chip at the production bucket shape ([4096,80] x [256,80]) it
+# failed to COMPILE: 130MB of register-allocator spill slots against the
+# 128MB VMEM budget. The production path (ops.kmodes.make_dissim_fn)
+# expresses the same dissimilarity as ONE fused bf16 one-hot matmul on
+# the MXU (3.2x the two-matmul form); the VPU kernel was deleted as
+# strictly worse (tools log: /tmp/dissim_fate.py, RESULTS.md).
 # ---------------------------------------------------------------------------
-
-def _dissim_kernel(x_ref, c_ref, out_ref):
-    x = x_ref[:].astype(jnp.int32)[:, None, :]   # [BN, 1, A]
-    c = c_ref[:].astype(jnp.int32)[None, :, :]   # [1, K, A]
-    ham = jnp.sum((x != c).astype(jnp.int32), axis=-1)
-    l1 = jnp.sum(jnp.abs(x - c), axis=-1)
-    out_ref[:] = (ham << 11) + l1
-
-
-@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
-def _dissim_call(x, c, bn: int, interpret: bool):
-    n, a = x.shape
-    k = c.shape[0]
-    return pl.pallas_call(
-        _dissim_kernel,
-        grid=(n // bn,),
-        in_specs=[
-            pl.BlockSpec((bn, a), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, a), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bn, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, k), jnp.int32),
-        interpret=interpret,
-    )(x, c)
-
-
-def kmodes_dissim_pallas(x: np.ndarray, cents: np.ndarray, bn: int = 512):
-    """[n,A] x [k,A] uint8 -> [n,k] int32 Hamming<<11 + L1."""
-    n = len(x)
-    n_p = -(-n // bn) * bn
-    xp = np.asarray(x, np.uint8)
-    if n_p != n:
-        xp = np.concatenate(
-            [xp, np.zeros((n_p - n, x.shape[1]), np.uint8)])
-    out = _dissim_call(jnp.asarray(xp), jnp.asarray(np.asarray(cents,
-                                                              np.uint8)),
-                       bn, _interpret())
-    return np.asarray(out)[:n]
