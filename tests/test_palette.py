@@ -61,3 +61,17 @@ def test_sort_palette_lhs(rng):
     luma = (rgb[:, 0] * 2126 + rgb[:, 1] * 7152 + rgb[:, 2] * 722) // 10000
     assert (np.diff(luma) >= 0).all()
     assert sorted(out) == sorted(packed)
+
+
+def test_dl3_tiles_gather_matches_pixel_form(rng):
+    from tiler_tpu import native
+    from tiler_tpu.ops import palette
+    tiles = rng.integers(0, 255, (300, 8, 8, 3)).astype(np.uint8)
+    sel = rng.choice(300, 120, replace=False).astype(np.int32)
+    a = palette.dl3_palette_tiles(tiles, sel, 16, 7, 1024)
+    b = palette.dl3_palette(tiles[sel].reshape(-1, 3), 16, 7, 1024)
+    np.testing.assert_array_equal(a, b)
+    # and the radix-sorted histogram still matches when uncapped (exact)
+    a2, _ = native.dl3_quant_tiles_capped(tiles, sel, 16, 7, 1 << 21)
+    b2, _ = native.dl3_quant(tiles[sel].reshape(-1, 3), 16, 7)
+    np.testing.assert_array_equal(a2, b2)

@@ -68,6 +68,10 @@ def get_lib():
         lib.tiler_dl3_quant_capped.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
+        lib.tiler_dl3_quant_tiles_capped.restype = ctypes.c_int
+        lib.tiler_dl3_quant_tiles_capped.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         lib.tiler_dl3_quant_bins.restype = ctypes.c_int
         lib.tiler_dl3_quant_bins.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -150,6 +154,23 @@ def dl3_quant_capped(pixels_rgb, quant_to: int, lookup_bpc: int,
     n = lib.tiler_dl3_quant_capped(
         px.ctypes.data_as(ctypes.c_char_p), px.shape[0], quant_to,
         lookup_bpc, cap, out.ctypes.data_as(ctypes.c_void_p))
+    return out, n
+
+
+def dl3_quant_tiles_capped(tiles_rgb, sel, quant_to: int, lookup_bpc: int,
+                           cap: int):
+    """DL3 over whole 8x8 tiles selected by index from a [N,8,8,3] array —
+    identical to dl3_quant_capped(tiles_rgb[sel].reshape(-1,3), ...)
+    without materializing the gathered pixel copy."""
+    import numpy as np
+    lib = get_lib()
+    t = np.ascontiguousarray(tiles_rgb, np.uint8)
+    s = np.ascontiguousarray(sel, np.int32)
+    out = np.zeros((quant_to, 3), np.uint8)
+    n = lib.tiler_dl3_quant_tiles_capped(
+        t.ctypes.data_as(ctypes.c_void_p),
+        s.ctypes.data_as(ctypes.c_void_p), len(s), quant_to, lookup_bpc,
+        cap, out.ctypes.data_as(ctypes.c_void_p))
     return out, n
 
 

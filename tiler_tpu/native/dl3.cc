@@ -217,17 +217,24 @@ int reduce_entries(Table& t, int quant_to, uint8_t* out_pal, int max_out) {
 // dense tables (~64MB of memset per call at bpc=7 — it dominated the
 // per-palette cost for typical pixel counts). Each pixel packs to
 // bin_index<<24 | r<<16 | g<<8 | b in a u64; one sort + one run scan.
-void histogram_into_table(const uint8_t* rgb, int64_t n_pixels,
-                          int lookup_bpc, Table& t) {
-  const int mbpc = (1 << lookup_bpc) - 1;
-  std::vector<uint64_t> keys(static_cast<size_t>(n_pixels));
-  for (int64_t i = 0; i < n_pixels; i++) {
-    uint64_t r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
-    uint64_t idx = (b * mbpc / 255) | ((g * mbpc / 255) << lookup_bpc) |
-                   ((r * mbpc / 255) << (lookup_bpc * 2));
-    keys[size_t(i)] = (idx << 24) | (r << 16) | (g << 8) | b;
+// LSD radix sort over the low `bits_used` bits: same ascending order as
+// std::sort (radix is total on the used bits; the rest are zero), ~6x
+// faster on the 0.25M-key histogram sorts that dominate per-palette cost.
+void radix_sort_u64(std::vector<uint64_t>& v, int bits_used) {
+  static thread_local std::vector<uint64_t> tmp;
+  tmp.resize(v.size());
+  const int passes = (bits_used + 7) / 8;
+  for (int p = 0; p < passes; p++) {
+    size_t cnt[257] = {0};
+    const int sh = p * 8;
+    for (uint64_t k : v) cnt[((k >> sh) & 0xff) + 1]++;
+    for (int i = 0; i < 256; i++) cnt[i + 1] += cnt[i];
+    for (uint64_t k : v) tmp[cnt[(k >> sh) & 0xff]++] = k;
+    std::swap(v, tmp);
   }
-  std::sort(keys.begin(), keys.end());
+}
+
+void accumulate_runs(const std::vector<uint64_t>& keys, Table& t) {
   int64_t rs = 0, gs = 0, bs = 0, c = 0;
   uint64_t bin = keys[0] >> 24;
   for (size_t i = 0; i < keys.size(); i++) {
@@ -242,33 +249,46 @@ void histogram_into_table(const uint8_t* rgb, int64_t n_pixels,
   t.push(rs, gs, bs, c);
 }
 
-}  // namespace
-
-extern "C" {
-
-int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
-                    int lookup_bpc, uint8_t* out_pal) {
-  std::memset(out_pal, 0, size_t(quant_to) * 3);
-  if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
-
-  Table t;
-  histogram_into_table(rgb, n_pixels, lookup_bpc, t);
-  return reduce_entries(t, quant_to, out_pal, quant_to);
+void histogram_into_table(const uint8_t* rgb, int64_t n_pixels,
+                          int lookup_bpc, Table& t) {
+  const int mbpc = (1 << lookup_bpc) - 1;
+  std::vector<uint64_t> keys(static_cast<size_t>(n_pixels));
+  for (int64_t i = 0; i < n_pixels; i++) {
+    uint64_t r = rgb[i * 3 + 0], g = rgb[i * 3 + 1], b = rgb[i * 3 + 2];
+    uint64_t idx = (b * mbpc / 255) | ((g * mbpc / 255) << lookup_bpc) |
+                   ((r * mbpc / 255) << (lookup_bpc * 2));
+    keys[size_t(i)] = (idx << 24) | (r << 16) | (g << 8) | b;
+  }
+  radix_sort_u64(keys, 24 + 3 * lookup_bpc);
+  accumulate_runs(keys, t);
 }
 
-// DL3 with an internal bin cap: when the histogram holds more than `cap`
-// distinct bins, the long tail of rare bins pre-merges into its nearest
-// high-count bin (squared-RGB on rounded means) before the exact greedy
-// runs — bounding the O(C^2) pair scans. cap <= 0 disables capping.
-int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
-                           int quant_to, int lookup_bpc, int cap,
-                           uint8_t* out_pal) {
-  std::memset(out_pal, 0, size_t(quant_to) * 3);
-  if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
+// Same histogram but gathering pixels from whole 8x8 tiles of a global
+// [N,8,8,3] array via an index list — avoids the caller materializing the
+// gathered pixel copy.
+void histogram_tiles_into_table(const uint8_t* tiles, const int32_t* sel,
+                                int64_t n_sel, int lookup_bpc, Table& t) {
+  const int mbpc = (1 << lookup_bpc) - 1;
+  std::vector<uint64_t> keys(static_cast<size_t>(n_sel) * 64);
+  size_t o = 0;
+  for (int64_t s = 0; s < n_sel; s++) {
+    const uint8_t* px = tiles + size_t(sel[s]) * 192;
+    for (int i = 0; i < 64; i++) {
+      uint64_t r = px[i * 3 + 0], g = px[i * 3 + 1], b = px[i * 3 + 2];
+      uint64_t idx = (b * mbpc / 255) | ((g * mbpc / 255) << lookup_bpc) |
+                     ((r * mbpc / 255) << (lookup_bpc * 2));
+      keys[o++] = (idx << 24) | (r << 16) | (g << 8) | b;
+    }
+  }
+  radix_sort_u64(keys, 24 + 3 * lookup_bpc);
+  accumulate_runs(keys, t);
+}
 
-  Table t;
-  histogram_into_table(rgb, n_pixels, lookup_bpc, t);
-
+// Cap + reduce: when the table holds more than `cap` distinct bins, the
+// long tail of rare bins pre-merges into its nearest high-count bin
+// (squared-RGB on rounded means) before the exact greedy runs — bounding
+// the O(C^2) pair scans. cap <= 0 disables capping.
+int cap_and_reduce(Table& t, int quant_to, int cap, uint8_t* out_pal) {
   if (cap > 0 && t.size() > cap) {
     // order bins by count desc (stable: bin-index asc); keep the head
     const int n = t.size();
@@ -322,6 +342,45 @@ int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
     std::swap(t, capped);
   }
   return reduce_entries(t, quant_to, out_pal, quant_to);
+}
+
+}  // namespace
+
+extern "C" {
+
+int tiler_dl3_quant(const uint8_t* rgb, int64_t n_pixels, int quant_to,
+                    int lookup_bpc, uint8_t* out_pal) {
+  std::memset(out_pal, 0, size_t(quant_to) * 3);
+  if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
+
+  Table t;
+  histogram_into_table(rgb, n_pixels, lookup_bpc, t);
+  return reduce_entries(t, quant_to, out_pal, quant_to);
+}
+
+
+int tiler_dl3_quant_capped(const uint8_t* rgb, int64_t n_pixels,
+                           int quant_to, int lookup_bpc, int cap,
+                           uint8_t* out_pal) {
+  std::memset(out_pal, 0, size_t(quant_to) * 3);
+  if (n_pixels <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
+  Table t;
+  histogram_into_table(rgb, n_pixels, lookup_bpc, t);
+  return cap_and_reduce(t, quant_to, cap, out_pal);
+}
+
+// Tiles-gather form: pixels come from whole 8x8 tiles of the global
+// [N,8,8,3] array selected by index — identical result to calling
+// tiler_dl3_quant_capped on the gathered pixel copy, without the copy.
+int tiler_dl3_quant_tiles_capped(const uint8_t* tiles, const int32_t* sel,
+                                 int64_t n_sel, int quant_to,
+                                 int lookup_bpc, int cap,
+                                 uint8_t* out_pal) {
+  std::memset(out_pal, 0, size_t(quant_to) * 3);
+  if (n_sel <= 0 || lookup_bpc < 1 || lookup_bpc > 8) return 0;
+  Table t;
+  histogram_tiles_into_table(tiles, sel, n_sel, lookup_bpc, t);
+  return cap_and_reduce(t, quant_to, cap, out_pal);
 }
 
 // Same greedy reduction but starting from pre-aggregated bins (sums +

@@ -59,6 +59,18 @@ def dl3_palette(pixels_rgb: np.ndarray, palette_size: int,
     return pal
 
 
+def dl3_palette_tiles(tiles_rgb: np.ndarray, sel: np.ndarray,
+                      palette_size: int, bpc: int = 7,
+                      bin_cap: int = DL3_BIN_CAP) -> np.ndarray:
+    """dl3_palette over tiles_rgb[sel] with the gather done natively
+    (identical result, no [len(sel)*64, 3] host copy)."""
+    if len(sel) == 0:
+        return np.zeros((palette_size, 3), np.uint8)
+    pal, _n = native.dl3_quant_tiles_capped(tiles_rgb, sel, palette_size,
+                                            bpc, bin_cap)
+    return pal
+
+
 def var_palette(colors_packed: np.ndarray, counts: np.ndarray,
                 total_budget: int, pal_var: float,
                 tile_palette_size: int, palette_count: int,

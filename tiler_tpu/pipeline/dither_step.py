@@ -95,10 +95,11 @@ def quantize_keyframe_palettes(state: EncoderState, k: int) -> np.ndarray:
         if cfg.use_dl3:
             # DoDennisLeeV3 packs the selected tiles' FS pixels into a
             # rectangle; the histogram only sees the pixel multiset, so we
-            # feed the tile pixels directly.
-            px = state.tiles_rgb[sel].reshape(-1, 3)
-            pal16 = palette.dl3_palette(px, cfg.tile_palette_size,
-                                        cfg.dl3_bpc, cfg.dl3_bin_cap)
+            # feed the tile pixels directly (gathered inside the native
+            # call — the [sel] fancy-index copy was a host hotspot).
+            pal16 = palette.dl3_palette_tiles(
+                state.tiles_rgb, sel, cfg.tile_palette_size,
+                cfg.dl3_bpc, cfg.dl3_bin_cap)
             entries = palette.rgb_to_packed(pal16)
         else:
             px = state.tiles_rgb[sel].reshape(-1, 3)
