@@ -75,3 +75,31 @@ def test_dl3_tiles_gather_matches_pixel_form(rng):
     a2, _ = native.dl3_quant_tiles_capped(tiles, sel, 16, 7, 1 << 21)
     b2, _ = native.dl3_quant(tiles[sel].reshape(-1, 3), 16, 7)
     np.testing.assert_array_equal(a2, b2)
+
+
+def test_dl3_grid_premerge_matches_linear_sweep(rng):
+    """The grid-bucketed nearest-kept search must pick the IDENTICAL merge
+    target as the linear sweep (first min in scan order on ties)."""
+    import os
+    import subprocess
+    import sys
+    # run both paths in subprocesses (the env var is read inside the
+    # native call, but isolate to be safe against lib caching)
+    code = (
+        "import sys, numpy as np\n"
+        "sys.path.insert(0, %r)\n"
+        "from tiler_tpu import native\n"
+        "rng = np.random.default_rng(5)\n"
+        "px = rng.integers(0, 255, (400000, 3)).astype(np.uint8)\n"
+        "pal, n = native.dl3_quant_capped(px, 16, 7, 512)\n"
+        "np.save(sys.argv[1], pal)\n" % os.path.join(
+            os.path.dirname(__file__), '..'))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        a_path = os.path.join(d, 'a.npy')
+        b_path = os.path.join(d, 'b.npy')
+        subprocess.run([sys.executable, '-c', code, a_path], check=True)
+        env = dict(os.environ, TILER_DL3_LINEAR_PREMERGE='1')
+        subprocess.run([sys.executable, '-c', code, b_path], check=True,
+                       env=env)
+        np.testing.assert_array_equal(np.load(a_path), np.load(b_path))

@@ -42,9 +42,11 @@ class EncoderConfig:
     use_dl3: bool = True
     dl3_bpc: int = 7
     # exact DL3 below this many distinct bins; above, the rare-color tail
-    # pre-merges into the head first. 1024 measured quality-neutral vs 4096
-    # on real and synthetic content (PSNR flat within 0.2 dB on noise,
-    # identical on demo clips) while bounding the O(cap^2) greedy ~10x.
+    # pre-merges into the head first. Measured sweep (docs/RESULTS.md):
+    # byte-identical streams at 1024/4096/exact on the reference's own
+    # city+football content; on adversarial uniform noise exact buys
+    # +0.047 dB for 19x the quantize time. 0 disables capping (always
+    # exact, reference semantics over up to 2^21 bins).
     dl3_bin_cap: int = 1024
     pal_var: float = 0.95
 

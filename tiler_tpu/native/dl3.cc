@@ -18,6 +18,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <vector>
@@ -307,28 +308,77 @@ int cap_and_reduce(Table& t, int quant_to, int cap, uint8_t* out_pal) {
     for (int j = 0; j < kn; j++) {
       krr[j] = t.rr[keep[j]]; kgg[j] = t.gg[keep[j]]; kbb[j] = t.bb[keep[j]];
     }
-    // distances fit int32 (means <= 255, so d <= 3*255^2) — the narrower
-    // lanes double SIMD width and avoid 64-bit multiplies in the sweep
+    // Nearest kept bin by squared RGB of rounded means, FIRST minimum in
+    // keep[]-scan order on ties. Default path: exact 3D grid search
+    // (16^3 cells of 16^3 color cubes, expanding chebyshev rings with a
+    // conservative ring lower bound) — typically visits a few dozen kept
+    // bins instead of all `cap`, and selects (dist, j) lexicographically
+    // so ties resolve identically to the linear sweep. The linear sweep
+    // stays selectable (TILER_DL3_LINEAR_PREMERGE=1) as the
+    // cross-check oracle.
+    const bool linear = std::getenv("TILER_DL3_LINEAR_PREMERGE") != nullptr;
+    std::vector<int> cell_start, cell_items;
+    if (!linear) {
+      // bucket kept bins by color cell, preserving j (scan) order
+      std::vector<int> counts(16 * 16 * 16 + 1, 0);
+      auto cell_of = [&](int j) {
+        return ((krr[j] >> 4) << 8) | ((kgg[j] >> 4) << 4) | (kbb[j] >> 4);
+      };
+      for (int j = 0; j < kn; j++) counts[cell_of(j) + 1]++;
+      for (int c = 0; c < 16 * 16 * 16; c++) counts[c + 1] += counts[c];
+      cell_start = counts;
+      cell_items.resize((size_t)kn);
+      std::vector<int> fill(cell_start.begin(), cell_start.end());
+      for (int j = 0; j < kn; j++) cell_items[fill[cell_of(j)]++] = j;
+    }
     std::vector<int32_t> dbuf((size_t)kn);
     for (int i = 0; i < n; i++) {
       if (kept[i]) continue;
-      // nearest kept bin by squared RGB of rounded means (first min wins)
       const int irr = t.rr[i], igg = t.gg[i], ibb = t.bb[i];
-      for (int j = 0; j < kn; j++) {
-        int32_t dr = irr - krr[j], dg = igg - kgg[j], db = ibb - kbb[j];
-        dbuf[j] = dr * dr + dg * dg + db * db;
+      int tj = -1;
+      if (!linear) {
+        const int cr = irr >> 4, cg = igg >> 4, cb = ibb >> 4;
+        int32_t best = INT32_MAX;
+        for (int ring = 0; ring < 16; ring++) {
+          // a ring-r cell differs by >= 16r-15 on some axis (query sits
+          // inside its own cell), so the ring's min distance^2 is
+          // (16r-15)^2 — stop once that exceeds the best found
+          if (ring >= 1) {
+            const int32_t gap = 16 * ring - 15;
+            if (int64_t(gap) * gap > best) break;
+          }
+          const int r0 = std::max(0, cr - ring), r1 = std::min(15, cr + ring);
+          const int g0 = std::max(0, cg - ring), g1 = std::min(15, cg + ring);
+          const int b0 = std::max(0, cb - ring), b1 = std::min(15, cb + ring);
+          for (int xr = r0; xr <= r1; xr++)
+            for (int xg = g0; xg <= g1; xg++)
+              for (int xb = b0; xb <= b1; xb++) {
+                const int ch = std::max({std::abs(xr - cr), std::abs(xg - cg),
+                                         std::abs(xb - cb)});
+                if (ch != ring) continue;  // only the new shell
+                const int c = (xr << 8) | (xg << 4) | xb;
+                for (int p = cell_start[c]; p < cell_start[c + 1]; p++) {
+                  const int j = cell_items[p];
+                  const int32_t dr = irr - krr[j], dg = igg - kgg[j],
+                                db = ibb - kbb[j];
+                  const int32_t d = dr * dr + dg * dg + db * db;
+                  if (d < best || (d == best && j < tj)) {
+                    best = d;
+                    tj = j;
+                  }
+                }
+              }
+        }
+      } else {
+        for (int j = 0; j < kn; j++) {
+          int32_t dr = irr - krr[j], dg = igg - kgg[j], db = ibb - kbb[j];
+          dbuf[j] = dr * dr + dg * dg + db * db;
+        }
+        int32_t best = INT32_MAX;
+        for (int j = 0; j < kn; j++) best = std::min(best, dbuf[j]);
+        tj = 0;
+        while (dbuf[tj] != best) tj++;
       }
-      int32_t lanes[16];
-      for (int l = 0; l < 16; l++) lanes[l] = INT32_MAX;
-      int j = 0;
-      for (; j + 16 <= kn; j += 16)
-        for (int l = 0; l < 16; l++)
-          lanes[l] = std::min(lanes[l], dbuf[j + l]);
-      int32_t best = INT32_MAX;
-      for (int l = 0; l < 16; l++) best = std::min(best, lanes[l]);
-      for (; j < kn; j++) best = std::min(best, dbuf[j]);
-      int tj = 0;
-      while (dbuf[tj] != best) tj++;
       int tgt = keep[tj];
       t.r[tgt] += t.r[i]; t.g[tgt] += t.g[i]; t.b[tgt] += t.b[i];
       t.cnt[tgt] += t.cnt[i];

@@ -116,7 +116,7 @@ def palette_similarity_mask(state: EncoderState, k: int) -> np.ndarray:
 
 
 def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
-                       chunk: int = 65536, tiles_pal_dev=None):
+                       chunk: int = 262144, tiles_pal_dev=None):
     """Stage 2: PsyV features of every used (pal, tile, mirror) combo.
 
     The tile-pixel and palette gathers happen on device (tiles_pal and the
