@@ -85,3 +85,49 @@ def test_cli_encode_decode_info(rng, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     dec = np.load(out_path)
     assert dec.shape == (3, 32, 48, 3)
+
+
+def test_cli_serve_stages_and_serves(tmp_path):
+    """`serve` stages the demo page + stream and answers HTTP."""
+    import http.client
+    import threading
+    import time as _time
+
+    from tiler_tpu.__main__ import main as cli_main
+    from tiler_tpu.bitstream.gtm import GTMWriter
+    import numpy as np
+    rng = np.random.default_rng(0)
+    wr = GTMWriter(width=16, height=16, fps=24.0,
+                   tiles_pal=rng.integers(0, 16, (4, 8, 8), np.uint8),
+                   palette_size=16, frame_count=1, kf_count=1)
+    wr.add_keyframe(0, 0, 0, rng.integers(0, 255, (1, 16, 3), np.uint8),
+                    [dict(tile_idx=np.arange(4) % 4,
+                          pal_idx=np.zeros(4, np.int64),
+                          hmir=np.zeros(4, bool), vmir=np.zeros(4, bool),
+                          smoothed=np.zeros(4, bool))])
+    gtm = tmp_path / 's.gtm'
+    gtm.write_bytes(wr.tobytes())
+
+    th = threading.Thread(target=cli_main,
+                          args=(['serve', str(gtm), '--port', '8719'],),
+                          daemon=True)
+    th.start()
+    deadline = _time.time() + 10
+    last = None
+    while _time.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection('127.0.0.1', 8719, timeout=2)
+            conn.request('GET', '/index.html')
+            r = conn.getresponse()
+            body = r.read()
+            assert r.status == 200 and b'gtm_player.js' in body
+            conn.request('GET', '/stream.gtm')
+            r2 = conn.getresponse()
+            assert r2.status == 200 and len(r2.read()) == gtm.stat().st_size
+            conn.request('GET', '/gtm_player.js')
+            assert conn.getresponse().status == 200
+            return
+        except (ConnectionRefusedError, OSError) as e:
+            last = e
+            _time.sleep(0.3)
+    raise AssertionError(f'server never came up: {last}')

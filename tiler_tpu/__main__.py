@@ -211,6 +211,36 @@ def cmd_info(a) -> int:
     return 0
 
 
+def cmd_serve(a) -> int:
+    """Serve the browser demo page playing a GTM stream
+    (decoders/web/index.html?url=stream autoplays)."""
+    import functools
+    import http.server
+    import os
+    import shutil
+    import tempfile
+
+    webdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'decoders', 'web')
+    stage = tempfile.mkdtemp(prefix='tiler_demo_')
+    for f in ('index.html', 'gtm_player.js'):
+        shutil.copyfile(os.path.join(webdir, f), os.path.join(stage, f))
+    shutil.copyfile(a.input, os.path.join(stage, 'stream.gtm'))
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=stage)
+    with http.server.ThreadingHTTPServer(('127.0.0.1', a.port),
+                                         handler) as srv:
+        print(f'playing {a.input} at '
+              f'http://127.0.0.1:{a.port}/index.html?url=stream.gtm',
+              flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+    shutil.rmtree(stage, ignore_errors=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog='tiler_tpu')
     sub = ap.add_subparsers(dest='cmd', required=True)
@@ -229,6 +259,11 @@ def main(argv=None) -> int:
     pi = sub.add_parser('info', help='inspect a GTM stream')
     pi.add_argument('input')
     pi.set_defaults(fn=cmd_info)
+
+    ps = sub.add_parser('serve', help='play a GTM in the browser demo page')
+    ps.add_argument('input', help='.gtm stream to play')
+    ps.add_argument('--port', type=int, default=8711)
+    ps.set_defaults(fn=cmd_serve)
 
     a = ap.parse_args(argv)
     return a.fn(a)
