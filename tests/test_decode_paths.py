@@ -86,3 +86,19 @@ def test_player_matches_batch_decode_and_loops(rng):
     run1 = [next(gen) for _ in range(6)]
     wrapped = next(gen)
     np.testing.assert_array_equal(wrapped, run1[0])
+
+
+def test_scan_renderer_matches_reference_decoder():
+    """Single-dispatch lax.scan renderer == per-frame numpy decode on the
+    published demo stream (multi-palette, skip runs, mirrors)."""
+    import os
+    path = '/root/reference/docs/demo/city_cif.gtm'
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip('demo stream absent')
+    from tiler_tpu.decode import decode_video, decode_video_jax_scan
+    data = open(path, 'rb').read()
+    want, _ = decode_video(data)
+    got = decode_video_jax_scan(data)
+    np.testing.assert_array_equal(got[:50], want[:50])
+    np.testing.assert_array_equal(got, want)

@@ -286,6 +286,67 @@ def make_jax_renderer(tile_count: int, pal_size: int, th: int, tw: int):
     return render_step
 
 
+_scan_render_jit = None
+
+
+def decode_video_jax_scan(data: bytes) -> np.ndarray:
+    """Whole-video device render in ONE dispatch + ONE download.
+
+    Per-frame draw lists pad to the max op count and a lax.scan carries
+    the canvas across frames (SkipBlock cells keep previous content by
+    construction); the stacked per-frame canvases come down once —
+    through a high-latency link this is the only decode layout that
+    isn't dominated by per-frame round trips."""
+    import jax
+    import jax.numpy as jnp
+
+    stream = interpret_commands(parse_gtm(data))
+    th, tw = stream.tilemap_h, stream.tilemap_w
+    cells = th * tw
+    f = len(stream.frames)
+    max_n = max((ops.positions.size for ops in stream.frames), default=1)
+    max_n = max(max_n, 1)
+    pos = np.full((f, max_n), cells, np.int32)   # cells == dropped row
+    tidx = np.zeros((f, max_n), np.int32)
+    attrs = np.zeros((f, max_n), np.int32)
+    pal_size = stream.frames[0].palettes.shape[1] if f else 1
+    pals = np.zeros((f, 256, pal_size, 3), np.uint8)
+    for i, ops in enumerate(stream.frames):
+        n = ops.positions.size
+        pos[i, :n] = ops.positions
+        tidx[i, :n] = ops.tile_idx
+        attrs[i, :n] = ops.attrs
+        pals[i] = ops.palettes[..., :3]
+
+    global _scan_render_jit
+    if _scan_render_jit is None:
+        @jax.jit
+        def render_all(tiles, pos, tidx, attrs, pals, canvas0):
+            def step(canvas, per_frame):
+                p, t, a, pal = per_frame
+                tpix = tiles[t]
+                hm = (a & 1).astype(bool)
+                vm = (a & 2).astype(bool)
+                tpix = jnp.where(hm[:, None, None], tpix[:, :, ::-1], tpix)
+                tpix = jnp.where(vm[:, None, None], tpix[:, ::-1, :], tpix)
+                rgb = jnp.take_along_axis(
+                    pal[a >> 2],
+                    tpix.reshape(tpix.shape[0], -1, 1).astype(jnp.int32),
+                    axis=1).reshape(tpix.shape[0], TILE_W, TILE_W, 3)
+                canvas = canvas.at[p].set(rgb, mode='drop')
+                return canvas, canvas
+            _, out = jax.lax.scan(step, canvas0, (pos, tidx, attrs, pals))
+            return out
+
+        _scan_render_jit = render_all
+
+    canvas0 = jnp.zeros((cells, TILE_W, TILE_W, 3), jnp.uint8)
+    out = np.asarray(_scan_render_jit(
+        jnp.asarray(stream.tiles), jnp.asarray(pos), jnp.asarray(tidx),
+        jnp.asarray(attrs), jnp.asarray(pals), canvas0))
+    return np.stack([blocks_to_image(b, th, tw) for b in out])
+
+
 def decode_video_jax(data: bytes) -> np.ndarray:
     """Decode using the TPU scatter renderer; returns frames [F,H,W,3]."""
     import jax.numpy as jnp

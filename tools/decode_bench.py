@@ -42,7 +42,14 @@ def main():
     del first
 
     try:
-        decode_video_jax(data)  # warm
+        from tiler_tpu.decode import decode_video_jax_scan
+        decode_video_jax_scan(data)  # warm
+        t0 = time.perf_counter()
+        js = decode_video_jax_scan(data)
+        t_js = time.perf_counter() - t0
+        result['jax_scan_fps'] = round(len(js) / t_js, 2)
+
+        decode_video_jax(data)  # warm (per-frame dispatch layout)
         t0 = time.perf_counter()
         jx = decode_video_jax(data)
         t_jx = time.perf_counter() - t0
