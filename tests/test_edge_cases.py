@@ -70,3 +70,31 @@ def test_grayscale_like_clip(rng):
     blob = enc.run_all(frames, fast_lzma=True)
     dec, _ = decode_video(blob)
     assert dec.shape == frames.shape
+
+
+def test_max_palette_count_256(rng):
+    """palette_count=256 exercises the full 8-bit palette attr field and
+    the player's 256-palette store."""
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.pipeline.encoder import Encoder
+    frames = rng.integers(0, 255, (2, 32, 48, 3)).astype(np.uint8)
+    cfg = EncoderConfig(palette_count=256, tile_palette_size=4,
+                        max_tiles=20)
+    blob = Encoder(cfg).run_all(frames, fps=24.0, fast_lzma=True)
+    dec, _ = decode_video(blob)
+    assert dec.shape == frames.shape
+
+
+def test_palette_size_64(rng):
+    """tile_palette_size=64: the GTS legacy headerless size boundary and
+    a 64-entry LoadPalette payload."""
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.pipeline.encoder import Encoder
+    frames = rng.integers(0, 255, (2, 32, 48, 3)).astype(np.uint8)
+    cfg = EncoderConfig(palette_count=4, tile_palette_size=64,
+                        max_tiles=20)
+    blob = Encoder(cfg).run_all(frames, fps=24.0, fast_lzma=True)
+    dec, _ = decode_video(blob)
+    assert dec.shape == frames.shape
