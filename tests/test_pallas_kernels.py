@@ -17,6 +17,25 @@ def test_nearest1_pallas_matches_fallback(rng):
     np.testing.assert_allclose(err_p, d_p, rtol=1e-2, atol=1e-1)
 
 
+def test_nearest1_aug_matches_f32_kernel(rng):
+    """The augmented-matmul kernel (norms folded into the dot; see
+    _nn_kernel_aug) agrees with the broadcast-norm kernel away from
+    float near-ties, including padded candidates."""
+    import jax.numpy as jnp
+    from tiler_tpu.ops.pallas_kernels import _nn_call, _nn_call_aug
+    q = rng.normal(0, 5, (512, 192)).astype(np.float32)
+    c = rng.normal(0, 5, (1024, 192)).astype(np.float32)
+    e1, i1 = _nn_call(jnp.asarray(q), jnp.asarray(c), 256, 256, True)
+    e2, i2 = _nn_call_aug(jnp.asarray(q), jnp.asarray(c), 256, 256, True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-4, atol=1e-2)
+    # padding rows (1e9 fill, as nearest_1_pallas pads) never win
+    cpad = np.concatenate([c, np.full((512, 192), 1e9, np.float32)])
+    _, i3 = _nn_call_aug(jnp.asarray(q), jnp.asarray(cpad), 256, 256, True)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i2))
+
+
 def test_nearest1_pallas_exact_small():
     q = np.eye(8, 192, dtype=np.float32) * 5
     c = np.eye(8, 192, dtype=np.float32) * 5.1

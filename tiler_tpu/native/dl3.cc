@@ -331,21 +331,48 @@ int cap_and_reduce(Table& t, int quant_to, int cap, uint8_t* out_pal) {
       std::vector<int> fill(cell_start.begin(), cell_start.end());
       for (int j = 0; j < kn; j++) cell_items[fill[cell_of(j)]++] = j;
     }
-    std::vector<int32_t> dbuf((size_t)kn);
-    for (int i = 0; i < n; i++) {
-      if (kept[i]) continue;
-      const int irr = t.rr[i], igg = t.gg[i], ibb = t.bb[i];
-      int tj = -1;
-      if (!linear) {
-        const int cr = irr >> 4, cg = igg >> 4, cb = ibb >> 4;
-        int32_t best = INT32_MAX;
+    if (!linear) {
+      // Amortized per-cell ring search: tail bins sharing a color cell run
+      // ONE shell expansion (to the max ring any of them needs). Each
+      // query still sees every kept bin with d <= its best — a candidate
+      // that could win or tie has ring lower bound <= d <= best, i.e. it
+      // sits inside the shared expansion — so the (dist, j) lexicographic
+      // winner is identical to the per-bin search; the shell enumeration
+      // cost amortizes over all queries in the cell (it dominated on
+      // noisy content with >100k tail bins).
+      std::vector<int> tail;
+      tail.reserve(size_t(n));
+      for (int i = 0; i < n; i++)
+        if (!kept[i]) tail.push_back(i);
+      // bucket tail bins by cell, preserving index order
+      std::vector<int> tstart(16 * 16 * 16 + 1, 0);
+      auto tcell_of = [&](int i) {
+        return ((t.rr[i] >> 4) << 8) | ((t.gg[i] >> 4) << 4) | (t.bb[i] >> 4);
+      };
+      for (int i : tail) tstart[tcell_of(i) + 1]++;
+      for (int c = 0; c < 16 * 16 * 16; c++) tstart[c + 1] += tstart[c];
+      std::vector<int> titems(tail.size());
+      {
+        std::vector<int> fill(tstart.begin(), tstart.end());
+        for (int i : tail) titems[size_t(fill[tcell_of(i)]++)] = i;
+      }
+      std::vector<int32_t> best;
+      std::vector<int> tj;
+      for (int cell = 0; cell < 16 * 16 * 16; cell++) {
+        const int q0 = tstart[cell], q1 = tstart[cell + 1];
+        if (q0 == q1) continue;
+        const int nq = q1 - q0;
+        const int cr = cell >> 8, cg = (cell >> 4) & 15, cb = cell & 15;
+        best.assign(size_t(nq), INT32_MAX);
+        tj.assign(size_t(nq), -1);
+        int32_t worst = INT32_MAX;
         for (int ring = 0; ring < 16; ring++) {
-          // a ring-r cell differs by >= 16r-15 on some axis (query sits
-          // inside its own cell), so the ring's min distance^2 is
-          // (16r-15)^2 — stop once that exceeds the best found
+          // a ring-r cell differs by >= 16r-15 on some axis (queries sit
+          // inside their own cell), so the ring's min distance^2 is
+          // (16r-15)^2 — stop once that exceeds the worst per-query best
           if (ring >= 1) {
             const int32_t gap = 16 * ring - 15;
-            if (int64_t(gap) * gap > best) break;
+            if (int64_t(gap) * gap > worst) break;
           }
           const int r0 = std::max(0, cr - ring), r1 = std::min(15, cr + ring);
           const int g0 = std::max(0, cg - ring), g1 = std::min(15, cg + ring);
@@ -359,29 +386,46 @@ int cap_and_reduce(Table& t, int quant_to, int cap, uint8_t* out_pal) {
                 const int c = (xr << 8) | (xg << 4) | xb;
                 for (int p = cell_start[c]; p < cell_start[c + 1]; p++) {
                   const int j = cell_items[p];
-                  const int32_t dr = irr - krr[j], dg = igg - kgg[j],
-                                db = ibb - kbb[j];
-                  const int32_t d = dr * dr + dg * dg + db * db;
-                  if (d < best || (d == best && j < tj)) {
-                    best = d;
-                    tj = j;
+                  const int jr = krr[j], jg = kgg[j], jb = kbb[j];
+                  for (int q = 0; q < nq; q++) {
+                    const int i = titems[size_t(q0 + q)];
+                    const int32_t dr = t.rr[i] - jr, dg = t.gg[i] - jg,
+                                  db = t.bb[i] - jb;
+                    const int32_t d = dr * dr + dg * dg + db * db;
+                    if (d < best[q] || (d == best[q] && j < tj[q])) {
+                      best[q] = d;
+                      tj[q] = j;
+                    }
                   }
                 }
               }
+          worst = 0;
+          for (int q = 0; q < nq; q++) worst = std::max(worst, best[q]);
         }
-      } else {
+        for (int q = 0; q < nq; q++) {
+          const int i = titems[size_t(q0 + q)];
+          const int tgt = keep[tj[q]];
+          t.r[tgt] += t.r[i]; t.g[tgt] += t.g[i]; t.b[tgt] += t.b[i];
+          t.cnt[tgt] += t.cnt[i];
+        }
+      }
+    } else {
+      std::vector<int32_t> dbuf((size_t)kn);
+      for (int i = 0; i < n; i++) {
+        if (kept[i]) continue;
+        const int irr = t.rr[i], igg = t.gg[i], ibb = t.bb[i];
         for (int j = 0; j < kn; j++) {
           int32_t dr = irr - krr[j], dg = igg - kgg[j], db = ibb - kbb[j];
           dbuf[j] = dr * dr + dg * dg + db * db;
         }
         int32_t best = INT32_MAX;
         for (int j = 0; j < kn; j++) best = std::min(best, dbuf[j]);
-        tj = 0;
+        int tj = 0;
         while (dbuf[tj] != best) tj++;
+        int tgt = keep[tj];
+        t.r[tgt] += t.r[i]; t.g[tgt] += t.g[i]; t.b[tgt] += t.b[i];
+        t.cnt[tgt] += t.cnt[i];
       }
-      int tgt = keep[tj];
-      t.r[tgt] += t.r[i]; t.g[tgt] += t.g[i]; t.b[tgt] += t.b[i];
-      t.cnt[tgt] += t.cnt[i];
     }
     Table capped;
     capped.reserve(keep.size());

@@ -109,6 +109,86 @@ def nearest_1_pallas(queries: np.ndarray, candidates: np.ndarray,
     return np.asarray(idx)[:nq], np.asarray(err)[:nq]
 
 
+# ---------------------------------------------------------------------------
+# Augmented-matmul variant: the MXU emits the scores directly
+# ---------------------------------------------------------------------------
+
+def _nn_kernel_aug(qa_ref, ca_ref, err_ref, idx_ref):
+    """As _nn_kernel, but the candidate norms and the -2 factor are folded
+    into augmented operands built by the caller:
+
+        qa = [q, 1, 0...]            ca = [-2c, ||c||^2, 0...]
+        scores = qa @ ca.T = ||c||^2 - 2 q.c
+
+    The query-norm term ||q||^2 is constant per row (cannot change the
+    argmin) and is added to the returned err by the caller. This removes
+    the [BQ,BC] broadcast-add VPU passes from the chunk loop — the only
+    remaining per-element work is the fused min/argmin reduction."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        err_ref[:] = jnp.full_like(err_ref, jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    s = jnp.dot(qa_ref[:], ca_ref[:].T, preferred_element_type=jnp.float32)
+    local_idx = jnp.argmin(s, axis=1)
+    local_err = jnp.min(s, axis=1)
+    base = j * ca_ref.shape[0]
+    better = local_err < err_ref[:]
+    err_ref[:] = jnp.where(better, local_err, err_ref[:])
+    idx_ref[:] = jnp.where(better, local_idx.astype(jnp.int32) + base,
+                           idx_ref[:])
+
+
+def _augment(q, c):
+    """Build [*, D+8] augmented operands (padded to keep the contraction
+    dim a lane multiple when D=192: 200 -> Mosaic pads to 256, same MXU
+    passes as the raw 192)."""
+    nq, d_dim = q.shape
+    nc = c.shape[0]
+    pad = 7
+    q2 = jnp.sum(q * q, axis=1)
+    c2 = jnp.sum(c * c, axis=1)
+    qa = jnp.concatenate(
+        [q, jnp.ones((nq, 1), jnp.float32),
+         jnp.zeros((nq, pad), jnp.float32)], axis=1)
+    ca = jnp.concatenate(
+        [-2.0 * c, c2[:, None], jnp.zeros((nc, pad), jnp.float32)], axis=1)
+    return qa, ca, q2
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bc', 'interpret'))
+def _nn_call_aug(q, c, bq: int, bc: int, interpret: bool):
+    nq = q.shape[0]
+    nc = c.shape[0]
+    qa, ca, q2 = _augment(q, c)
+    grid = (nq // bq, nc // bc)
+    d_aug = qa.shape[1]
+    err, idx = pl.pallas_call(
+        _nn_kernel_aug,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, d_aug), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, d_aug), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq,), lambda i, j: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq,), jnp.float32),
+            jax.ShapeDtypeStruct((nq,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qa, ca)
+    return err + q2, idx
+
+
 def _nn_kernel_bf16(q_ref, c_ref, err_ref, idx_ref):
     """As _nn_kernel but the dominant [BQ,D]@[D,BC] dot runs with bfloat16
     OPERANDS and float32 accumulation (one MXU pass instead of the f32
