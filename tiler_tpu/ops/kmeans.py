@@ -52,9 +52,13 @@ def _assign(x, x2, cents):
 
 
 def _update(x, labels, k, old_cents):
-    sums = jax.ops.segment_sum(x, labels, num_segments=k)
-    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), x.dtype), labels,
-                                 num_segments=k)
+    # one-hot matmul instead of segment_sum: scatter-adds serialize on
+    # TPU (see ops.kmodes.update); one [k,N]@[N,D+1] MXU dot computes the
+    # per-cluster sums and counts together (exact 0/1 weights in f32)
+    onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [N,k]
+    xa = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
+    sc = jnp.dot(onehot.T, xa, preferred_element_type=jnp.float32)
+    sums, counts = sc[:, :-1], sc[:, -1]
     empty = counts == 0
     cents = sums / jnp.maximum(counts, 1.0)[:, None]
     return jnp.where(empty[:, None], old_cents, cents), empty
