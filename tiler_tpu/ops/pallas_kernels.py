@@ -123,7 +123,13 @@ def _nn_kernel_aug(qa_ref, ca_ref, err_ref, idx_ref):
     The query-norm term ||q||^2 is constant per row (cannot change the
     argmin) and is added to the returned err by the caller. This removes
     the [BQ,BC] broadcast-add VPU passes from the chunk loop — the only
-    remaining per-element work is the fused min/argmin reduction."""
+    remaining per-element work is the fused min/argmin reduction.
+
+    MEASURED on the chip (tools/assign_opt_bench.py, 16k x 1M x 192):
+    64.2 TF/s vs the broadcast kernel's 69.9 — SLOWER. The kernel is
+    MXU-bound (the VPU broadcasts overlap the dot for free) and the 8
+    extra contraction dims cost real MXU passes. Kept as the recorded
+    negative result; production stays on _nn_kernel."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
