@@ -87,6 +87,44 @@ def test_cli_encode_decode_info(rng, tmp_path):
     assert dec.shape == (3, 32, 48, 3)
 
 
+def test_cli_auto_checkpoint_crash_recovery(rng, tmp_path):
+    """--auto-checkpoint failure recovery: a crash mid-pipeline (fault
+    injected after global_tiling) resumes from the next step and produces
+    the byte-identical stream of an uninterrupted encode."""
+    clip_path = str(tmp_path / 'clip.npy')
+    np.save(clip_path, _clip(rng))
+    env = {'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
+           'PYTHONPATH': '/root/repo', 'HOME': '/root'}
+    env_cmd = [sys.executable, '-m', 'tiler_tpu']
+    args = ['--palette-count', '4', '--fast-lzma']
+
+    ref_gtm = str(tmp_path / 'ref.gtm')
+    r = subprocess.run(env_cmd + ['encode', clip_path, ref_gtm] + args,
+                       capture_output=True, text=True, cwd='/root/repo',
+                       env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    gtm = str(tmp_path / 'out.gtm')
+    ckpt = str(tmp_path / 'auto.npz')
+    r = subprocess.run(
+        env_cmd + ['encode', clip_path, gtm, '--auto-checkpoint', ckpt]
+        + args,
+        capture_output=True, text=True, cwd='/root/repo',
+        env=dict(env, TILER_CRASH_AFTER_STEP='global_tiling'))
+    assert r.returncode == 13, (r.returncode, r.stderr[-2000:])
+    assert not (tmp_path / 'out.gtm').exists()
+    assert (tmp_path / 'auto.npz').exists()
+
+    r = subprocess.run(
+        env_cmd + ['encode', clip_path, gtm, '--auto-checkpoint', ckpt]
+        + args,
+        capture_output=True, text=True, cwd='/root/repo', env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'resuming at step' in r.stdout
+    assert not (tmp_path / 'auto.npz').exists()  # removed on completion
+    assert open(gtm, 'rb').read() == open(ref_gtm, 'rb').read()
+
+
 def test_cli_serve_stages_and_serves(tmp_path):
     """`serve` stages the demo page + stream and answers HTTP."""
     import http.client

@@ -51,6 +51,11 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                    help='write a resumable state checkpoint after encoding')
     p.add_argument('--resume', default=None,
                    help='resume from a state checkpoint')
+    p.add_argument('--auto-checkpoint', default=None, metavar='PATH',
+                   help='failure recovery: persist the state to PATH after '
+                        'every completed step; if PATH already exists, '
+                        'resume from the step after the last completed one '
+                        '(the file is removed on successful completion)')
     p.add_argument('--fast-lzma', action='store_true')
     p.add_argument('--hosts', type=int, default=1,
                    help='N-host GOP-sharded encode (in-process simulation;'
@@ -106,15 +111,51 @@ def cmd_encode(a) -> int:
         return _cmd_encode_distributed(a)
     if a.hosts > 1:
         return _cmd_encode_hosts(a)
-    enc = Encoder(_config_from_args(a))
-    if a.resume:
-        enc.state = load_checkpoint(a.resume)
+    import dataclasses
+    import os
+
+    from .constants import ENCODER_STEPS
+
+    cfg = _config_from_args(a)
+    resume_from = a.resume
+    if a.auto_checkpoint and not resume_from and \
+            os.path.exists(a.auto_checkpoint):
+        # crash recovery: restart from the step after the last completed
+        # one (the reference's closest analogue is the start-step driver
+        # over in-memory state, main.pas:1232-1272 — here it survives
+        # the process)
+        probe = load_checkpoint(a.auto_checkpoint)
+        done_step = probe.metrics.get('completed_step')
+        if done_step in ENCODER_STEPS and done_step != cfg.end_step:
+            nxt = ENCODER_STEPS[ENCODER_STEPS.index(done_step) + 1]
+            print(f'auto-checkpoint: resuming at step {nxt!r} '
+                  f'(completed: {done_step})', flush=True)
+            cfg = dataclasses.replace(cfg, start_step=nxt)
+            resume_from = a.auto_checkpoint
+
+    enc = Encoder(cfg)
+    if resume_from:
+        enc.state = load_checkpoint(resume_from)
         enc.state = dataclass_replace_config(enc.state, enc.config)
         frames = enc.state.frames_rgb
         fps = enc.state.fps
     else:
         frames, fps = _load_input(a.input, a)
-    blob = enc.run_all(frames, fps=fps, fast_lzma=a.fast_lzma)
+
+    step_hook = None
+    if a.auto_checkpoint:
+        def step_hook(step):
+            enc.state.metrics['completed_step'] = step
+            save_checkpoint(a.auto_checkpoint, enc.state)
+            # fault injection for recovery tests: die right after
+            # persisting the named step
+            if os.environ.get('TILER_CRASH_AFTER_STEP') == step:
+                print(f'injected crash after {step!r}', flush=True)
+                raise SystemExit(13)
+    blob = enc.run_all(frames, fps=fps, fast_lzma=a.fast_lzma,
+                       step_hook=step_hook)
+    if a.auto_checkpoint and os.path.exists(a.auto_checkpoint):
+        os.remove(a.auto_checkpoint)
     if a.gts_out and enc.state.tile_active is not None:
         from .bitstream.gtm import write_gts
         n_act = int(enc.state.tile_active.sum())

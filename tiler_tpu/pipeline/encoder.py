@@ -71,20 +71,26 @@ class Encoder:
 
     def run_all(self, frames: np.ndarray, fps: float | None = None,
                 fast_lzma: bool = False,
-                profile_dir: str | None = None) -> bytes:
+                profile_dir: str | None = None,
+                step_hook=None) -> bytes:
         """Full pipeline Load..Save honoring start/end step config.
 
         profile_dir: when set, wraps the run in a jax.profiler trace
         (the structured replacement for the reference's per-substep
-        wall-clock prints, SURVEY.md §5.1)."""
+        wall-clock prints, SURVEY.md §5.1).
+        step_hook: optional callable(step_name) invoked after each
+        completed step — the failure-recovery hook (the CLI's
+        --auto-checkpoint persists the state there so a crashed encode
+        resumes from the last completed step)."""
         if profile_dir:
             import jax
             with jax.profiler.trace(profile_dir):
-                return self._run_all_inner(frames, fps, fast_lzma)
-        return self._run_all_inner(frames, fps, fast_lzma)
+                return self._run_all_inner(frames, fps, fast_lzma,
+                                           step_hook)
+        return self._run_all_inner(frames, fps, fast_lzma, step_hook)
 
     def _run_all_inner(self, frames: np.ndarray, fps: float | None,
-                      fast_lzma: bool) -> bytes:
+                      fast_lzma: bool, step_hook=None) -> bytes:
         cfg = self.config
         first = ENCODER_STEPS.index(cfg.start_step)
         last = ENCODER_STEPS.index(cfg.end_step)
@@ -92,23 +98,35 @@ class Encoder:
         def ok(step):
             return first <= ENCODER_STEPS.index(step) <= last
 
+        def done(step):
+            if step_hook is not None:
+                step_hook(step)
+
         blob = b''
         if ok('load'):
             self.load(frames, fps)
+            done('load')
         if ok('dither'):
             self.dither()
+            done('dither')
         if ok('make_unique'):
             self.make_unique()
+            done('make_unique')
         if ok('global_tiling'):
             self.global_tiling()
+            done('global_tiling')
         if ok('frame_tiling'):
             self.frame_tiling()
+            done('frame_tiling')
         if ok('reindex'):
             self.reindex()
+            done('reindex')
         if ok('smooth'):
             self.smooth()
+            done('smooth')
         if ok('save'):
             blob = self.save(fast_lzma=fast_lzma)
+            done('save')
         return blob
 
     # -- internals ----------------------------------------------------------
