@@ -102,3 +102,15 @@ def test_scan_renderer_matches_reference_decoder():
     got = decode_video_jax_scan(data)
     np.testing.assert_array_equal(got[:50], want[:50])
     np.testing.assert_array_equal(got, want)
+
+
+def test_bundled_sample_stream_decodes():
+    """The checked-in demo stream (decoders/web/sample.gtm) stays
+    decodable: full decode, sane header fields, multi-keyframe."""
+    from tiler_tpu.bitstream.gtm import parse_gtm
+    from tiler_tpu.decode import decode_video
+    data = open('/root/repo/decoders/web/sample.gtm', 'rb').read()
+    frames, stream = decode_video(data)
+    assert frames.shape == (48, 176, 320, 3)
+    assert frames.max() > 0
+    assert parse_gtm(data).header.kf_count >= 2
