@@ -87,6 +87,24 @@ def test_cli_encode_decode_info(rng, tmp_path):
     assert dec.shape == (3, 32, 48, 3)
 
 
+def test_checkpoint_save_keeps_device_residency(rng, tmp_path):
+    """save_checkpoint must not flip tiles_pal authority to host: under
+    --auto-checkpoint that would silently downgrade the remaining steps
+    to the host path."""
+    import jax.numpy as jnp
+    from tiler_tpu.pipeline.state import EncoderState
+    enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16))
+    enc.load(_clip(rng))
+    enc.dither()  # leaves the device side authoritative
+    st = enc.state
+    assert st._tiles_pal_dev is not None and st._tiles_pal_host is None
+    save_checkpoint(str(tmp_path / 'ck.npz'), st)
+    assert st._tiles_pal_host is None  # authority unchanged
+    loaded = load_checkpoint(str(tmp_path / 'ck.npz'))
+    np.testing.assert_array_equal(loaded.tiles_pal,
+                                  np.array(st._tiles_pal_dev))
+
+
 def test_cli_auto_checkpoint_crash_recovery(rng, tmp_path):
     """--auto-checkpoint failure recovery: a crash mid-pipeline (fault
     injected after global_tiling) resumes from the next step and produces

@@ -145,6 +145,14 @@ class EncoderState:
         self._tiles_pal_dev = arr
         self._tiles_pal_host = None
 
+    def peek_tiles_pal(self):
+        """Read-only snapshot of tiles_pal that does NOT flip residency
+        authority: serialization (checkpointing) must not silently switch
+        later steps from the device path to the host path."""
+        if self._tiles_pal_host is None and self._tiles_pal_dev is not None:
+            return np.array(self._tiles_pal_dev)
+        return self._tiles_pal_host
+
     def drop_tiles_pal_dev(self) -> None:
         """Invalidate the device mirror after in-place host mutation."""
         if self._tiles_pal_host is None and self._tiles_pal_dev is not None:

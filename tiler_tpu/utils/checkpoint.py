@@ -27,7 +27,10 @@ _ARRAY_FIELDS = [
 def save_checkpoint(path: str, state: EncoderState) -> None:
     arrays = {}
     for f in _ARRAY_FIELDS:
-        v = getattr(state, f)
+        # read-only snapshot: serializing must not flip the tiles_pal
+        # host/device residency authority (it would silently downgrade
+        # the remaining steps to the host path under --auto-checkpoint)
+        v = state.peek_tiles_pal() if f == 'tiles_pal' else getattr(state, f)
         if v is not None:
             arrays[f] = v
     cfg = dataclasses.asdict(state.config)
