@@ -87,6 +87,37 @@ def test_cli_encode_decode_info(rng, tmp_path):
     assert dec.shape == (3, 32, 48, 3)
 
 
+def test_preview_views_and_cli(rng, tmp_path):
+    """Tiles-page/palette-strip renderers + the CLI preview command
+    (the GUI's 4 preview tabs, main.pas:3305-3493)."""
+    from tiler_tpu.render import render_palette_strip, render_tiles_page
+    enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16))
+    enc.run_all(_clip(rng), fast_lzma=True)
+    st = enc.state
+    tp = render_tiles_page(st, 0, page=0, pal_idx=0)
+    assert tp.shape == (32, 48, 3)
+    # cells past the tileset are clAqua
+    n_act = len(st.tiles_pal)
+    if n_act < st.tilemap_size:
+        assert (tp[-8:, -8:] == [0, 255, 255]).all()
+    strip = render_palette_strip(st, 0)
+    assert strip.shape == (4, 16, 3)
+
+    ck = str(tmp_path / 'st.npz')
+    save_checkpoint(ck, st)
+    r = subprocess.run(
+        [sys.executable, '-m', 'tiler_tpu', 'preview', ck,
+         str(tmp_path / 'pv'), '--frame', '1'],
+        capture_output=True, text=True, cwd='/root/repo',
+        env={'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
+             'PYTHONPATH': '/root/repo', 'HOME': '/root'})
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0.0 < out['correlation'] <= 1.0
+    for key in ('source', 'output', 'tiles', 'palette'):
+        assert (tmp_path / 'pv' / out[key]).exists()
+
+
 def test_checkpoint_save_keeps_device_residency(rng, tmp_path):
     """save_checkpoint must not flip tiles_pal authority to host: under
     --auto-checkpoint that would silently downgrade the remaining steps

@@ -282,6 +282,46 @@ def cmd_serve(a) -> int:
     return 0
 
 
+def cmd_preview(a) -> int:
+    """Render the GUI's preview views (source / output / tiles page /
+    palette strip, main.pas:3305-3493) from a state checkpoint to PNGs,
+    and print the output-vs-source Pearson correlation the GUI shows on
+    every scrub (main.pas:3470-3489)."""
+    import os
+
+    from PIL import Image
+
+    from .render import (reconstruction_correlation, render_frame,
+                         render_palette_strip, render_tiles_page)
+    from .utils.checkpoint import load_checkpoint
+
+    state = load_checkpoint(a.checkpoint)
+    os.makedirs(a.outdir, exist_ok=True)
+    f = a.frame
+    views = a.views.split(',')
+    out = {}
+    if 'source' in views:
+        img = state.frames_rgb[f]
+        Image.fromarray(img).save(os.path.join(a.outdir, f'source_{f}.png'))
+        out['source'] = f'source_{f}.png'
+    if 'output' in views:
+        img = render_frame(state, f)
+        Image.fromarray(img).save(os.path.join(a.outdir, f'output_{f}.png'))
+        out['output'] = f'output_{f}.png'
+        out['correlation'] = round(reconstruction_correlation(state, f), 7)
+    if 'tiles' in views:
+        img = render_tiles_page(state, f, a.page, a.palette)
+        Image.fromarray(img).save(
+            os.path.join(a.outdir, f'tiles_p{a.page}.png'))
+        out['tiles'] = f'tiles_p{a.page}.png'
+    if 'palette' in views:
+        img = render_palette_strip(state, f)
+        Image.fromarray(img).save(os.path.join(a.outdir, 'palette.png'))
+        out['palette'] = 'palette.png'
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog='tiler_tpu')
     sub = ap.add_subparsers(dest='cmd', required=True)
@@ -305,6 +345,19 @@ def main(argv=None) -> int:
     ps.add_argument('input', help='.gtm stream to play')
     ps.add_argument('--port', type=int, default=8711)
     ps.set_defaults(fn=cmd_serve)
+
+    pp = sub.add_parser(
+        'preview', help='render GUI preview views from a state checkpoint')
+    pp.add_argument('checkpoint', help='state checkpoint (.npz)')
+    pp.add_argument('outdir', help='directory for PNGs')
+    pp.add_argument('--frame', type=int, default=0)
+    pp.add_argument('--views', default='source,output,tiles,palette',
+                    help='comma list: source,output,tiles,palette')
+    pp.add_argument('--page', type=int, default=0,
+                    help='tiles-page index (tilemap_size tiles per page)')
+    pp.add_argument('--palette', type=int, default=0,
+                    help='palette index for the tiles page')
+    pp.set_defaults(fn=cmd_preview)
 
     a = ap.parse_args(argv)
     return a.fn(a)

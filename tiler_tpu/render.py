@@ -37,6 +37,37 @@ def render_frame(state: EncoderState, frame: int,
         .transpose(0, 2, 1, 3, 4).reshape(th * TILE_W, tw * TILE_W, 3)
 
 
+def render_tiles_page(state: EncoderState, frame: int = 0, page: int = 0,
+                      pal_idx: int = 0) -> np.ndarray:
+    """The GUI's tiles-page view (main.pas:3371-3392): a screen-shaped
+    grid of global tiles starting at index tilemap_size*page, rendered
+    through the frame's keyframe palette max(0, pal_idx); cells past the
+    tileset are aqua (clAqua). Tiles draw in stored (mirror-baked)
+    orientation."""
+    th, tw = state.tilemap_h, state.tilemap_w
+    cells = th * tw
+    k = int(state.kf_of_frame()[frame])
+    pal = state.palettes_rgb[k][max(0, pal_idx)]  # [S,3]
+    tiles_pal = state.tiles_pal
+    n_tiles = len(tiles_pal)
+    base = cells * page
+    out = np.zeros((cells, TILE_W, TILE_W, 3), np.uint8)
+    out[...] = np.array([0, 255, 255], np.uint8)  # clAqua background
+    idx = np.arange(base, base + cells)
+    ok = idx < n_tiles
+    sel = tiles_pal[idx[ok]].astype(np.int64)  # [m,8,8]
+    out[ok] = pal[sel]
+    return out.reshape(th, tw, TILE_W, TILE_W, 3) \
+        .transpose(0, 2, 1, 3, 4).reshape(th * TILE_W, tw * TILE_W, 3)
+
+
+def render_palette_strip(state: EncoderState, frame: int = 0) -> np.ndarray:
+    """The GUI's palette view (main.pas:3403-3419 imgPalette fill): one
+    row per palette, one column per palette entry."""
+    k = int(state.kf_of_frame()[frame])
+    return state.palettes_rgb[k].copy()  # [palette_count, S, 3]
+
+
 def reconstruction_correlation(state: EncoderState, frame: int) -> float:
     """Pearson correlation of reconstruction vs source, luma-weighted per
     plane as in ComputeCorrelationBGR (main.pas:769-788)."""
