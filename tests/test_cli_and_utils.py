@@ -118,6 +118,19 @@ def test_preview_views_and_cli(rng, tmp_path):
         assert (tmp_path / 'pv' / out[key]).exists()
 
 
+def test_cli_debug_harness(capsys):
+    """`tiler_tpu debug` — the F12 smoke harness (main.pas:1274-1315):
+    seeded palette via the reference LCG, Yliluoma plans, HSV sweep,
+    DL3 of the sweep."""
+    from tiler_tpu.__main__ import main
+    assert main(['debug']) == 0
+    out = capsys.readouterr().out
+    assert "palette: ['5165a8'" in out  # exact Delphi LCG sequence
+    assert 'yliluoma ff8000' in out
+    assert 'hsv roundtrip:' in out
+    assert 'dl3 sweep palette' in out
+
+
 def test_checkpoint_save_keeps_device_residency(rng, tmp_path):
     """save_checkpoint must not flip tiles_pal authority to host: under
     --auto-checkpoint that would silently downgrade the remaining steps

@@ -322,6 +322,55 @@ def cmd_preview(a) -> int:
     return 0
 
 
+def cmd_debug(a) -> int:
+    """Debug smoke harness — the F12 button (btnDebugClick,
+    main.pas:1274-1315): Yliluoma-2 mixing plans for known colors over a
+    seeded random 16-color palette (same Delphi LCG RandInt,
+    kmodes.pas:82-87), an integer-HSV round-trip sweep, and a DL3
+    quantize of the sweep image. (The reference's dl3quant debug call
+    passes misordered arguments; here the quantizer is called sanely:
+    64 colors at bpc 6.)"""
+    import numpy as np
+
+    from .ops import dither, palette
+    from .ops.color import hsv_to_rgb_int_np, rgb_to_hsv_int_np
+
+    # seeded random palette via the reference's LCG
+    seed = np.uint32(42)
+    pal = np.zeros((16, 3), np.uint8)
+    for i in range(16):
+        seed = np.uint32(
+            (np.uint64(seed) * np.uint64(0x08088405) + 1) & 0xffffffff)
+        v = int((np.uint64(seed) * np.uint64(1 << 24)) >> np.uint64(32))
+        pal[i] = [(v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff]
+    print('palette:', [f'{r:02x}{g:02x}{b:02x}' for r, g, b in pal])
+
+    cols = np.array([[0xff, 0xff, 0xff], [0xff, 0x80, 0x00],
+                     [0x80, 0x80, 0x80], [0x00, 0x00, 0x00]], np.uint8)
+    tiles = np.repeat(cols[:, None, None, :], 8, 1).repeat(8, 2)
+    pals = np.repeat(pal[None], 4, 0)
+    out = dither.yliluoma_dither_tiles(tiles, pals, mixed_colors=4)
+    for c, t in zip(cols, out):
+        used = sorted(set(int(v) for v in t.ravel()))
+        print(f'yliluoma {c[0]:02x}{c[1]:02x}{c[2]:02x} -> plan entries '
+              f'{used} ({[f"{pal[u][0]:02x}{pal[u][1]:02x}{pal[u][2]:02x}" for u in used]})')
+
+    # HSV round-trip sweep (h, s in 0..255, v=255), as the GUI draws
+    hh, ss = np.meshgrid(np.arange(256), np.arange(256), indexing='ij')
+    rgb = hsv_to_rgb_int_np(hh, ss, np.full_like(hh, 255))
+    h2, s2, v2 = rgb_to_hsv_int_np(rgb)
+    rgb2 = hsv_to_rgb_int_np(h2, s2, v2)
+    exact = int((rgb2 == rgb).all(-1).sum())
+    print(f'hsv roundtrip: {exact}/65536 pixels stable '
+          f'(max channel delta {int(np.abs(rgb2.astype(int) - rgb).max())})')
+
+    pal64 = palette.dl3_palette(rgb.reshape(-1, 3), 64, 6, 0)
+    print('dl3 sweep palette (64 colors, bpc 6):')
+    for r, g, b in np.asarray(pal64):
+        print(f'{r}\t{g}\t{b}')
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog='tiler_tpu')
     sub = ap.add_subparsers(dest='cmd', required=True)
@@ -358,6 +407,9 @@ def main(argv=None) -> int:
     pp.add_argument('--palette', type=int, default=0,
                     help='palette index for the tiles page')
     pp.set_defaults(fn=cmd_preview)
+
+    pdbg = sub.add_parser('debug', help='smoke harness (the F12 button)')
+    pdbg.set_defaults(fn=cmd_debug)
 
     a = ap.parse_args(argv)
     return a.fn(a)
