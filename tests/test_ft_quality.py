@@ -74,3 +74,48 @@ def test_residual_error_non_increasing_with_quality(clip):
         assert dec.shape == clip.shape
     assert residuals[FTQuality.SLOW] <= residuals[FTQuality.MEDIUM] + 1e-3
     assert residuals[FTQuality.MEDIUM] <= residuals[FTQuality.FAST] + 1e-3
+
+
+def test_candidate_features_mirror_dedup_matches_direct(rng):
+    """The mirror-dedup fast path (signed-permutation expansion,
+    features.mirror_coeff_perms) produces the same candidate set with
+    features equal to the direct pixel path up to f32 accumulation
+    order."""
+    import numpy as np
+
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.ops import features as F
+    from tiler_tpu.pipeline import frame_tiling as ft
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    frames = np.zeros((4, 48, 64, 3), np.uint8)
+    yy, xx = np.mgrid[0:48, 0:64]
+    for i in range(4):
+        frames[i] = np.clip(
+            ((xx * 4 + i * 2) % 256)[..., None] * np.array([1, .7, .4])
+            + rng.normal(0, 5, (48, 64, 3)), 0, 255)
+    enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16,
+                                end_step='global_tiling'))
+    enc.run_all(frames)
+    state = enc.state
+    ds, tile_of, attrs_of = ft.build_global_dataset(state)
+    pm = ft.palette_similarity_mask(state, 0)
+    used = ft.mark_candidates(state, 0, ds, tile_of, attrs_of, pm)
+
+    f_fast, p_f, t_f, a_f = ft.candidate_features(state, 0, used, tile_of,
+                                                  attrs_of)
+    orig = F.mirror_coeff_perms
+    try:
+        F.mirror_coeff_perms = lambda w: None  # force the direct path
+        f_dir, p_d, t_d, a_d = ft.candidate_features(state, 0, used,
+                                                     tile_of, attrs_of)
+    finally:
+        F.mirror_coeff_perms = orig
+
+    kf = (p_f.astype(np.int64) << 32) | (t_f.astype(np.int64) << 4) | a_f
+    kd = (p_d.astype(np.int64) << 32) | (t_d.astype(np.int64) << 4) | a_d
+    of_, od = np.argsort(kf), np.argsort(kd)
+    np.testing.assert_array_equal(kf[of_], kd[od])
+    d = np.abs(np.asarray(f_fast)[of_] - np.asarray(f_dir)[od])
+    assert d.max() < 1e-4
+    assert state.metrics['ft_pair_dedup'][0] > 1.0

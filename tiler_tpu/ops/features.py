@@ -66,6 +66,44 @@ def feature_basis(use_wavelets: bool, q_weighting: bool):
     return DCT_BASIS_FLAT, w.astype(np.float32)
 
 
+@functools.cache
+def mirror_coeff_perms(use_wavelets: bool):
+    """Per-mirror coefficient transforms: for a basis B where the pixel
+    flip F satisfies  B^-1 F B = S  with S an EXACT signed permutation,
+    features of a mirrored tile are a static column permutation + sign of
+    the unmirrored features (colorspace is pointwise, so it commutes with
+    the flip). Returns (perm [4,192] int32, sign [4,192] float32) indexed
+    by attrs h|v<<1, or None when the basis has no such S (the DCT LUT is
+    not orthogonal; only the Haar wavelet path qualifies — verified
+    numerically here, deviation must be exactly 0)."""
+    basis, _w = feature_basis(use_wavelets, False)
+    eye = np.eye(64).reshape(64, TILE_W, TILE_W)
+    binv = np.linalg.inv(basis)
+    perms = {}
+    for key, flip in ((1, eye[:, :, ::-1]), (2, eye[:, ::-1, :])):
+        s = binv @ flip.reshape(64, 64) @ basis
+        sr = np.round(s)
+        if not (np.allclose(s, sr, atol=1e-10)
+                and (np.abs(sr).sum(0) == 1).all()
+                and (np.abs(sr).sum(1) == 1).all()):
+            return None
+        # feats_flip[k] = sum_p cpn[p] (F B)[p, k] = feats[perm[k]]*sign[k]
+        src, dst = np.nonzero(sr)
+        perm = np.empty(64, np.int32)
+        sign = np.empty(64, np.float32)
+        perm[dst] = src
+        sign[dst] = sr[src, dst]
+        perms[key] = (perm, sign)
+    ph, sh = perms[1]
+    pv, sv = perms[2]
+    perm4 = np.stack([np.arange(64, dtype=np.int32), ph, pv, ph[pv]])
+    sign4 = np.stack([np.ones(64, np.float32), sh, sv, sh[pv] * sv])
+    # plane-major 192-dim layout: same transform per plane
+    off = (np.arange(3, dtype=np.int32) * 64)[None, :, None]
+    return (np.tile(perm4[:, None, :], (1, 3, 1)) + off).reshape(4, 192), \
+        np.tile(sign4[:, None, :], (1, 3, 1)).reshape(4, 192)
+
+
 def mirror_tiles(tiles, hmir, vmir):
     """Batched H/V mirror: tiles [N,8,8,...], hmir/vmir [N] bool."""
     extra = (1,) * (tiles.ndim - 3)

@@ -122,7 +122,15 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
     The tile-pixel and palette gathers happen on device (tiles_pal and the
     keyframe's palettes upload once; per-chunk traffic is only the int32
     index vectors) — the host-side fancy indexing here was a hotspot on
-    slow hosts."""
+    slow hosts.
+
+    Mirror dedup (wavelet basis): a mirrored tile's features are an EXACT
+    signed column permutation of the unmirrored ones
+    (features.mirror_coeff_perms), so the expensive palette-LUT +
+    colorspace + basis matmul runs once per (pal, tile) and the mirror
+    variants expand with static permutations. Candidates return grouped
+    by mirror attrs (the order is free — winners map through the
+    returned cand arrays)."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -142,26 +150,68 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                 _chunk_feats)
     chunk_feats = _chunk_feats_jit
 
-    # candidate features stay ON DEVICE: only int32 index vectors go up,
-    # nothing comes down (the 1-NN scan consumes them in place)
-    parts = []
-    for lo in range(0, c, chunk):
-        hi = min(c, lo + chunk)
-        n_pad = features.pad_pow2(hi - lo)
+    def base_feats(b_tiles, b_pals, b_hm, b_vm):
+        # candidate features stay ON DEVICE: only int32 index vectors go
+        # up, nothing comes down (the 1-NN scan consumes them in place)
+        n = len(b_tiles)
+        parts = []
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            n_pad = features.pad_pow2(hi - lo)
 
-        def pad(a, fill=0):
-            out = np.full(n_pad, fill, a.dtype)
-            out[:hi - lo] = a[lo:hi]
-            return out
-        res = chunk_feats(tiles_pal_d, pals_d,
-                          jnp.asarray(pad(tiles.astype(np.int32))),
-                          jnp.asarray(pad(pal_idx.astype(np.int32))),
-                          jnp.asarray(pad((attrs & 1).astype(bool))),
-                          jnp.asarray(pad((attrs & 2).astype(bool))),
-                          _ft_gamma(cfg), cfg.use_wavelets)
-        parts.append(res[:hi - lo])
-    feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            def pad(a, fill=0):
+                out = np.full(n_pad, fill, a.dtype)
+                out[:hi - lo] = a[lo:hi]
+                return out
+            res = chunk_feats(tiles_pal_d, pals_d,
+                              jnp.asarray(pad(b_tiles.astype(np.int32))),
+                              jnp.asarray(pad(b_pals.astype(np.int32))),
+                              jnp.asarray(pad(b_hm)), jnp.asarray(pad(b_vm)),
+                              _ft_gamma(cfg), cfg.use_wavelets)
+            parts.append(res[:hi - lo])
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    pp = features.mirror_coeff_perms(cfg.use_wavelets)
+    pair_ids = pal_idx.astype(np.int64) * int(state.n_tiles) + tiles
+    uq, inv = np.unique(pair_ids, return_inverse=True)
+    state.metrics.setdefault('ft_pair_dedup', []).append(
+        round(c / max(len(uq), 1), 3))
+    if pp is not None and len(uq) <= 0.9 * c:
+        perm4, sign4 = pp
+        base = base_feats((uq % state.n_tiles).astype(np.int32),
+                          (uq // state.n_tiles).astype(np.int32),
+                          np.zeros(len(uq), bool), np.zeros(len(uq), bool))
+        order = np.argsort(attrs, kind='stable')
+        ginv = inv[order]
+        global _mirror_expand_jit
+        if _mirror_expand_jit is None:
+            _mirror_expand_jit = jax.jit(
+                _mirror_expand_one, static_argnames=('attr',))
+        perm_d, sign_d = jnp.asarray(perm4), jnp.asarray(sign4)
+        bounds = np.searchsorted(attrs[order], np.arange(5))
+        parts = []
+        for a in range(4):
+            lo, hi = int(bounds[a]), int(bounds[a + 1])
+            if hi == lo:
+                continue
+            n_pad = features.pad_pow2(hi - lo)  # bucketed: few compiles
+            seg = np.zeros(n_pad, np.int32)
+            seg[:hi - lo] = ginv[lo:hi]
+            parts.append(_mirror_expand_jit(base, jnp.asarray(seg),
+                                            perm_d, sign_d, a)[:hi - lo])
+        feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return (feats, pal_idx[order].astype(np.int32),
+                tiles[order].astype(np.int32), attrs[order])
+
+    feats = base_feats(tiles, pal_idx, (attrs & 1).astype(bool),
+                       (attrs & 2).astype(bool))
     return feats, pal_idx.astype(np.int32), tiles.astype(np.int32), attrs
+
+
+def _mirror_expand_one(base, ginv, perm4, sign4, attr: int):
+    """One mirror-attr group: row gather from the base (pal,tile)
+    features + static column permutation + sign."""
+    return base[ginv][:, perm4[attr]] * sign4[attr][None, :]
 
 
 def _chunk_feats(tp_all, pal_all, tidx, pidx, hm, vm, gamma_value,
@@ -176,6 +226,7 @@ def _chunk_feats(tp_all, pal_all, tidx, pidx, hm, vm, gamma_value,
 
 
 _chunk_feats_jit = None
+_mirror_expand_jit = None
 
 
 def _query_assign_factory():
