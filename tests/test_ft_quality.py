@@ -119,3 +119,61 @@ def test_candidate_features_mirror_dedup_matches_direct(rng):
     d = np.abs(np.asarray(f_fast)[of_] - np.asarray(f_dir)[od])
     assert d.max() < 1e-4
     assert state.metrics['ft_pair_dedup'][0] > 1.0
+
+
+def test_mark_candidates_matches_loop_form(rng):
+    """The vectorized candidate marking equals the per-palette loop form
+    (pure set logic) for every FTQuality level."""
+    import numpy as np
+
+    from tiler_tpu.config import EncoderConfig, FTQuality
+    from tiler_tpu.pipeline import frame_tiling as ft
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    frames = np.zeros((3, 40, 56, 3), np.uint8)
+    yy, xx = np.mgrid[0:40, 0:56]
+    for i in range(3):
+        frames[i] = np.clip(
+            ((xx * 5 + i * 4) % 256)[..., None] * np.array([.9, .6, 1.])
+            + rng.normal(0, 6, (40, 56, 3)), 0, 255)
+
+    for q in (FTQuality.FAST, FTQuality.MEDIUM, FTQuality.SLOW):
+        enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16,
+                                    ft_quality=q,
+                                    end_step='global_tiling'))
+        enc.run_all(frames)
+        state = enc.state
+        ds, tile_of, attrs_of = ft.build_global_dataset(state)
+        pm = ft.palette_similarity_mask(state, 0) \
+            if q == FTQuality.MEDIUM else None
+        used = ft.mark_candidates(state, 0, ds, tile_of, attrs_of, pm)
+
+        # loop-form oracle (the pre-vectorization implementation)
+        cfg = state.config
+        s, e = state.keyframes[0]
+        cell_tiles = state.tm_tile[s:e + 1].ravel()
+        cell_pals = state.tm_pal[s:e + 1].ravel()
+        from tiler_tpu.ops import knn
+        uq_tiles, tile_inv = np.unique(cell_tiles, return_inverse=True)
+        queries = state.tiles_pal[uq_tiles].reshape(len(uq_tiles), -1) \
+            .astype(np.float32)
+        idxs, errs = knn.nearest_k(queries, ds, k=8)
+        keep = np.ones_like(errs, bool)
+        keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
+        ref = np.zeros((cfg.palette_count, len(ds)), bool)
+        pair_ids = cell_pals.astype(np.int64) * len(uq_tiles) + tile_inv
+        uq_pairs = np.unique(pair_ids)
+        pair_pal = (uq_pairs // len(uq_tiles)).astype(np.int64)
+        pair_row = (uq_pairs % len(uq_tiles)).astype(np.int64)
+        for p in range(cfg.palette_count):
+            rows = pair_row[pair_pal == p]
+            if rows.size == 0:
+                continue
+            marked = np.unique(idxs[rows][keep[rows]])
+            if q == FTQuality.FAST:
+                ref[p, marked] = True
+            elif q == FTQuality.SLOW:
+                ref[:, marked] = True
+            else:
+                ref[np.ix_(pm[:, p], marked)] = True
+        np.testing.assert_array_equal(used, ref), q

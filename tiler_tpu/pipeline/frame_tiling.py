@@ -83,24 +83,27 @@ def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
     keep = np.ones_like(errs, bool)
     keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
 
-    used = np.zeros((cfg.palette_count, len(ds)), bool)
-    # unique (pal, tile) pairs drive the marking
+    # unique (pal, tile) pairs drive the marking; the whole per-palette
+    # loop is pure set logic, so it vectorizes exactly: scatter the kept
+    # k-NN hits into a per-palette indicator, then expand across palettes
+    # (SLOW: any palette; MEDIUM: the pal_mask boolean matmul)
     pair_ids = cell_pals.astype(np.int64) * len(uq_tiles) + tile_inv
     uq_pairs = np.unique(pair_ids)
     pair_pal = (uq_pairs // len(uq_tiles)).astype(np.int64)
     pair_tile_row = (uq_pairs % len(uq_tiles)).astype(np.int64)
 
-    for q in range(cfg.palette_count):
-        rows = pair_tile_row[pair_pal == q]
-        if rows.size == 0:
-            continue
-        marked = np.unique(idxs[rows][keep[rows]])
-        if cfg.ft_quality == FTQuality.FAST:
-            used[q, marked] = True
-        elif cfg.ft_quality == FTQuality.SLOW:
-            used[:, marked] = True
-        else:  # MEDIUM: palettes whose centroids are close to q's
-            used[np.ix_(pal_mask[:, q], marked)] = True
+    marked_q = np.zeros((cfg.palette_count, len(ds)), bool)
+    km = keep[pair_tile_row]                         # [n_pairs, 8]
+    marked_q[np.repeat(pair_pal, km.sum(1)),
+             idxs[pair_tile_row][km]] = True
+    if cfg.ft_quality == FTQuality.FAST:
+        used = marked_q
+    elif cfg.ft_quality == FTQuality.SLOW:
+        used = np.broadcast_to(marked_q.any(0),
+                               marked_q.shape).copy()
+    else:  # MEDIUM: used[j] = any marking palette q with centroid near j
+        used = (pal_mask.astype(np.float32)
+                @ marked_q.astype(np.float32)) > 0
     return used
 
 
