@@ -184,6 +184,12 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
         base = base_feats((uq % state.n_tiles).astype(np.int32),
                           (uq // state.n_tiles).astype(np.int32),
                           np.zeros(len(uq), bool), np.zeros(len(uq), bool))
+        # bucket the base length too: _mirror_expand_one specializes on
+        # (base, seg) shapes and an exact len(uq) would recompile per
+        # keyframe
+        b_pad = features.pad_pow2(len(uq))
+        if b_pad != base.shape[0]:
+            base = jnp.pad(base, ((0, b_pad - base.shape[0]), (0, 0)))
         order = np.argsort(attrs, kind='stable')
         ginv = inv[order]
         global _mirror_expand_jit
