@@ -316,6 +316,9 @@ def parse_gtm(data: bytes) -> ParsedGTM:
     that legacy form, so we accept it too (dimensions then come from the
     gtSetDimensions command)."""
     if data[:4] == b'GTMv':
+        if len(data) < HEADER_SIZE:
+            raise ValueError(
+                f'truncated GTM header ({len(data)} of {HEADER_SIZE} bytes)')
         header = GTMHeader.unpack(data)
         infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
                  for i in range(header.kf_count)]
@@ -324,8 +327,13 @@ def parse_gtm(data: bytes) -> ParsedGTM:
         commands = lzma_decompress_concat(data[whole:])
         return ParsedGTM(header=header, kf_infos=infos, commands=commands)
     header = GTMHeader(width=0, height=0, kf_count=0, frame_count=0)
-    return ParsedGTM(header=header, kf_infos=[],
-                     commands=lzma_decompress_concat(data))
+    commands = lzma_decompress_concat(data)
+    if data and not commands:
+        # the legacy headerless form is raw LZMA from byte 0
+        # (gtm.player.js:136-138); non-empty input yielding no commands
+        # is garbage, not a video
+        raise ValueError('not a GTM stream (no FourCC, no LZMA data)')
+    return ParsedGTM(header=header, kf_infos=[], commands=commands)
 
 
 def write_gts(path: str, tiles_pal: np.ndarray, palette_size: int) -> None:

@@ -22,6 +22,8 @@
 
 namespace {
 
+constexpr int64_t kMaxTiles = int64_t(1) << 26;  // 64M tiles = 4 GB cap
+
 enum Cmd {
   kSkipBlock = 0,
   kShortTileIdx = 1,
@@ -81,6 +83,10 @@ void* tiler_gtm_parse(const uint8_t* data, size_t len, int* status) {
         p->frame_ns = int64_t(dword(pos + 4));
         int64_t tile_count = int64_t(dword(pos + 8));
         pos += 12;
+        // malformed-input guard: a crafted dword here would drive a
+        // multi-GB resize (uncaught bad_alloc kills the process); no
+        // real stream approaches 2^26 tiles
+        if (tile_count > kMaxTiles) { *status = -4; return p; }
         if (int64_t(p->tiles.size()) < tile_count * 64)
           p->tiles.resize(size_t(tile_count) * 64, 0);
         p->tile_count = tile_count;
@@ -93,8 +99,12 @@ void* tiler_gtm_parse(const uint8_t* data, size_t len, int* status) {
         pos += 8;
         pal_size = int(attrs);
         p->pal_size = pal_size;
+        // malformed-input guards: tend < tstart makes cnt negative and
+        // size_t(cnt)*64 WRAPS past the bounds check into an OOB memcpy;
+        // a huge tend would bad_alloc the resize
+        if (tend < tstart || tend >= kMaxTiles) { *status = -4; return p; }
         int64_t cnt = tend - tstart + 1;
-        if (pos + size_t(cnt) * 64 > len) { *status = -1; return p; }
+        if (size_t(cnt) * 64 > len - pos) { *status = -1; return p; }
         if (int64_t(p->tiles.size()) < (tend + 1) * 64)
           p->tiles.resize(size_t(tend + 1) * 64, 0);
         if (tend + 1 > p->tile_count) p->tile_count = tend + 1;
