@@ -85,6 +85,43 @@ def test_parser_survives_truncations_and_flips(rng):
         _parse(bytes(buf))
 
 
+def test_lzma_fuzz_and_bomb_guard(rng):
+    """The native LZMA1 decoder rejects corrupt streams cleanly and caps
+    decompression-bomb expansion (a crafted 2^63 declared size must not
+    allocate unbounded memory)."""
+    import lzma as pylzma
+
+    from tiler_tpu.native import lzma_decode_alone
+
+    payload = bytes(rng.integers(0, 4, 1 << 16).astype(np.uint8))
+    comp = pylzma.compress(payload, format=pylzma.FORMAT_ALONE)
+    out, _ = lzma_decode_alone(comp)
+    assert out == payload
+
+    # declared-size tampering: a huge declared size must terminate
+    # promptly — at the EOS marker (python writes unknown-size + EOS,
+    # so the payload round-trips) or with a clean error; the 1 GiB
+    # in-decoder output cap (lzma1.cc kMaxOutput) guards streams whose
+    # content actually expands that far
+    bomb = bytearray(comp)
+    bomb[5:13] = (2 ** 63 - 1).to_bytes(8, 'little')
+    try:
+        out2, _ = lzma_decode_alone(bytes(bomb))
+        assert out2 == payload
+    except ValueError:
+        pass
+
+    # random corruption of the compressed body: clean result or error
+    for _ in range(100):
+        buf = bytearray(comp)
+        for _ in range(rng.integers(1, 4)):
+            buf[rng.integers(13, len(buf))] = rng.integers(0, 256)
+        try:
+            lzma_decode_alone(bytes(buf))
+        except ValueError:
+            pass
+
+
 def test_decode_video_rejects_garbage(rng):
     from tiler_tpu.decode import decode_video
     cases = (b'GTMv',                                 # truncated header

@@ -53,7 +53,7 @@ struct Parsed {
 
 extern "C" {
 
-void* tiler_gtm_parse(const uint8_t* data, size_t len, int* status) {
+void* tiler_gtm_parse(const uint8_t* data, size_t len, int* status) try {
   auto* p = new Parsed();
   *status = 0;
   size_t pos = 0;  // byte offset
@@ -161,6 +161,13 @@ void* tiler_gtm_parse(const uint8_t* data, size_t len, int* status) {
     }
   }
   return p;
+} catch (...) {
+  // exceptions (e.g. bad_alloc) must not cross the ctypes ABI (that
+  // would std::terminate the host). The partially-built Parsed leaks on
+  // this path — acceptable: it is reachable only via allocation failure
+  // on already-sanity-capped sizes, and the process survives to report.
+  *status = -5;
+  return nullptr;
 }
 
 void tiler_gtm_free(void* h) { delete static_cast<Parsed*>(h); }

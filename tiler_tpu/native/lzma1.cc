@@ -22,6 +22,8 @@
 
 namespace {
 
+constexpr size_t kMaxOutput = size_t(1) << 30;  // 1 GiB per stream
+
 constexpr uint32_t kTopValue = 1u << 24;
 constexpr int kNumBitModelTotalBits = 11;
 constexpr uint16_t kBitModelTotal = 1 << kNumBitModelTotalBits;
@@ -174,6 +176,10 @@ struct LzmaDecoder {
     for (;;) {
       if (size_known && out.size() >= unpack_size) break;
       if (rc.overrun) return -3;
+      // decompression-bomb guard: a crafted header can demand up to
+      // 2^64 output from a tiny input (matches emit ~273 bytes per few
+      // input bits); no real GTM keyframe stream approaches 1 GiB
+      if (out.size() > kMaxOutput) return -5;
 
       unsigned pos_state = unsigned(out.size()) & pb_mask;
       if (!rc.decode_bit(&is_match[state][pos_state])) {
@@ -275,7 +281,7 @@ extern "C" {
 // status: 0 ok, <0 error codes above
 uint8_t* tiler_lzma_decode_alone(const uint8_t* src, size_t src_len,
                                  size_t* out_len, size_t* consumed,
-                                 int* status) {
+                                 int* status) try {
   LzmaDecoder dec;
   std::vector<uint8_t> out;
   out.reserve(src_len * 4);
@@ -288,6 +294,13 @@ uint8_t* tiler_lzma_decode_alone(const uint8_t* src, size_t src_len,
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(out.size() ? out.size() : 1));
   std::memcpy(buf, out.data(), out.size());
   return buf;
+} catch (...) {
+  // a C++ exception (e.g. bad_alloc) must not cross the ctypes ABI —
+  // it would std::terminate the host process
+  *status = -6;
+  *out_len = 0;
+  *consumed = 0;
+  return nullptr;
 }
 
 void tiler_free(void* p) { std::free(p); }
