@@ -166,8 +166,10 @@ def test_cli_auto_checkpoint_crash_recovery(rng, tmp_path):
                        env=env)
     assert r.returncode == 0, r.stderr[-2000:]
 
+    # checkpoint path WITHOUT .npz: np.savez appends the suffix, and the
+    # resume probe/cleanup must still find the file
     gtm = str(tmp_path / 'out.gtm')
-    ckpt = str(tmp_path / 'auto.npz')
+    ckpt = str(tmp_path / 'auto.ck')
     r = subprocess.run(
         env_cmd + ['encode', clip_path, gtm, '--auto-checkpoint', ckpt]
         + args,
@@ -175,7 +177,7 @@ def test_cli_auto_checkpoint_crash_recovery(rng, tmp_path):
         env=dict(env, TILER_CRASH_AFTER_STEP='global_tiling'))
     assert r.returncode == 13, (r.returncode, r.stderr[-2000:])
     assert not (tmp_path / 'out.gtm').exists()
-    assert (tmp_path / 'auto.npz').exists()
+    assert (tmp_path / 'auto.ck.npz').exists()
 
     r = subprocess.run(
         env_cmd + ['encode', clip_path, gtm, '--auto-checkpoint', ckpt]
@@ -183,8 +185,27 @@ def test_cli_auto_checkpoint_crash_recovery(rng, tmp_path):
         capture_output=True, text=True, cwd='/root/repo', env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert 'resuming at step' in r.stdout
-    assert not (tmp_path / 'auto.npz').exists()  # removed on completion
+    assert not (tmp_path / 'auto.ck.npz').exists()  # removed on completion
     assert open(gtm, 'rb').read() == open(ref_gtm, 'rb').read()
+
+    # crash after the FINAL step's hook (checkpoint says 'save' but the
+    # output was never written): resume must clamp to end_step, re-run
+    # save alone, and still produce the identical stream
+    gtm2 = str(tmp_path / 'out2.gtm')
+    r = subprocess.run(
+        env_cmd + ['encode', clip_path, gtm2, '--auto-checkpoint', ckpt]
+        + args,
+        capture_output=True, text=True, cwd='/root/repo',
+        env=dict(env, TILER_CRASH_AFTER_STEP='save'))
+    assert r.returncode == 13
+    assert not (tmp_path / 'out2.gtm').exists()
+    r = subprocess.run(
+        env_cmd + ['encode', clip_path, gtm2, '--auto-checkpoint', ckpt]
+        + args,
+        capture_output=True, text=True, cwd='/root/repo', env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming at step 'save'" in r.stdout
+    assert open(gtm2, 'rb').read() == open(ref_gtm, 'rb').read()
 
 
 def test_cli_serve_stages_and_serves(tmp_path):

@@ -116,26 +116,41 @@ def cmd_encode(a) -> int:
 
     from .constants import ENCODER_STEPS
 
+    from .utils.checkpoint import checkpoint_path
+
     cfg = _config_from_args(a)
     resume_from = a.resume
+    resume_state = None
     if a.auto_checkpoint and not resume_from and \
-            os.path.exists(a.auto_checkpoint):
+            os.path.exists(checkpoint_path(a.auto_checkpoint)):
         # crash recovery: restart from the step after the last completed
         # one (the reference's closest analogue is the start-step driver
         # over in-memory state, main.pas:1232-1272 — here it survives
-        # the process)
-        probe = load_checkpoint(a.auto_checkpoint)
-        done_step = probe.metrics.get('completed_step')
-        if done_step in ENCODER_STEPS and done_step != cfg.end_step:
-            nxt = ENCODER_STEPS[ENCODER_STEPS.index(done_step) + 1]
+        # the process). A corrupt/unreadable checkpoint must not wedge
+        # the encode — warn and start fresh.
+        try:
+            probe = load_checkpoint(a.auto_checkpoint)
+            done_step = probe.metrics.get('completed_step')
+        except Exception as e:  # noqa: BLE001
+            print(f'auto-checkpoint: unreadable ({e}); starting fresh',
+                  flush=True)
+            probe, done_step = None, None
+        if done_step in ENCODER_STEPS:
+            # resume at the step AFTER the completed one, clamped to
+            # end_step: a crash after the final step's hook (or a rerun
+            # with an earlier --end-step) re-runs just that final step
+            nxt = ENCODER_STEPS[min(ENCODER_STEPS.index(done_step) + 1,
+                                    ENCODER_STEPS.index(cfg.end_step))]
             print(f'auto-checkpoint: resuming at step {nxt!r} '
                   f'(completed: {done_step})', flush=True)
             cfg = dataclasses.replace(cfg, start_step=nxt)
             resume_from = a.auto_checkpoint
+            resume_state = probe
 
     enc = Encoder(cfg)
     if resume_from:
-        enc.state = load_checkpoint(resume_from)
+        enc.state = resume_state if resume_state is not None \
+            else load_checkpoint(resume_from)
         enc.state = dataclass_replace_config(enc.state, enc.config)
         frames = enc.state.frames_rgb
         fps = enc.state.fps
@@ -154,8 +169,6 @@ def cmd_encode(a) -> int:
                 raise SystemExit(13)
     blob = enc.run_all(frames, fps=fps, fast_lzma=a.fast_lzma,
                        step_hook=step_hook)
-    if a.auto_checkpoint and os.path.exists(a.auto_checkpoint):
-        os.remove(a.auto_checkpoint)
     if a.gts_out and enc.state.tile_active is not None:
         from .bitstream.gtm import write_gts
         n_act = int(enc.state.tile_active.sum())
@@ -163,6 +176,11 @@ def cmd_encode(a) -> int:
                   enc.config.tile_palette_size)
     if blob:
         open(a.output, 'wb').write(blob)
+    # recovery state is removed only after the outputs are safely on
+    # disk — a crash between run_all and the write must stay resumable
+    if a.auto_checkpoint and os.path.exists(
+            checkpoint_path(a.auto_checkpoint)):
+        os.remove(checkpoint_path(a.auto_checkpoint))
     if a.checkpoint:
         save_checkpoint(a.checkpoint, enc.state)
     metrics = dict(enc.state.metrics)

@@ -320,11 +320,17 @@ def parse_gtm(data: bytes) -> ParsedGTM:
             raise ValueError(
                 f'truncated GTM header ({len(data)} of {HEADER_SIZE} bytes)')
         header = GTMHeader.unpack(data)
+        if HEADER_SIZE + header.kf_count * KFINFO_SIZE > len(data):
+            raise ValueError(
+                f'truncated GTM: header declares {header.kf_count} '
+                f'keyframes but only {len(data)} bytes present')
         infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
                  for i in range(header.kf_count)]
         whole = header.whole_header_size or (HEADER_SIZE +
                                              KFINFO_SIZE * header.kf_count)
         commands = lzma_decompress_concat(data[whole:])
+        if header.kf_count > 0 and not commands:
+            raise ValueError('corrupt GTM: no decodable command data')
         return ParsedGTM(header=header, kf_infos=infos, commands=commands)
     header = GTMHeader(width=0, height=0, kf_count=0, frame_count=0)
     commands = lzma_decompress_concat(data)

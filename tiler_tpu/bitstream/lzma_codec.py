@@ -40,7 +40,12 @@ def iter_lzma_streams(data: bytes):
         lp = (props // 9) % 5
         if lc + lp <= 4:
             dec = lzma.LZMADecompressor(format=lzma.FORMAT_ALONE)
-            chunk = dec.decompress(rest)
+            try:
+                chunk = dec.decompress(rest)
+            except lzma.LZMAError:
+                return  # corrupt stream: stop like the native branch
+                # (callers treat no-commands-from-nonempty-data as an
+                # error; see parse_gtm)
             yield chunk
             if not dec.eof:
                 return  # truncated final stream: return what we have

@@ -292,6 +292,11 @@ uint8_t* tiler_lzma_decode_alone(const uint8_t* src, size_t src_len,
   *out_len = out.size();
   if (rc != 0) return nullptr;
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(out.size() ? out.size() : 1));
+  if (!buf) {  // malloc fails by returning NULL, not by throwing
+    *status = -6;
+    *out_len = 0;
+    return nullptr;
+  }
   std::memcpy(buf, out.data(), out.size());
   return buf;
 } catch (...) {

@@ -54,10 +54,14 @@ def _assign(x, x2, cents):
 def _update(x, labels, k, old_cents):
     # one-hot matmul instead of segment_sum: scatter-adds serialize on
     # TPU (see ops.kmodes.update); one [k,N]@[N,D+1] MXU dot computes the
-    # per-cluster sums and counts together (exact 0/1 weights in f32)
+    # per-cluster sums and counts together. Precision HIGHEST: the TPU
+    # default would truncate the feature values to bfloat16 operands
+    # (preferred_element_type only sets the accumulator), drifting the
+    # centroid sums from the segment_sum this replaces.
     onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [N,k]
     xa = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
-    sc = jnp.dot(onehot.T, xa, preferred_element_type=jnp.float32)
+    sc = jnp.dot(onehot.T, xa, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     sums, counts = sc[:, :-1], sc[:, -1]
     empty = counts == 0
     cents = sums / jnp.maximum(counts, 1.0)[:, None]

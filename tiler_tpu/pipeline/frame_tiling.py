@@ -131,9 +131,9 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
     signed column permutation of the unmirrored ones
     (features.mirror_coeff_perms), so the expensive palette-LUT +
     colorspace + basis matmul runs once per (pal, tile) and the mirror
-    variants expand with static permutations. Candidates return grouped
-    by mirror attrs (the order is free — winners map through the
-    returned cand arrays)."""
+    variants expand with static permutations, then un-sort back to the
+    (pal, dentry) candidate order so exact-distance ties resolve
+    identically to the direct path."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -209,8 +209,16 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
             parts.append(_mirror_expand_jit(base, jnp.asarray(seg),
                                             perm_d, sign_d, a)[:hi - lo])
         feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        return (feats, pal_idx[order].astype(np.int32),
-                tiles[order].astype(np.int32), attrs[order])
+        # restore the original (pal, dentry) candidate order: stage-3
+        # argmin breaks exact-distance ties by candidate index, and the
+        # direct path (and the reference's mirror walk) resolve them in
+        # this order — one device row gather keeps the two paths
+        # tie-identical
+        inv_order = np.empty_like(order)
+        inv_order[order] = np.arange(len(order))
+        feats = feats[jnp.asarray(inv_order.astype(np.int32))]
+        return (feats, pal_idx.astype(np.int32),
+                tiles.astype(np.int32), attrs)
 
     feats = base_feats(tiles, pal_idx, (attrs & 1).astype(bool),
                        (attrs & 2).astype(bool))

@@ -24,6 +24,13 @@ _ARRAY_FIELDS = [
 ]
 
 
+def checkpoint_path(path: str) -> str:
+    """The on-disk name: np.savez appends .npz when absent, so every
+    consumer (existence probe, cleanup, load) must use this normalized
+    form or silently look at the wrong file."""
+    return path if path.endswith('.npz') else path + '.npz'
+
+
 def save_checkpoint(path: str, state: EncoderState) -> None:
     arrays = {}
     for f in _ARRAY_FIELDS:
@@ -39,12 +46,18 @@ def save_checkpoint(path: str, state: EncoderState) -> None:
                 tilemap_h=state.tilemap_h, step_times=state.step_times,
                 metrics={k: v for k, v in state.metrics.items()
                          if isinstance(v, (int, float, str, list))})
-    np.savez_compressed(path, __meta__=np.frombuffer(
+    # atomic write: a crash mid-write (the very event --auto-checkpoint
+    # recovers from) must not leave a truncated npz at the final name
+    final = checkpoint_path(path)
+    tmp = final + '.tmp.npz'
+    np.savez_compressed(tmp, __meta__=np.frombuffer(
         json.dumps(meta).encode(), np.uint8), **arrays)
+    import os
+    os.replace(tmp, final)
 
 
 def load_checkpoint(path: str) -> EncoderState:
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(checkpoint_path(path), allow_pickle=False) as z:
         meta = json.loads(bytes(z['__meta__']).decode())
         cfg_d = meta['config']
         cfg_d['ft_quality'] = FTQuality(cfg_d['ft_quality'])
