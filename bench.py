@@ -115,6 +115,7 @@ def main():
             'global_tiling': st.metrics.get('gt_phases'),
             'frame_tiling': st.metrics.get('ft_phases'),
         },
+        'ft_pair_dedup': st.metrics.get('ft_pair_dedup'),
     }))
 
 
