@@ -60,7 +60,6 @@ def main():
     print('backend:', jax.default_backend(), flush=True)
     interp = jax.default_backend() != 'tpu'
 
-    import os
     n_q = int(os.environ.get('AOB_Q', 4096 if QUICK else 16384))
     n_c = int(os.environ.get('AOB_C', (1 << 18) if QUICK else (1 << 20)))
     bq, bc = (2048, 4096)
