@@ -177,3 +177,34 @@ def test_mark_candidates_matches_loop_form(rng):
             else:
                 ref[np.ix_(pm[:, p], marked)] = True
         np.testing.assert_array_equal(used, ref), q
+
+
+def test_assign_temporal_dedup_matches_full(rng, monkeypatch):
+    """Temporal query dedup (byte-static cells forward-fill their 1-NN
+    result) produces the byte-identical stream of a full per-cell assign
+    on content with an exactly-static background."""
+    import numpy as np
+
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    # one shot: static background, one moving block (exact static bytes)
+    bg = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    frames = np.stack([bg] * 6)
+    for i in range(6):
+        x = 8 + 10 * i
+        frames[i, 24:40, x:x + 16] = [250, 40, 90]
+
+    def encode():
+        enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16,
+                                    smoothing_strength=0.0))
+        blob = enc.run_all(frames, fast_lzma=True)
+        return blob, enc.state.metrics
+
+    blob_dedup, metrics = encode()
+    assert metrics['ft_q_changed_frac'] < 0.8  # dedup actually fired
+
+    monkeypatch.setenv('TILER_NO_QDEDUP', '1')
+    blob_full, metrics_full = encode()
+    assert metrics_full['ft_q_changed_frac'] == 1.0
+    assert blob_dedup == blob_full

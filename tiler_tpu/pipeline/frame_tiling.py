@@ -304,12 +304,30 @@ def _use_pallas_nn() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+def _changed_mask(src_tiles, n_frames: int, cells: int):
+    """[F*cells,8,8,3] u8 -> bool [F, cells]: cell differs from the same
+    cell one frame earlier (frame 0 all-True). Queries whose source tile
+    bytes equal the previous frame's are EXACT duplicates for stage 3
+    (the candidate set is per-keyframe), so their 1-NN result forward-
+    fills instead of recomputing — assign cost scales with motion."""
+    import jax.numpy as jnp
+    x = src_tiles.reshape(n_frames, cells, -1)
+    eq = jnp.all(x[1:] == x[:-1], axis=-1)
+    return jnp.concatenate([jnp.ones((1, cells), bool), ~eq])
+
+
+_changed_mask_jit = None
+
+
 def run_frame_tiling(state: EncoderState) -> EncoderState:
     import jax
     import jax.numpy as jnp
-    global _query_assign
+    global _query_assign, _changed_mask_jit
     if _query_assign is None:
         _query_assign = _query_assign_factory()
+    if _changed_mask_jit is None:
+        _changed_mask_jit = jax.jit(
+            _changed_mask, static_argnames=('n_frames', 'cells'))
     import time
     cfg = state.config
     phases = {'mark': 0.0, 'cand_feats': 0.0, 'assign': 0.0}
@@ -321,8 +339,11 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     tiles_pal_dev = state.device_tiles_pal()
     jax.block_until_ready(tiles_pal_dev)
     phases['upload'] = round(time.perf_counter() - t0, 3)
+    ch_all = np.asarray(_changed_mask_jit(
+        state.device_source_tiles(), state.n_frames, state.tilemap_size))
     residual = 0.0
     knn_sizes = []
+    q_total = q_changed = 0
 
     for k in range(len(state.keyframes)):
         s, e = state.keyframes[k]
@@ -357,7 +378,22 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         # (one frames upload per encode) — no per-chunk H2D traffic.
         src_all = state.device_source_tiles()
         base = s * state.tilemap_size
-        n_q = (e - s + 1) * state.tilemap_size
+        cells = state.tilemap_size
+        f_kf = e - s + 1
+        n_q = f_kf * cells
+        # temporal query dedup: cells byte-identical to the previous
+        # frame forward-fill their 1-NN result (exact; see _changed_mask).
+        # The fill must not cross a keyframe boundary — candidate sets
+        # and palettes change — so the first frame is all-changed.
+        ch = ch_all[s:e + 1].copy()
+        ch[0, :] = True
+        import os
+        if os.environ.get('TILER_NO_QDEDUP') == '1':
+            ch[:] = True  # cross-check switch: recompute every cell
+        changed = np.flatnonzero(ch.ravel())
+        q_total += n_q
+        q_changed += len(changed)
+        dense = len(changed) > 0.98 * n_q  # skip gather overhead
         qchunk = 16384
         global _query_assign_pallas
         if _query_assign_pallas is None:
@@ -365,14 +401,20 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         # queue EVERY chunk's dispatch, sync ONCE at the end: per-chunk
         # np.asarray blocks on the tunnel RTT and serialized the device
         # (2 syncs x 22 chunks was most of the assign phase at 720p)
+        n_run = n_q if dense else len(changed)
         idx_parts, err_parts = [], []
-        for lo in range(0, n_q, qchunk):
-            hi = min(n_q, lo + qchunk)
+        for lo in range(0, n_run, qchunk):
+            hi = min(n_run, lo + qchunk)
             qp = features.pad_pow2(hi - lo)
-            buf = src_all[base + lo:base + hi]
-            if qp != hi - lo:
-                buf = jnp.pad(buf, ((0, qp - (hi - lo)), (0, 0), (0, 0),
-                                    (0, 0)))
+            if dense:
+                buf = src_all[base + lo:base + hi]
+                if qp != hi - lo:
+                    buf = jnp.pad(buf, ((0, qp - (hi - lo)), (0, 0),
+                                        (0, 0), (0, 0)))
+            else:
+                rows = np.full(qp, base + changed[lo], np.int32)
+                rows[:hi - lo] = base + changed[lo:hi]
+                buf = src_all[jnp.asarray(rows)]
             if use_pallas:
                 err, idx = _query_assign_pallas(
                     buf, feats, min(2048, qp), c_chunk,
@@ -382,10 +424,23 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
                                          _ft_gamma(cfg), cfg.use_wavelets)
             idx_parts.append(idx[:hi - lo])
             err_parts.append(err[:hi - lo])
-        best_idx = np.asarray(jnp.concatenate(idx_parts)
-                              if len(idx_parts) > 1 else idx_parts[0])
-        best_err = np.asarray(jnp.concatenate(err_parts)
-                              if len(err_parts) > 1 else err_parts[0])
+        run_idx = np.asarray(jnp.concatenate(idx_parts)
+                             if len(idx_parts) > 1 else idx_parts[0])
+        run_err = np.asarray(jnp.concatenate(err_parts)
+                             if len(err_parts) > 1 else err_parts[0])
+        if dense:
+            best_idx, best_err = run_idx, run_err
+        else:
+            # forward fill: each cell takes the result computed at its
+            # most recent changed frame (frame 0 is always changed)
+            last = np.maximum.accumulate(
+                np.where(ch, np.arange(f_kf)[:, None], -1), axis=0)
+            changed_pos = np.cumsum(ch.ravel()) - 1
+            src_flat = (last * cells
+                        + np.arange(cells)[None, :]).ravel()
+            fill = changed_pos[src_flat]
+            best_idx = run_idx[fill]
+            best_err = run_err[fill]
         shape = (e - s + 1, state.tilemap_h, state.tilemap_w)
         state.tm_tile[s:e + 1] = cand_tile[best_idx].reshape(shape)
         state.tm_pal[s:e + 1] = cand_pal[best_idx].reshape(shape)
@@ -398,5 +453,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
 
     state.metrics['ft_residual_err'] = residual
     state.metrics['ft_knn_sizes'] = knn_sizes
+    state.metrics['ft_q_changed_frac'] = round(
+        q_changed / max(q_total, 1), 4)
     state.metrics['ft_phases'] = {k: round(v, 3) for k, v in phases.items()}
     return state
