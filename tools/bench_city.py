@@ -45,6 +45,8 @@ def main():
         'gtm_bytes': len(blob),
         'ref_gtm_bytes': len(src),
         'n_keyframes': enc.state.metrics.get('n_keyframes'),
+        'ft_q_changed_frac': enc.state.metrics.get('ft_q_changed_frac'),
+        'ft_pair_dedup': enc.state.metrics.get('ft_pair_dedup'),
         'step_times': {k: round(v, 1)
                        for k, v in enc.state.step_times.items()},
     }))
