@@ -116,6 +116,7 @@ def main():
             'frame_tiling': st.metrics.get('ft_phases'),
         },
         'ft_pair_dedup': st.metrics.get('ft_pair_dedup'),
+        'ft_q_changed_frac': st.metrics.get('ft_q_changed_frac'),
     }))
 
 
