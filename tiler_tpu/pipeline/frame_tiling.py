@@ -304,30 +304,31 @@ def _use_pallas_nn() -> bool:
     return jax.default_backend() == 'tpu'
 
 
-def _changed_mask(src_tiles, n_frames: int, cells: int):
-    """[F*cells,8,8,3] u8 -> bool [F, cells]: cell differs from the same
-    cell one frame earlier (frame 0 all-True). Queries whose source tile
+def _changed_mask(frames_rgb: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """[F,H,W,3] u8 -> bool [F, th*tw]: cell differs from the same cell
+    one frame earlier (frame 0 all-True). Queries whose source tile
     bytes equal the previous frame's are EXACT duplicates for stage 3
     (the candidate set is per-keyframe), so their 1-NN result forward-
-    fills instead of recomputing — assign cost scales with motion."""
-    import jax.numpy as jnp
-    x = src_tiles.reshape(n_frames, cells, -1)
-    eq = jnp.all(x[1:] == x[:-1], axis=-1)
-    return jnp.concatenate([jnp.ones((1, cells), bool), ~eq])
+    fills instead of recomputing — assign cost scales with motion.
 
-
-_changed_mask_jit = None
+    Host numpy on purpose: a device version would cost one XLA compile
+    per distinct clip shape through the tunnel; this is a single
+    memory-bound pass (~0.1 s at 1080p x 16)."""
+    f = frames_rgb.shape[0]
+    x = frames_rgb[:, :th * TILE_W, :tw * TILE_W] \
+        .reshape(f, th, TILE_W, tw, TILE_W, 3)
+    eq = (x[1:] == x[:-1]).all(axis=(2, 4, 5))       # [F-1, th, tw]
+    out = np.ones((f, th * tw), bool)
+    out[1:] = ~eq.reshape(f - 1, th * tw)
+    return out
 
 
 def run_frame_tiling(state: EncoderState) -> EncoderState:
     import jax
     import jax.numpy as jnp
-    global _query_assign, _changed_mask_jit
+    global _query_assign
     if _query_assign is None:
         _query_assign = _query_assign_factory()
-    if _changed_mask_jit is None:
-        _changed_mask_jit = jax.jit(
-            _changed_mask, static_argnames=('n_frames', 'cells'))
     import time
     cfg = state.config
     phases = {'mark': 0.0, 'cand_feats': 0.0, 'assign': 0.0}
@@ -339,8 +340,8 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     tiles_pal_dev = state.device_tiles_pal()
     jax.block_until_ready(tiles_pal_dev)
     phases['upload'] = round(time.perf_counter() - t0, 3)
-    ch_all = np.asarray(_changed_mask_jit(
-        state.device_source_tiles(), state.n_frames, state.tilemap_size))
+    ch_all = _changed_mask(state.frames_rgb, state.tilemap_h,
+                           state.tilemap_w)
     residual = 0.0
     knn_sizes = []
     q_total = q_changed = 0
