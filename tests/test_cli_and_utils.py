@@ -252,3 +252,76 @@ def test_cli_serve_stages_and_serves(tmp_path):
             last = e
             _time.sleep(0.3)
     raise AssertionError(f'server never came up: {last}')
+
+
+def test_config_defaults_match_lfm():
+    """Shipped-form default parity (main.lfm): gammas at 400/412, palette
+    shape, smoothing, VAR, Yliluoma mix, DL BPC."""
+    cfg = EncoderConfig()
+    assert cfg.encoder_gamma == 1.8 and cfg.visual_gamma == 0.5
+    assert cfg.tile_palette_size == 16 and cfg.palette_count == 128
+    assert cfg.smoothing_strength == 0.020 and cfg.pal_var == 0.95
+    assert cfg.yliluoma_mix == 4 and cfg.dl3_bpc == 7
+
+
+def test_lzma_midfile_corruption_raises():
+    """A corrupt non-final stream must raise, not silently truncate the
+    video (advisor r2); a corrupt FIRST stream still yields nothing and
+    lets parse_gtm produce the uniform error."""
+    import pytest
+    from tiler_tpu.bitstream.lzma_codec import (
+        lzma_compress_alone, lzma_decompress_concat)
+    s1 = lzma_compress_alone(b'alpha' * 40, fast=True)
+    s2 = lzma_compress_alone(b'beta' * 40, fast=True)
+    assert lzma_decompress_concat(s1 + s2) == b'alpha' * 40 + b'beta' * 40
+    corrupt2 = bytearray(s2)
+    corrupt2[20] ^= 0xFF
+    try:
+        out = lzma_decompress_concat(s1 + bytes(corrupt2))
+    except ValueError:
+        pass  # raised mid-file: correct
+    else:
+        # liblzma may tolerate a body flip; output must then not be a
+        # silent one-stream truncation
+        assert out != b'alpha' * 40
+    # hard mid-file corruption (invalid props byte region)
+    with pytest.raises(ValueError):
+        lzma_decompress_concat(s1 + b'\xff' * 20)
+    assert lzma_decompress_concat(b'\xff' * 20) == b''
+
+
+def test_checkpoint_tmp_unique_and_crash_safe(rng, tmp_path, monkeypatch):
+    """A stale tmp from an earlier crash must not break or be clobbered by
+    the next save (advisor r2)."""
+    import os
+    enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16))
+    enc.load(_clip(rng))
+    p = str(tmp_path / 'ck.npz')
+    stale = str(tmp_path / 'ck.npz.tmp.stale.npz')
+    with open(stale, 'wb') as fh:
+        fh.write(b'garbage')
+    save_checkpoint(p, enc.state)
+    st = load_checkpoint(p)
+    np.testing.assert_array_equal(st.frames_rgb, enc.state.frames_rgb)
+    assert os.path.exists(stale)  # untouched
+    # no leftover tmp after a successful save
+    tmps = [f for f in os.listdir(tmp_path)
+            if '.tmp.' in f and f != os.path.basename(stale)]
+    assert tmps == []
+
+
+def test_render_tiles_page_out_of_range_args(rng):
+    """--palette / --page beyond range clamp instead of wrapping or
+    raising (advisor r2)."""
+    from tiler_tpu.render import render_tiles_page
+    enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16))
+    enc.load(_clip(rng))
+    enc.dither()
+    enc.make_unique()
+    img_hi = render_tiles_page(enc.state, pal_idx=9999)
+    img_last = render_tiles_page(enc.state, pal_idx=3)
+    np.testing.assert_array_equal(img_hi, img_last)
+    img_neg = render_tiles_page(enc.state, page=-5)
+    np.testing.assert_array_equal(img_neg, render_tiles_page(enc.state, page=0))
+    far = render_tiles_page(enc.state, page=10**6)
+    assert (far == np.array([0, 255, 255], np.uint8)).all()

@@ -34,6 +34,7 @@ def iter_lzma_streams(data: bytes):
     `-lc8` output) go through the native C++ decoder in tiler_tpu.native.
     """
     rest = data
+    n_done = 0
     while len(rest) >= 13:
         props = rest[0]
         lc = props % 9
@@ -43,20 +44,32 @@ def iter_lzma_streams(data: bytes):
             try:
                 chunk = dec.decompress(rest)
             except lzma.LZMAError:
-                return  # corrupt stream: stop like the native branch
-                # (callers treat no-commands-from-nonempty-data as an
-                # error; see parse_gtm)
+                # First-stream corruption: stop; parse_gtm raises on
+                # no-commands-from-nonempty-data. Mid-file corruption
+                # must NOT silently truncate the video to fewer frames.
+                if n_done:
+                    raise ValueError(
+                        f'corrupt LZMA stream after keyframe {n_done}')
+                return
             yield chunk
+            n_done += 1
             if not dec.eof:
-                return  # truncated final stream: return what we have
+                if len(dec.unused_data) or n_done > 1:
+                    raise ValueError(
+                        f'truncated LZMA stream at keyframe {n_done}')
+                return  # single truncated stream: return what we have
             rest = dec.unused_data
         else:
             from ..native import lzma_decode_alone
             try:
                 chunk, consumed = lzma_decode_alone(rest)
             except ValueError:
-                return  # truncated/corrupt tail, like the liblzma branch
+                if n_done:
+                    raise ValueError(
+                        f'corrupt LZMA stream after keyframe {n_done}')
+                return
             yield chunk
+            n_done += 1
             if consumed <= 0:
                 return
             rest = rest[consumed:]

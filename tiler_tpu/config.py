@@ -61,9 +61,9 @@ class EncoderConfig:
     # temporal smoothing (seTempoSmoo/1000)
     smoothing_strength: float = 0.020
 
-    # gammas (seEncGamma, seVisGamma)
-    encoder_gamma: float = 2.0
-    visual_gamma: float = 0.6
+    # gammas (seEncGamma, seVisGamma; main.lfm:400,412)
+    encoder_gamma: float = 1.8
+    visual_gamma: float = 0.5
 
     # ingestion
     start_frame: int = 0

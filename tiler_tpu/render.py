@@ -47,10 +47,11 @@ def render_tiles_page(state: EncoderState, frame: int = 0, page: int = 0,
     th, tw = state.tilemap_h, state.tilemap_w
     cells = th * tw
     k = int(state.kf_of_frame()[frame])
-    pal = state.palettes_rgb[k][max(0, pal_idx)]  # [S,3]
+    n_pals = state.palettes_rgb.shape[1]
+    pal = state.palettes_rgb[k][min(max(0, pal_idx), n_pals - 1)]  # [S,3]
     tiles_pal = state.tiles_pal
     n_tiles = len(tiles_pal)
-    base = cells * page
+    base = cells * max(0, page)
     out = np.zeros((cells, TILE_W, TILE_W, 3), np.uint8)
     out[...] = np.array([0, 255, 255], np.uint8)  # clAqua background
     idx = np.arange(base, base + cells)

@@ -47,13 +47,27 @@ def save_checkpoint(path: str, state: EncoderState) -> None:
                 metrics={k: v for k, v in state.metrics.items()
                          if isinstance(v, (int, float, str, list))})
     # atomic write: a crash mid-write (the very event --auto-checkpoint
-    # recovers from) must not leave a truncated npz at the final name
-    final = checkpoint_path(path)
-    tmp = final + '.tmp.npz'
-    np.savez_compressed(tmp, __meta__=np.frombuffer(
-        json.dumps(meta).encode(), np.uint8), **arrays)
+    # recovers from) must not leave a truncated npz at the final name.
+    # The tmp name is unique per writer so a stale tmp from an earlier
+    # crash is never reused and two encodes sharing one --auto-checkpoint
+    # path cannot clobber each other's in-flight write.
     import os
-    os.replace(tmp, final)
+    import tempfile
+    final = checkpoint_path(path)
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(final) + '.tmp.',
+        suffix='.npz', dir=os.path.dirname(final) or '.')
+    try:
+        with os.fdopen(fd, 'wb') as fh:
+            np.savez_compressed(fh, __meta__=np.frombuffer(
+                json.dumps(meta).encode(), np.uint8), **arrays)
+        os.replace(tmp, final)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_checkpoint(path: str) -> EncoderState:
