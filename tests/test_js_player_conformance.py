@@ -188,3 +188,40 @@ def test_longtileidx_stream_matches_our_web_player(web_player_vm, long_blob):
 # raw) are too large to pump through the interpreted player in test time;
 # they are covered by (a) our decoder's golden test (test_decode_paths)
 # and (b) the real-browser harness in tools/js_conformance/.
+
+
+@pytest.fixture(scope='module')
+def lc8_blob(encoded_blob):
+    """The same full-pipeline command payload, repacked with the native
+    lc=8 LZMA encoder (lzma.exe `-lc8 -eos` parity, extern.pas:224) —
+    liblzma cannot produce these streams."""
+    from tiler_tpu.bitstream.gtm import (GTMHeader, GTMKeyFrameInfo,
+                                         HEADER_SIZE, KFINFO_SIZE)
+    from tiler_tpu.bitstream.lzma_codec import iter_lzma_streams
+    from tiler_tpu.native import lzma_encode_alone
+    hdr = GTMHeader.unpack(encoded_blob)
+    whole = hdr.whole_header_size
+    infos = [GTMKeyFrameInfo.unpack(encoded_blob,
+                                    HEADER_SIZE + i * KFINFO_SIZE)
+             for i in range(hdr.kf_count)]
+    streams = [lzma_encode_alone(c)
+               for c in iter_lzma_streams(encoded_blob[whole:])]
+    assert len(streams) == hdr.kf_count
+    for info, s in zip(infos, streams):
+        info.compressed_size = len(s)
+        assert s[0] == (2 * 5 + 0) * 9 + 8  # props byte: lc=8 lp=0 pb=2
+    return b''.join([hdr.pack()] + [i.pack() for i in infos] + streams)
+
+
+def test_lc8_stream_roundtrips_and_matches_players(player_vm, web_player_vm,
+                                                   encoded_blob, lc8_blob):
+    """Native-lc8-compressed streams decode identically through (a) our
+    decoder, (b) the UNMODIFIED reference player's js-lzma, and (c) our
+    web player's own LZMA — the encoder-side `-lc8` parity check."""
+    want, _ = decode_video(encoded_blob)
+    got_ours, _ = decode_video(lc8_blob)
+    np.testing.assert_array_equal(got_ours, want)
+    got_ref = player_vm.play(lc8_blob)
+    np.testing.assert_array_equal(got_ref, want)
+    got_web = play_web(web_player_vm, lc8_blob, want.shape[0])
+    np.testing.assert_array_equal(got_web, want)

@@ -203,3 +203,38 @@ def test_distributed_two_process_encode(tmp_path, rng):
     for p in procs:
         assert p.wait(timeout=300) == 0
     assert out.read_bytes() == want
+
+
+def test_mesh_encode_byte_identical(rng, mesh8):
+    """THE round-3 north-star criterion: the full production encode with
+    the ('gop','frame') mesh wired into the pipeline (frame-sharded
+    FrameTiling mark/feats/assign + distributed KModes,
+    parallel.mesh_pipeline) is byte-identical to the 1-device encode.
+
+    The clip has a static band (temporal query dedup active, non-dense
+    path) and two keyframes, so the sharded stages see the gather path,
+    the forward-fill path, and per-keyframe candidate sets."""
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    f, h, w = 6, 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.zeros((f, h, w, 3), np.uint8)
+    for i in range(f):
+        if i < 3:
+            pat = ((xx * 4 + i * 7) % 256)[..., None] * np.array([1, .7, .4])
+        else:  # hard cut: unrelated scene
+            pat = ((yy * 5 + (i - 3) * 9) % 256)[..., None] \
+                * np.array([.3, .5, 1])
+        frames[i] = np.clip(pat + rng.normal(0, 5, (h, w, 3)), 0, 255)
+    frames[4:, :, : w // 2] = frames[3, :, : w // 2]  # static half after cut
+
+    cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
+                        max_tiles=120)
+    want = Encoder(cfg).run_all(frames, fast_lzma=True)
+    enc = Encoder(cfg, mesh=mesh8)
+    got = enc.run_all(frames, fast_lzma=True)
+    assert got == want, 'mesh encode differs from single-device encode'
+    # the run really exercised the interesting sharded paths
+    assert len(enc.state.keyframes) >= 2
+    assert enc.state.metrics['ft_q_changed_frac'] < 1.0

@@ -57,6 +57,15 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                         'resume from the step after the last completed one '
                         '(the file is removed on successful completion)')
     p.add_argument('--fast-lzma', action='store_true')
+    p.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto'),
+                   default='lc3',
+                   help="keyframe stream compressor: liblzma lc=3 "
+                        "(default, smallest measured), native lc=8 "
+                        "(lzma.exe -lc8 parity), or per-keyframe auto")
+    p.add_argument('--devices', type=int, default=1,
+                   help='shard the frame-axis-parallel encoder stages '
+                        'across the first N local devices (a '
+                        "('gop','frame') mesh; byte-identical stream)")
     p.add_argument('--hosts', type=int, default=1,
                    help='N-host GOP-sharded encode (in-process simulation;'
                         ' byte-identical to the single-host stream)')
@@ -87,7 +96,7 @@ def _config_from_args(a) -> 'EncoderConfig':
         encoder_gamma=a.enc_gamma, dithering_gamma=a.dithering_gamma,
         ft_gamma=a.ft_gamma, fps=a.fps, start_frame=a.start_frame,
         frame_count=a.frame_count, scaling=a.scaling,
-        reload_tileset=a.reload_gts,
+        reload_tileset=a.reload_gts, lzma_mode=a.lzma_mode,
         start_step=a.start_step, end_step=a.end_step)
 
 
@@ -147,11 +156,16 @@ def cmd_encode(a) -> int:
             resume_from = a.auto_checkpoint
             resume_state = probe
 
-    enc = Encoder(cfg)
+    mesh = None
+    if a.devices > 1:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(a.devices)
+    enc = Encoder(cfg, mesh=mesh)
     if resume_from:
         enc.state = resume_state if resume_state is not None \
             else load_checkpoint(resume_from)
         enc.state = dataclass_replace_config(enc.state, enc.config)
+        enc.state.mesh = mesh  # not serialized; re-attach after load
         frames = enc.state.frames_rgb
         fps = enc.state.fps
     else:

@@ -212,9 +212,17 @@ class GTMWriter:
     def __init__(self, width: int, height: int, fps: float,
                  tiles_pal: np.ndarray | None, palette_size: int,
                  frame_count: int, kf_count: int, fast_lzma: bool = False,
-                 total_tile_count: int | None = None):
+                 total_tile_count: int | None = None,
+                 lzma_mode: str = 'lc3'):
+        """lzma_mode: 'lc3' = liblzma optimal parse (default; measured
+        smallest, docs/RESULTS.md), 'lc8' = the native lc=8 encoder
+        (lzma.exe `-lc8 -eos` parity, extern.pas:224), 'auto' = encode
+        both per keyframe and keep the smaller stream."""
         self.fps = fps
         self.fast_lzma = fast_lzma
+        if lzma_mode not in ('lc3', 'lc8', 'auto'):
+            raise ValueError(f'unknown lzma_mode {lzma_mode!r}')
+        self.lzma_mode = lzma_mode
         self.palette_size = palette_size
         self.header = GTMHeader(width=width, height=height,
                                 kf_count=kf_count, frame_count=frame_count)
@@ -276,11 +284,21 @@ class GTMWriter:
         # GIL); stats follow main.pas:4727-4757
         import concurrent.futures as cf
         import os
+
+        def compress(raw: bytes) -> bytes:
+            if self.lzma_mode in ('lc8', 'auto'):
+                from ..native import lzma_encode_alone
+                depth, nice = (16, 32) if self.fast_lzma else (128, 128)
+                native = lzma_encode_alone(raw, depth=depth, nice_len=nice)
+                if self.lzma_mode == 'lc8':
+                    return native
+                lib = lzma_compress_alone(raw, fast=self.fast_lzma)
+                return native if len(native) < len(lib) else lib
+            return lzma_compress_alone(raw, fast=self.fast_lzma)
+
         workers = min(max(os.cpu_count() or 1, 1), 8)
         with cf.ThreadPoolExecutor(workers) as ex:
-            comps = list(ex.map(
-                lambda raw: lzma_compress_alone(raw, fast=self.fast_lzma),
-                self.streams))
+            comps = list(ex.map(compress, self.streams))
         hdr = self.header
         hdr.kf_max_bytes_per_sec = 0
         hdr.average_bytes_per_sec = 0

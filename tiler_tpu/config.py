@@ -80,6 +80,12 @@ class EncoderConfig:
     # cost.
     kmodes_restarts: int = 0
 
+    # keyframe-stream compression: 'lc3' = liblzma optimal parse
+    # (default — measured smallest, docs/RESULTS.md), 'lc8' = the native
+    # lc=8 encoder matching the reference's `lzma.exe e -lc8 -eos`
+    # (extern.pas:224), 'auto' = both per keyframe, smaller wins
+    lzma_mode: str = 'lc3'
+
     # GTS tileset reload instead of global tiling (chkReload)
     reload_tileset: str | None = None
 
@@ -96,6 +102,8 @@ class EncoderConfig:
         if self.start_step not in _STEP_NAMES or \
                 self.end_step not in _STEP_NAMES:
             raise ValueError(f'steps must be one of {_STEP_NAMES}')
+        if self.lzma_mode not in ('lc3', 'lc8', 'auto'):
+            raise ValueError("lzma_mode must be 'lc3', 'lc8' or 'auto'")
 
     def dithering_gamma_lut(self) -> int:
         """-1 = linear, 0 = encoder gamma LUT index (main.pas:886)."""

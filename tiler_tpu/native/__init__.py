@@ -13,7 +13,8 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_DIR, 'libtiler_native.so')
-_SOURCES = ['lzma1.cc', 'dl3.cc', 'gtm_pack.cc', 'fs_dither.cc']
+_SOURCES = ['lzma1.cc', 'lzma1_enc.cc', 'dl3.cc', 'gtm_pack.cc',
+            'fs_dither.cc']
 _lock = threading.Lock()
 _lib = None
 _build_error: Exception | None = None
@@ -60,6 +61,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_int)]
         lib.tiler_free.argtypes = [ctypes.c_void_p]
+        lib.tiler_lzma_encode_alone.restype = ctypes.c_void_p
+        lib.tiler_lzma_encode_alone.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_int)]
         lib.tiler_dl3_quant.restype = ctypes.c_int
         lib.tiler_dl3_quant.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -128,6 +134,26 @@ def lzma_decode_alone(data: bytes) -> tuple[bytes, int]:
     finally:
         lib.tiler_free(ptr)
     return out, consumed.value
+
+
+def lzma_encode_alone(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
+                      depth: int = 128, nice_len: int = 128) -> bytes:
+    """Encode one LZMA-alone stream with the full lc 0..8 range — the
+    `lzma.exe e -lc8 -eos` equivalent (/root/reference/extern.pas:224)
+    liblzma cannot produce (it enforces lc+lp<=4)."""
+    lib = get_lib()
+    out_len = ctypes.c_size_t()
+    status = ctypes.c_int()
+    ptr = lib.tiler_lzma_encode_alone(data, len(data), lc, lp, pb,
+                                      depth, nice_len,
+                                      ctypes.byref(out_len),
+                                      ctypes.byref(status))
+    if status.value != 0 or not ptr:
+        raise ValueError(f'lzma encode failed (status {status.value})')
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.tiler_free(ptr)
 
 
 def dl3_quant(pixels_rgb, quant_to: int, lookup_bpc: int):

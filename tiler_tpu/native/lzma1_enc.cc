@@ -1,0 +1,554 @@
+// LZMA1 ("alone"-format) ENCODER supporting the full lc 0..8 range.
+//
+// Why this exists: the reference's save path spawns
+// `lzma.exe e src dst -lc8 -eos` per keyframe
+// (/root/reference/extern.pas:202-240, flags at :224) — lc=8 models each
+// byte on the FULL previous byte, which fits the GTM command stream's
+// palette-index-heavy data. liblzma enforces lc+lp<=4 and cannot encode
+// that, so round 2 shipped lc=3 streams. This is a fresh implementation
+// of the public LZMA specification's encode side (range coder + adaptive
+// bit-tree models + hash-chain match finder with lazy matching), the
+// companion of the decoder in lzma1.cc — not a port of the 7-Zip SDK.
+//
+// Framing matches `-eos`: 13-byte LZMA-alone header (props, dict dword,
+// unknown-size 0xFF..FF) + range-coded stream terminated by the
+// dist=0xFFFFFFFF end marker, so the bundled JS player's per-stream
+// header re-read (/root/reference/decoders/htmljs/lzma.js:692-721)
+// accepts it.
+//
+// C API (ctypes-friendly):
+//   tiler_lzma_encode_alone(src, n, lc, lp, pb, depth, nice_len,
+//                           &out_len, &status)
+//     -> malloc'd stream (caller frees with tiler_free)
+
+#include <cstddef>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+using std::ptrdiff_t;
+
+namespace {
+
+constexpr uint32_t kTop = 1u << 24;
+constexpr int kNumBitModelTotalBits = 11;
+constexpr uint16_t kBitModelTotal = 1 << kNumBitModelTotalBits;
+constexpr int kNumMoveBits = 5;
+constexpr int kNumStates = 12;
+constexpr int kNumPosBitsMax = 4;
+constexpr int kEndPosModelIndex = 14;
+constexpr int kNumFullDistances = 1 << (kEndPosModelIndex >> 1);
+constexpr int kNumAlignBits = 4;
+constexpr int kMatchMinLen = 2;
+constexpr int kMatchMaxLen = kMatchMinLen + 271;  // 273
+
+struct RangeEncoder {
+  std::vector<uint8_t>* out;
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  int64_t cache_size = 1;
+
+  void shift_low() {
+    if (uint32_t(low) < 0xFF000000u || (low >> 32) != 0) {
+      uint8_t carry = uint8_t(low >> 32);
+      uint8_t temp = cache;
+      do {
+        out->push_back(uint8_t(temp + carry));
+        temp = 0xFF;
+      } while (--cache_size != 0);
+      cache = uint8_t(low >> 24);
+    }
+    cache_size++;
+    low = (low & 0x00FFFFFFu) << 8;
+  }
+  void encode_bit(uint16_t* prob, int bit) {
+    uint32_t bound = (range >> kNumBitModelTotalBits) * *prob;
+    if (!bit) {
+      range = bound;
+      *prob += (kBitModelTotal - *prob) >> kNumMoveBits;
+    } else {
+      low += bound;
+      range -= bound;
+      *prob -= *prob >> kNumMoveBits;
+    }
+    while (range < kTop) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+  void encode_direct(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; i--) {
+      range >>= 1;
+      if ((v >> i) & 1) low += range;
+      while (range < kTop) {
+        range <<= 8;
+        shift_low();
+      }
+    }
+  }
+  void bit_tree_encode(uint16_t* probs, int num_bits, unsigned sym) {
+    unsigned m = 1;
+    for (int i = num_bits - 1; i >= 0; i--) {
+      unsigned bit = (sym >> i) & 1;
+      encode_bit(&probs[m], bit);
+      m = (m << 1) | bit;
+    }
+  }
+  void bit_tree_reverse_encode(uint16_t* probs, int num_bits, unsigned sym) {
+    unsigned m = 1;
+    for (int i = 0; i < num_bits; i++) {
+      unsigned bit = sym & 1;
+      sym >>= 1;
+      encode_bit(&probs[m], bit);
+      m = (m << 1) | bit;
+    }
+  }
+  void flush() {
+    for (int i = 0; i < 5; i++) shift_low();
+  }
+};
+
+struct LenEncoder {
+  uint16_t choice, choice2;
+  uint16_t low[1 << kNumPosBitsMax][8];
+  uint16_t mid[1 << kNumPosBitsMax][8];
+  uint16_t high[256];
+
+  void init() {
+    choice = choice2 = kBitModelTotal / 2;
+    for (auto& t : low)
+      for (auto& p : t) p = kBitModelTotal / 2;
+    for (auto& t : mid)
+      for (auto& p : t) p = kBitModelTotal / 2;
+    for (auto& p : high) p = kBitModelTotal / 2;
+  }
+  void encode(RangeEncoder& rc, unsigned len, unsigned pos_state) {
+    // len is the coded value (actual - kMatchMinLen), 0..271
+    if (len < 8) {
+      rc.encode_bit(&choice, 0);
+      rc.bit_tree_encode(low[pos_state], 3, len);
+    } else if (len < 16) {
+      rc.encode_bit(&choice, 1);
+      rc.encode_bit(&choice2, 0);
+      rc.bit_tree_encode(mid[pos_state], 3, len - 8);
+    } else {
+      rc.encode_bit(&choice, 1);
+      rc.encode_bit(&choice2, 1);
+      rc.bit_tree_encode(high, 8, len - 16);
+    }
+  }
+};
+
+inline unsigned pos_slot_of(uint32_t dist) {
+  if (dist < 4) return dist;
+  int log = 31 - __builtin_clz(dist);
+  return unsigned((log << 1) | ((dist >> (log - 1)) & 1));
+}
+
+// -- hash-chain match finder ---------------------------------------------
+
+struct MatchFinder {
+  const uint8_t* buf;
+  size_t n;
+  int depth;
+  unsigned nice_len;
+  std::vector<int32_t> head4, head3, head2, prev;
+
+  static constexpr int kH4Bits = 17;
+  static constexpr int kH3Bits = 16;
+  static constexpr int kH2Bits = 16;
+
+  void init(const uint8_t* b, size_t len, int d, unsigned nice) {
+    buf = b;
+    n = len;
+    depth = d;
+    nice_len = nice;
+    head4.assign(size_t(1) << kH4Bits, -1);
+    head3.assign(size_t(1) << kH3Bits, -1);
+    head2.assign(size_t(1) << kH2Bits, -1);
+    prev.assign(n, -1);
+  }
+  inline uint32_t h4(size_t p) const {
+    uint32_t x;
+    std::memcpy(&x, buf + p, 4);
+    return (x * 2654435761u) >> (32 - kH4Bits);
+  }
+  inline uint32_t h3(size_t p) const {
+    uint32_t x = buf[p] | (uint32_t(buf[p + 1]) << 8) |
+                 (uint32_t(buf[p + 2]) << 16);
+    return (x * 2654435761u) >> (32 - kH3Bits);
+  }
+  inline uint32_t h2(size_t p) const {
+    return buf[p] | (uint32_t(buf[p + 1]) << 8);
+  }
+  inline unsigned match_len(size_t a, size_t b, unsigned cap) const {
+    unsigned l = 0;
+    while (l < cap && buf[a + l] == buf[b + l]) l++;
+    return l;
+  }
+  // longest normal match at p; returns length (0 = none), sets dist
+  unsigned find(size_t p, uint32_t* dist_out) {
+    unsigned cap = unsigned(n - p) < unsigned(kMatchMaxLen)
+                       ? unsigned(n - p)
+                       : unsigned(kMatchMaxLen);
+    unsigned best = 0;
+    uint32_t best_dist = 0;
+    if (cap >= 2) {
+      int32_t c = head2[h2(p)];
+      if (c >= 0 && size_t(c) < p) {
+        unsigned l = match_len(size_t(c), p, cap);
+        if (l >= 2) {
+          best = l;
+          best_dist = uint32_t(p - size_t(c) - 1);
+        }
+      }
+    }
+    if (cap >= 3) {
+      int32_t c = head3[h3(p)];
+      if (c >= 0 && size_t(c) < p) {
+        unsigned l = match_len(size_t(c), p, cap);
+        if (l >= 3 && l > best) {
+          best = l;
+          best_dist = uint32_t(p - size_t(c) - 1);
+        }
+      }
+    }
+    if (cap >= 4) {
+      int32_t c = head4[h4(p)];
+      int steps = depth;
+      while (c >= 0 && size_t(c) < p && steps-- > 0) {
+        size_t cp = size_t(c);
+        // quick reject on the current best tail byte
+        if (best == 0 || (best < cap && buf[cp + best] == buf[p + best])) {
+          unsigned l = match_len(cp, p, cap);
+          if (l > best) {
+            best = l;
+            best_dist = uint32_t(p - cp - 1);
+            if (l >= nice_len) break;
+          }
+        }
+        c = prev[cp];
+      }
+    }
+    *dist_out = best_dist;
+    return best;
+  }
+  void insert(size_t p) {
+    if (p + 2 <= n) head2[h2(p)] = int32_t(p);
+    if (p + 3 <= n) head3[h3(p)] = int32_t(p);
+    if (p + 4 <= n) {
+      uint32_t h = h4(p);
+      prev[p] = head4[h];
+      head4[h] = int32_t(p);
+    }
+  }
+};
+
+// -- encoder --------------------------------------------------------------
+
+struct LzmaEncoder {
+  int lc, lp, pb;
+  RangeEncoder rc;
+  std::vector<uint16_t> lit_probs;
+  uint16_t is_match[kNumStates][1 << kNumPosBitsMax];
+  uint16_t is_rep[kNumStates], is_rep_g0[kNumStates], is_rep_g1[kNumStates],
+      is_rep_g2[kNumStates];
+  uint16_t is_rep0_long[kNumStates][1 << kNumPosBitsMax];
+  uint16_t pos_slot[4][1 << 6];
+  uint16_t spec_pos[kNumFullDistances - kEndPosModelIndex];
+  uint16_t align_probs[1 << kNumAlignBits];
+  LenEncoder len_enc, rep_len_enc;
+
+  unsigned state = 0;
+  uint32_t reps[4] = {0, 0, 0, 0};
+
+  void init_probs() {
+    lit_probs.assign(size_t(0x300) << (lc + lp), kBitModelTotal / 2);
+    for (auto& t : is_match)
+      for (auto& p : t) p = kBitModelTotal / 2;
+    for (auto& p : is_rep) p = kBitModelTotal / 2;
+    for (auto& p : is_rep_g0) p = kBitModelTotal / 2;
+    for (auto& p : is_rep_g1) p = kBitModelTotal / 2;
+    for (auto& p : is_rep_g2) p = kBitModelTotal / 2;
+    for (auto& t : is_rep0_long)
+      for (auto& p : t) p = kBitModelTotal / 2;
+    for (auto& t : pos_slot)
+      for (auto& p : t) p = kBitModelTotal / 2;
+    for (auto& p : spec_pos) p = kBitModelTotal / 2;
+    for (auto& p : align_probs) p = kBitModelTotal / 2;
+    len_enc.init();
+    rep_len_enc.init();
+  }
+
+  void encode_literal(const uint8_t* buf, size_t pos, unsigned pos_state) {
+    (void)pos_state;
+    unsigned prev_byte = pos ? buf[pos - 1] : 0;
+    unsigned lit_state =
+        ((unsigned(pos) & ((1u << lp) - 1)) << lc) + (prev_byte >> (8 - lc));
+    uint16_t* probs = &lit_probs[size_t(0x300) * lit_state];
+    unsigned sym = buf[pos];
+    if (state >= 7) {
+      // matched-literal mode: the decoder follows rep0's byte bit by bit
+      unsigned match_byte = buf[pos - reps[0] - 1];
+      unsigned ctx = 1;
+      unsigned i = 7;
+      for (;;) {
+        unsigned match_bit = (match_byte >> i) & 1;
+        unsigned bit = (sym >> i) & 1;
+        rc.encode_bit(&probs[((1 + match_bit) << 8) + ctx], bit);
+        ctx = (ctx << 1) | bit;
+        if (i == 0) break;
+        i--;
+        if (match_bit != bit) {
+          // fall back to the plain tree for the remaining bits
+          while (true) {
+            bit = (sym >> i) & 1;
+            rc.encode_bit(&probs[ctx], bit);
+            ctx = (ctx << 1) | bit;
+            if (i == 0) break;
+            i--;
+          }
+          break;
+        }
+      }
+    } else {
+      unsigned ctx = 1;
+      for (int i = 7; i >= 0; i--) {
+        unsigned bit = (sym >> i) & 1;
+        rc.encode_bit(&probs[ctx], bit);
+        ctx = (ctx << 1) | bit;
+      }
+    }
+    state = state < 4 ? 0 : (state < 10 ? state - 3 : state - 6);
+  }
+
+  void encode_match(unsigned len, uint32_t dist, unsigned pos_state) {
+    rc.encode_bit(&is_rep[state], 0);
+    state = state < 7 ? 7 : 10;
+    len_enc.encode(rc, len - kMatchMinLen, pos_state);
+    unsigned len_to_pos = (len - kMatchMinLen) < 4 ? (len - kMatchMinLen) : 3;
+    unsigned slot = pos_slot_of(dist);
+    rc.bit_tree_encode(pos_slot[len_to_pos], 6, slot);
+    if (slot >= 4) {
+      int num_direct = int(slot >> 1) - 1;
+      uint32_t base = (2u | (slot & 1)) << num_direct;
+      uint32_t rest = dist - base;
+      if (slot < kEndPosModelIndex) {
+        uint16_t* probs =
+            spec_pos + ptrdiff_t(base) - ptrdiff_t(slot) - 1;
+        rc.bit_tree_reverse_encode(probs, num_direct, rest);
+      } else {
+        rc.encode_direct(rest >> kNumAlignBits, num_direct - kNumAlignBits);
+        rc.bit_tree_reverse_encode(align_probs, kNumAlignBits,
+                                   rest & ((1u << kNumAlignBits) - 1));
+      }
+    }
+    reps[3] = reps[2];
+    reps[2] = reps[1];
+    reps[1] = reps[0];
+    reps[0] = dist;
+  }
+
+  void encode_rep(unsigned rep_index, unsigned len, unsigned pos_state) {
+    rc.encode_bit(&is_rep[state], 1);
+    if (rep_index == 0) {
+      rc.encode_bit(&is_rep_g0[state], 0);
+      rc.encode_bit(&is_rep0_long[state][pos_state], 1);
+    } else {
+      rc.encode_bit(&is_rep_g0[state], 1);
+      uint32_t dist = reps[rep_index];
+      if (rep_index == 1) {
+        rc.encode_bit(&is_rep_g1[state], 0);
+      } else {
+        rc.encode_bit(&is_rep_g1[state], 1);
+        rc.encode_bit(&is_rep_g2[state], rep_index == 2 ? 0 : 1);
+        if (rep_index == 3) reps[3] = reps[2];
+        reps[2] = reps[1];
+      }
+      reps[1] = reps[0];
+      reps[0] = dist;
+    }
+    rep_len_enc.encode(rc, len - kMatchMinLen, pos_state);
+    state = state < 7 ? 8 : 11;
+  }
+
+  void encode_short_rep(unsigned pos_state) {
+    rc.encode_bit(&is_rep[state], 1);
+    rc.encode_bit(&is_rep_g0[state], 0);
+    rc.encode_bit(&is_rep0_long[state][pos_state], 0);
+    state = state < 7 ? 9 : 11;
+  }
+
+  void encode_eos(unsigned pos_state) {
+    rc.encode_bit(&is_match[state][pos_state], 1);
+    rc.encode_bit(&is_rep[state], 0);
+    state = state < 7 ? 7 : 10;
+    len_enc.encode(rc, 0, pos_state);
+    uint32_t dist = 0xFFFFFFFFu;
+    unsigned slot = pos_slot_of(dist);  // 63
+    rc.bit_tree_encode(pos_slot[0], 6, slot);
+    int num_direct = int(slot >> 1) - 1;  // 30
+    uint32_t base = (2u | (slot & 1)) << num_direct;
+    uint32_t rest = dist - base;
+    rc.encode_direct(rest >> kNumAlignBits, num_direct - kNumAlignBits);
+    rc.bit_tree_reverse_encode(align_probs, kNumAlignBits,
+                               rest & ((1u << kNumAlignBits) - 1));
+  }
+
+  // SDK-style "change pair": switching to a much smaller distance is
+  // worth one length step
+  static bool change_pair(uint32_t small_dist, uint32_t big_dist) {
+    return small_dist < (big_dist >> 7);
+  }
+
+  void encode(const uint8_t* buf, size_t n, int depth, unsigned nice_len,
+              std::vector<uint8_t>& out) {
+    rc.out = &out;
+    init_probs();
+    MatchFinder mf;
+    mf.init(buf, n, depth, nice_len);
+    const unsigned pb_mask = (1u << pb) - 1;
+
+    size_t pos = 0;
+    while (pos < n) {
+      unsigned pos_state = unsigned(pos) & pb_mask;
+
+      // candidates: longest rep match + longest normal match
+      unsigned rep_len = 0, rep_idx = 0;
+      unsigned cap = unsigned(n - pos) < unsigned(kMatchMaxLen)
+                         ? unsigned(n - pos)
+                         : unsigned(kMatchMaxLen);
+      if (pos > 0) {
+        for (unsigned r = 0; r < 4; r++) {
+          if (reps[r] + 1 > pos) continue;
+          unsigned l = mf.match_len(pos - reps[r] - 1, pos, cap);
+          if (l >= 2 && l > rep_len) {
+            rep_len = l;
+            rep_idx = r;
+          }
+        }
+      }
+      uint32_t main_dist = 0;
+      unsigned main_len = mf.find(pos, &main_dist);
+      // a len-2 far match costs more than two literals; prune like the
+      // SDK fast mode
+      if (main_len == 2 && main_dist >= 512) main_len = 0;
+      if (main_len >= 2 && main_len + 1 == rep_len &&
+          !change_pair(main_dist, reps[rep_idx]))
+        main_len = 0;  // rep almost as long and much cheaper to code
+
+      bool use_rep =
+          rep_len >= 2 &&
+          (rep_len + 1 >= main_len ||
+           (rep_len + 2 >= main_len && main_dist >= (1u << 9)) ||
+           (rep_len + 3 >= main_len && main_dist >= (1u << 15)));
+
+      if (use_rep) {
+        rc.encode_bit(&is_match[state][pos_state], 1);
+        encode_rep(rep_idx, rep_len, pos_state);
+        for (unsigned i = 0; i < rep_len; i++) mf.insert(pos + i);
+        pos += rep_len;
+        continue;
+      }
+
+      if (main_len >= 2) {
+        // lazy step: if the next position holds a clearly better match,
+        // emit a literal now
+        bool defer = false;
+        if (main_len < nice_len && pos + 1 < n) {
+          mf.insert(pos);
+          uint32_t dist2 = 0;
+          unsigned len2 = mf.find(pos + 1, &dist2);
+          if (len2 > main_len ||
+              (len2 == main_len && dist2 < main_dist &&
+               change_pair(dist2, main_dist)))
+            defer = true;
+          if (!defer) {
+            rc.encode_bit(&is_match[state][pos_state], 1);
+            encode_match(main_len, main_dist, pos_state);
+            for (unsigned i = 1; i < main_len; i++) mf.insert(pos + i);
+            pos += main_len;
+            continue;
+          }
+          // fall through to literal below (pos already inserted)
+          rc.encode_bit(&is_match[state][pos_state], 0);
+          encode_literal(buf, pos, pos_state);
+          pos += 1;
+          continue;
+        }
+        rc.encode_bit(&is_match[state][pos_state], 1);
+        encode_match(main_len, main_dist, pos_state);
+        for (unsigned i = 0; i < main_len; i++) mf.insert(pos + i);
+        pos += main_len;
+        continue;
+      }
+
+      // short rep beats a literal whenever the byte equals rep0's byte
+      // (4 model bits vs up to 8)
+      if (pos > 0 && reps[0] + 1 <= pos &&
+          buf[pos] == buf[pos - reps[0] - 1]) {
+        rc.encode_bit(&is_match[state][pos_state], 1);
+        encode_short_rep(pos_state);
+        mf.insert(pos);
+        pos += 1;
+        continue;
+      }
+
+      rc.encode_bit(&is_match[state][pos_state], 0);
+      encode_literal(buf, pos, pos_state);
+      mf.insert(pos);
+      pos += 1;
+    }
+    encode_eos(unsigned(pos) & pb_mask);
+    rc.flush();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
+                                 int lp, int pb, int depth,
+                                 unsigned nice_len, size_t* out_len,
+                                 int* status) try {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4 ||
+      depth < 1 || nice_len < 8 || nice_len > kMatchMaxLen) {
+    *status = -1;
+    *out_len = 0;
+    return nullptr;
+  }
+  std::vector<uint8_t> out;
+  out.reserve(n / 2 + 64);
+  // 13-byte LZMA-alone header: props, dict size, unknown size (-eos)
+  out.push_back(uint8_t((pb * 5 + lp) * 9 + lc));
+  uint32_t dict = 1u << 16;
+  while (dict < n && dict < (1u << 25)) dict <<= 1;
+  for (int i = 0; i < 4; i++) out.push_back(uint8_t(dict >> (8 * i)));
+  for (int i = 0; i < 8; i++) out.push_back(0xFF);
+
+  LzmaEncoder enc;
+  enc.lc = lc;
+  enc.lp = lp;
+  enc.pb = pb;
+  enc.encode(src, n, depth, nice_len, out);
+
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(out.size()));
+  if (!buf) {
+    *status = -6;
+    *out_len = 0;
+    return nullptr;
+  }
+  std::memcpy(buf, out.data(), out.size());
+  *out_len = out.size();
+  *status = 0;
+  return buf;
+} catch (...) {
+  *status = -6;
+  *out_len = 0;
+  return nullptr;
+}
+
+}  // extern "C"

@@ -271,7 +271,8 @@ def _assign_counts(counts_u8, inv, keys, group_pals_u8):
 
 def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
                               chunk: int = 262144,
-                              return_device: bool = False):
+                              return_device: bool = False,
+                              mesh=None):
     """Knoll dithering with plan deduplication — the TPU equivalent of the
     reference's per-color plan caches (main.pas:2010-2053).
 
@@ -300,13 +301,27 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     u_cap = _pad_pow2(u, minimum=256)
     uniq = _compact_unique(skeys, u_cap)
 
+    # mesh path: the plan-count and rank-selection halves are row-parallel
+    # and shard across the encoder mesh (parallel.mesh_pipeline); only the
+    # color-dedup sort above stays on one device. Identical bytes.
+    if mesh is not None:
+        from ..parallel import mesh_pipeline as mp
+        if not mp.mesh_ok(mesh):
+            mesh = None
     pals_d = jnp.asarray(group_pals)
+    pals_rep = mp.replicate(mesh, pals_d) if mesh is not None else None
     plan_parts = []
     for lo in range(0, u_cap, chunk):
         hi = min(u_cap, lo + chunk)
-        plan_parts.append(_counts_from_keys(uniq[lo:hi], pals_d))
+        if mesh is not None:
+            plan_parts.append(
+                mp.knoll_counts_sharded(mesh, uniq[lo:hi], pals_rep))
+        else:
+            plan_parts.append(_counts_from_keys(uniq[lo:hi], pals_d))
     counts_dev = jnp.concatenate(plan_parts) if len(plan_parts) > 1 \
         else plan_parts[0]
+    counts_rep = mp.replicate(mesh, counts_dev) if mesh is not None \
+        else None
     # assign in pow2-padded tile chunks: the [C,64,S] gather intermediate
     # stays bounded and shapes bucket (no per-size recompiles)
     parts = []
@@ -316,13 +331,26 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
         hi = min(n, lo + tchunk)
         cp = _pad_pow2(hi - lo)
         kchunk = keys[lo:hi]
-        ichunk = inv2d[lo:hi].reshape(-1)
         if cp != hi - lo:
             kchunk = jnp.pad(kchunk, ((0, cp - (hi - lo)), (0, 0)))
-            ichunk = jnp.pad(ichunk, (0, (cp - (hi - lo)) * 64))
-        parts.append(_assign_counts(counts_dev, ichunk, kchunk,
-                                    pals_d)[:hi - lo])
+        if mesh is not None:
+            i2chunk = inv2d[lo:hi]
+            if cp != hi - lo:
+                i2chunk = jnp.pad(i2chunk, ((0, cp - (hi - lo)), (0, 0)))
+            parts.append(mp.knoll_assign_sharded(
+                mesh, counts_rep, i2chunk, kchunk, pals_rep)[:hi - lo])
+        else:
+            ichunk = inv2d[lo:hi].reshape(-1)
+            if cp != hi - lo:
+                ichunk = jnp.pad(ichunk, (0, (cp - (hi - lo)) * 64))
+            parts.append(_assign_counts(counts_dev, ichunk, kchunk,
+                                        pals_d)[:hi - lo])
     sel = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    if mesh is not None:
+        # back to a single-device array: downstream (.at[].set into the
+        # unsharded tile buffer, mirror canonicalization) runs unsharded
+        import jax
+        sel = jax.device_put(sel, jax.devices()[0])
     if return_device:
         return sel.reshape(n, TILE_W, TILE_W)
     return np.asarray(sel).reshape(n, TILE_W, TILE_W)

@@ -199,8 +199,16 @@ def run_dither(state: EncoderState) -> EncoderState:
     # tiles gather on device from the cached tile tensor (transfer-lean:
     # u8 colors + group indices up, plans dedup'd per (palette, color))
     import jax.numpy as jnp
-    dither_cached = dither.knoll_dither_tiles_cached if \
-        cfg.use_thomas_knoll else functools.partial(
+    from ..parallel.mesh_pipeline import mesh_ok
+    if cfg.use_thomas_knoll:
+        # mesh: the row-parallel Knoll halves shard across the encoder
+        # mesh (identical bytes); Yliluoma stays single-device (its plan
+        # table is small and the scan is a minor phase)
+        dither_cached = functools.partial(
+            dither.knoll_dither_tiles_cached,
+            mesh=state.mesh if mesh_ok(state.mesh) else None)
+    else:
+        dither_cached = functools.partial(
             dither.yliluoma_dither_tiles_cached,
             mixed_colors=cfg.yliluoma_mix)
     act_kf = tile_kf[act]

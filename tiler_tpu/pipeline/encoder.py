@@ -14,9 +14,13 @@ from .state import EncoderState
 
 
 class Encoder:
-    def __init__(self, config: EncoderConfig | None = None):
+    def __init__(self, config: EncoderConfig | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) —
+        runs the frame-axis-parallel stages sharded across its devices
+        with a byte-identical output stream (parallel.mesh_pipeline)."""
         self.config = config or EncoderConfig()
         self.state = EncoderState(config=self.config)
+        self.state.mesh = mesh
         from ..utils.progress import StepProgress
         first = ENCODER_STEPS.index(self.config.start_step)
         last = ENCODER_STEPS.index(self.config.end_step)

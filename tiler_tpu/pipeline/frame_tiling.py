@@ -78,7 +78,11 @@ def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
     uq_tiles, tile_inv = np.unique(cell_tiles, return_inverse=True)
     queries = state.tiles_pal[uq_tiles].reshape(len(uq_tiles), -1) \
         .astype(np.float32)
-    idxs, errs = knn.nearest_k(queries, ds, k=8)
+    from ..parallel.mesh_pipeline import mesh_ok, nearest_k_sharded
+    if mesh_ok(state.mesh):
+        idxs, errs = nearest_k_sharded(state.mesh, queries, ds, k=8)
+    else:
+        idxs, errs = knn.nearest_k(queries, ds, k=8)
     # skip consecutive equal-error results (UseOne, main.pas:3832-3837)
     keep = np.ones_like(errs, bool)
     keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
@@ -143,9 +147,15 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
     tiles = tile_of[dentry]
     attrs = attrs_of[dentry]
 
+    from ..parallel.mesh_pipeline import (chunk_feats_sharded, mesh_ok,
+                                          replicate)
+    par = mesh_ok(state.mesh)
     tiles_pal_d = state.device_tiles_pal() if tiles_pal_dev is None \
         else tiles_pal_dev  # uploaded once per encode by run_frame_tiling
     pals_d = jnp.asarray(state.palettes_rgb[k])
+    if par:
+        tiles_pal_d = replicate(state.mesh, tiles_pal_d)
+        pals_d = replicate(state.mesh, pals_d)
     global _chunk_feats_jit
     if _chunk_feats_jit is None:
         _chunk_feats_jit = functools.partial(
@@ -155,7 +165,8 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
 
     def base_feats(b_tiles, b_pals, b_hm, b_vm):
         # candidate features stay ON DEVICE: only int32 index vectors go
-        # up, nothing comes down (the 1-NN scan consumes them in place)
+        # up, nothing comes down (the 1-NN scan consumes them in place).
+        # Mesh path: combo rows shard across devices, same per-row math.
         n = len(b_tiles)
         parts = []
         for lo in range(0, n, chunk):
@@ -166,11 +177,20 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                 out = np.full(n_pad, fill, a.dtype)
                 out[:hi - lo] = a[lo:hi]
                 return out
-            res = chunk_feats(tiles_pal_d, pals_d,
-                              jnp.asarray(pad(b_tiles.astype(np.int32))),
-                              jnp.asarray(pad(b_pals.astype(np.int32))),
-                              jnp.asarray(pad(b_hm)), jnp.asarray(pad(b_vm)),
-                              _ft_gamma(cfg), cfg.use_wavelets)
+            if par:
+                res = chunk_feats_sharded(
+                    state.mesh, tiles_pal_d, pals_d,
+                    pad(b_tiles.astype(np.int32)),
+                    pad(b_pals.astype(np.int32)),
+                    pad(b_hm), pad(b_vm),
+                    _ft_gamma(cfg), cfg.use_wavelets)
+            else:
+                res = chunk_feats(
+                    tiles_pal_d, pals_d,
+                    jnp.asarray(pad(b_tiles.astype(np.int32))),
+                    jnp.asarray(pad(b_pals.astype(np.int32))),
+                    jnp.asarray(pad(b_hm)), jnp.asarray(pad(b_vm)),
+                    _ft_gamma(cfg), cfg.use_wavelets)
             parts.append(res[:hi - lo])
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
@@ -184,6 +204,10 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
         base = base_feats((uq % state.n_tiles).astype(np.int32),
                           (uq // state.n_tiles).astype(np.int32),
                           np.zeros(len(uq), bool), np.zeros(len(uq), bool))
+        if par:
+            # the mirror expansion gathers arbitrary base rows; replicate
+            # once (all-gather) instead of per-gather collectives
+            base = replicate(state.mesh, base)
         # bucket the base length too: _mirror_expand_one specializes on
         # (base, seg) shapes and an exact len(uq) would recompile per
         # keyframe
@@ -326,6 +350,9 @@ def _changed_mask(frames_rgb: np.ndarray, th: int, tw: int) -> np.ndarray:
 def run_frame_tiling(state: EncoderState) -> EncoderState:
     import jax
     import jax.numpy as jnp
+    from ..parallel.mesh_pipeline import (assign_sharded, mesh_ok,
+                                          replicate)
+    par = mesh_ok(state.mesh)
     global _query_assign
     if _query_assign is None:
         _query_assign = _query_assign_factory()
@@ -345,6 +372,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     residual = 0.0
     knn_sizes = []
     q_total = q_changed = 0
+    src_rep = None
 
     for k in range(len(state.keyframes)):
         s, e = state.keyframes[k]
@@ -362,7 +390,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         t0 = time.perf_counter()
 
         # lay the candidates out for the 1-NN path (pad with far points)
-        use_pallas = _use_pallas_nn()
+        use_pallas = _use_pallas_nn() and not par
         c_chunk = 4096 if use_pallas else 8192
         n_c = feats.shape[0]
         n_chunks = max(1, -(-n_c // c_chunk))
@@ -373,11 +401,17 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
                                  jnp.float32)])
         cands3d = None if use_pallas else feats.reshape(n_chunks, c_chunk,
                                                         -1)
+        if par:
+            cands3d = replicate(state.mesh, cands3d)
 
         # stage 3: fused per-chunk query features + 1-NN assignment. The
         # query tiles are device slices of the identity source-tile tensor
         # (one frames upload per encode) — no per-chunk H2D traffic.
         src_all = state.device_source_tiles()
+        if par:
+            if src_rep is None:  # one broadcast per encode
+                src_rep = replicate(state.mesh, src_all)
+            src_all = src_rep
         base = s * state.tilemap_size
         cells = state.tilemap_size
         f_kf = e - s + 1
@@ -407,6 +441,23 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         for lo in range(0, n_run, qchunk):
             hi = min(n_run, lo + qchunk)
             qp = features.pad_pow2(hi - lo)
+            if par:
+                # mesh path: query rows shard across every device; the
+                # gather from the replicated source tensor happens inside
+                # the shard_mapped program (parallel.mesh_pipeline)
+                rows = np.full(qp, base + (lo if dense else changed[lo]),
+                               np.int32)
+                if dense:
+                    rows[:hi - lo] = base + np.arange(lo, hi,
+                                                      dtype=np.int32)
+                else:
+                    rows[:hi - lo] = base + changed[lo:hi]
+                idx, err = assign_sharded(state.mesh, rows, src_all,
+                                          cands3d, _ft_gamma(cfg),
+                                          cfg.use_wavelets)
+                idx_parts.append(idx[:hi - lo])
+                err_parts.append(err[:hi - lo])
+                continue
             if dense:
                 buf = src_all[base + lo:base + hi]
                 if qp != hi - lo:

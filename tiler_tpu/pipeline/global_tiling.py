@@ -233,7 +233,22 @@ def run_global_tiling(state: EncoderState,
             round(cfg.qb_tiles * equal_quality_tile_count(raw))
         desired_tiles = min(budget, raw)
 
-    if state._tiles_pal_dev is not None and state._tiles_pal_host is None:
+    import os
+
+    from ..parallel.mesh_pipeline import mesh_ok
+    if mesh_ok(state.mesh) and os.environ.get('TILER_MESH_KMODES') == '1':
+        # opt-in distributed per-bin KModes (sharded_ops.sharded_kmodes,
+        # bit-identical at 1/2/8 devices by test). NOT the mesh default:
+        # the bins are many and small, so 16+ sequential shard_map solves
+        # (one compile each) measured 4.6x SLOWER than the vmapped
+        # super-shape batch solver on the 8-device CPU mesh — the vmap
+        # lanes already saturate one chip, and a 2 s solve phase can't
+        # amortize per-bin collectives. Multi-host encodes reach the
+        # distributed solver through parallel.gop_exact instead.
+        fwd, new_use, new_active, merges = compute_global_tiling_fwd(
+            state.tiles_pal, state.tile_active, state.tile_use,
+            state.tile_dpi, cfg, desired_tiles, mesh=state.mesh)
+    elif state._tiles_pal_dev is not None and state._tiles_pal_host is None:
         fwd, new_use, new_active, merges = compute_global_tiling_fwd_device(
             state, cfg, desired_tiles)
     else:

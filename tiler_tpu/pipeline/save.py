@@ -22,7 +22,7 @@ def run_save(state: EncoderState, fast_lzma: bool = False) -> bytes:
         tiles_pal=state.tiles_pal[:n_active],
         palette_size=cfg.tile_palette_size,
         frame_count=state.n_frames, kf_count=len(state.keyframes),
-        fast_lzma=fast_lzma)
+        fast_lzma=fast_lzma, lzma_mode=cfg.lzma_mode)
 
     use_smoothed = state.stm_tile is not None
     for k, (s, e) in enumerate(state.keyframes):

@@ -66,6 +66,12 @@ class EncoderState:
     palettes_rgb: Optional[np.ndarray] = None
     palette_centroids: Optional[np.ndarray] = None
 
+    # optional jax.sharding.Mesh: when set (Encoder(mesh=...) or CLI
+    # --devices N), the frame-axis-parallel stages run sharded across it
+    # (parallel.mesh_pipeline). Not serialized by checkpoints — callers
+    # re-attach after load.
+    mesh: object = dataclasses.field(default=None, repr=False)
+
     step_times: dict = dataclasses.field(default_factory=dict)
     metrics: dict = dataclasses.field(default_factory=dict)
     _dev_cache: dict = dataclasses.field(default_factory=dict, repr=False)
