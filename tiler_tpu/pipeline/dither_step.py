@@ -175,26 +175,25 @@ def _canonicalize_mirrors_dev(tiles_u8):
 
 
 def run_dither(state: EncoderState) -> EncoderState:
+    """Software-pipelined across keyframes: keyframe k's host DL3/VAR
+    quantize (GIL-releasing native code on a background thread) overlaps
+    keyframe k+1's device k-means AND keyframe k-1's device dither scan —
+    the reference runs these phases strictly sequentially per step
+    (main.pas:858-914); overlapping them is a pure structural win on the
+    TPU step layout. Identical bytes: every per-keyframe computation and
+    the buf update order are unchanged, only the schedule moves.
+
+    Phase timing semantics under the overlap: 'prepare_kmeans' is the
+    device k-means loop wall, 'quantize' is only the BLOCKED wait on the
+    background quantizers (0 when fully hidden), 'dither' the scan loop.
+    """
+    import concurrent.futures as cf
     import time
     cfg = state.config
     n_kf = len(state.keyframes)
     phases = {}
-    t0 = time.perf_counter()
-    for k in range(n_kf):
-        prepare_dither_keyframe(state, k)
-    phases['prepare_kmeans'] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for k in range(n_kf):
-        counts = quantize_keyframe_palettes(state, k)
-        finish_quantize_keyframe(state, k, counts)
-    phases['quantize'] = time.perf_counter() - t0
-    t0 = time.perf_counter()
 
-    # batched dithering of every active referenced tile with its palette
-    kf_of = state.kf_of_frame()
-    tile_kf = np.repeat(kf_of, state.tilemap_size)  # identity layout
-    act = np.flatnonzero(state.tile_active)
-    dpi = np.maximum(state.tile_dpi[act], 0)
+    # batched dithering of every active referenced tile with its palette;
     # per keyframe so palette-group ids fit the 8-bit dedup key field;
     # tiles gather on device from the cached tile tensor (transfer-lean:
     # u8 colors + group indices up, plans dedup'd per (palette, color))
@@ -211,21 +210,44 @@ def run_dither(state: EncoderState) -> EncoderState:
         dither_cached = functools.partial(
             dither.yliluoma_dither_tiles_cached,
             mixed_colors=cfg.yliluoma_mix)
+    kf_of = state.kf_of_frame()
+    tile_kf = np.repeat(kf_of, state.tilemap_size)  # identity layout
+    act = np.flatnonzero(state.tile_active)
     act_kf = tile_kf[act]
     tiles_dev = state.device_source_tiles()
     n_total = state.n_tiles
     buf = jnp.zeros((n_total, TILE_W, TILE_W), jnp.uint8)
-    for k in range(len(state.keyframes)):
-        rows = np.flatnonzero(act_kf == k)
-        if rows.size == 0:
-            continue
-        idx = jnp.asarray(act[rows].astype(np.int32))
-        sel = tiles_dev[idx]
-        dithered = dither_cached(
-            sel, state.palettes_rgb[k],
-            jnp.asarray(dpi[rows].astype(np.int32)), return_device=True)
-        buf = buf.at[idx].set(dithered)
-    phases['dither'] = time.perf_counter() - t0
+
+    t_quant = t_scan = 0.0
+    with cf.ThreadPoolExecutor(1) as qpool:
+        t0 = time.perf_counter()
+        futs = []
+        for k in range(n_kf):
+            prepare_dither_keyframe(state, k)  # device
+            # keyframes' cell ranges are disjoint (identity tilemap), so
+            # quantize(k) reading tile_dpi[cells_k] is safe against
+            # prepare(k+1) writing tile_dpi[cells_{k+1}]
+            futs.append(qpool.submit(quantize_keyframe_palettes, state, k))
+        phases['prepare_kmeans'] = time.perf_counter() - t0
+        for k in range(n_kf):
+            t0 = time.perf_counter()
+            counts = futs[k].result()
+            finish_quantize_keyframe(state, k, counts)
+            t_quant += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rows = np.flatnonzero(act_kf == k)
+            if rows.size:
+                idx = jnp.asarray(act[rows].astype(np.int32))
+                sel = tiles_dev[idx]
+                dpi_rows = np.maximum(state.tile_dpi[act[rows]], 0)
+                dithered = dither_cached(
+                    sel, state.palettes_rgb[k],
+                    jnp.asarray(dpi_rows.astype(np.int32)),
+                    return_device=True)
+                buf = buf.at[idx].set(dithered)
+            t_scan += time.perf_counter() - t0
+    phases['quantize'] = t_quant
+    phases['dither'] = t_scan
     state.metrics['dither_phases'] = {k: round(v, 3)
                                       for k, v in phases.items()}
 

@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from .engine import (ArrayBuffer, Interpreter, JSException, NativeFunction,
-                     js_tonumber)
+                     TypedArray, js_tonumber)
 from .host import BrowserHost, imagedata_rgba
 
 REF_DIR = '/root/reference/decoders/htmljs'
@@ -31,12 +31,25 @@ class PlayerVM:
             src = open(os.path.join(ref_dir, name)).read()
             self.interp.run(src)
 
-    def play(self, gtm_bytes: bytes, max_frames: int = 100000) -> np.ndarray:
+    def play(self, gtm_bytes: bytes, max_frames: int = 100000,
+             native_lzma: bool = False) -> np.ndarray:
         """Decode a whole GTM through the reference player; returns frames
         [F, H, W, 3] uint8 (the player's working ImageData after each
-        FrameEnd, which is what putImageData shows next tick)."""
+        FrameEnd, which is what putImageData shows next tick).
+
+        native_lzma=True swaps the player's LZMA.decodeMaxSize library
+        seam for tiler_tpu's native LZMA1 decoder (byte-equality of the
+        two decoders is asserted separately on the same stream by
+        test_golden_reference_stream): the UNMODIFIED player code —
+        header parse, command interpreter, drawing — then runs at native
+        inflate speed, which makes multi-MB reference streams playable
+        in test time (interpreted js-lzma costs ~300 s/MB here)."""
         it = self.interp
         g = it.globals
+        lzma_obj = g['LZMA']
+        orig_decode_max = lzma_obj.get('decodeMaxSize')
+        if native_lzma:
+            lzma_obj.props['decodeMaxSize'] = self._native_decode_max()
 
         # fresh playback state (the page-load state of the player globals)
         g['gtmCanvasId'] = 'frame'
@@ -97,9 +110,45 @@ class PlayerVM:
                 if stall > 16:
                     break
         g['readCommand'] = orig_read
+        if native_lzma:
+            lzma_obj.props['decodeMaxSize'] = orig_decode_max
         if not frames:
             raise JSException('player produced no frames')
         return np.stack(frames)
+
+    def _native_decode_max(self) -> NativeFunction:
+        """LZMA.decodeMaxSize(decoder, inStream, outStream, maxSize)
+        replacement: inflate ONE whole LZMA-alone stream per call with
+        tiler_tpu's native decoder, advancing inStream.offset by the
+        exact consumed bytes; returns an oStream-shaped object whose
+        toUint8Array() yields everything inflated so far (the player
+        accumulates streams across keyframes), or null when the input is
+        exhausted. The harness drives the player with an unbounded byte
+        rate, so whole-stream granularity matches the real shim's
+        observable behavior."""
+        from tiler_tpu.native import lzma_decode_alone
+        acc = bytearray()
+
+        def decode_max(this, args):
+            in_stream, out_stream = args[1], args[2]
+            data = in_stream.get('array').data
+            off = int(js_tonumber(in_stream.get('offset')))
+            if off >= len(data):
+                return None
+            chunk, consumed = lzma_decode_alone(bytes(data[off:]))
+            in_stream.props['offset'] = float(off + consumed)
+            acc.extend(chunk)
+            # the real decodeMaxSize fills the PASSED oStream as a side
+            # effect (startFromReader ignores the return value and reads
+            # gtmOutStream directly) — shadow its toUint8Array on the
+            # instance so both call sites see the inflated bytes without
+            # an interpreted 3.5 MB buffer-concat loop
+            snapshot = TypedArray(bytearray(acc))
+            out_stream.props['toUint8Array'] = NativeFunction(
+                'toUint8Array', lambda _this, _args: snapshot)
+            return out_stream
+
+        return NativeFunction('decodeMaxSize', decode_max)
 
 
 def play_gtm(gtm_bytes: bytes, verbose: bool = False) -> np.ndarray:
