@@ -14,8 +14,18 @@ compiles are environmental, not pipeline throughput). The CPU baseline
 uses fewer frames (per-frame work dominates; fixed costs are excluded by
 per-frame normalization) and is skipped gracefully on timeout.
 
+The headline value is the MEDIAN of TILER_BENCH_RUNS timed encodes
+(default 3) — the tunnel's run-to-run load/dither variance is +-1.5 s+
+(docs/RESULTS.md), so a single draw under- or over-states steady state.
+A real-content entry (the reference's own 300-frame city_cif demo,
+decoded and re-encoded) rides along in the same JSON line: unlike the
+synthetic noise clip it has motion structure, so it tracks the temporal
+query dedup (ft_q_changed_frac < 1) and mirror pair dedup wins.
+
 Env knobs: TILER_BENCH_SMALL=1 -> 320x240 clip (the round-1 metric);
-TILER_BENCH_NO_CPU=1 -> skip the CPU-baseline subprocess.
+TILER_BENCH_NO_CPU=1 -> skip the CPU-baseline subprocess;
+TILER_BENCH_NO_REAL=1 -> skip the real-content entry;
+TILER_BENCH_RUNS=N -> timed-run count for the median (default 3).
 """
 import json
 import os
@@ -42,7 +52,7 @@ def synthetic_clip(f, h, w, seed=0):
     return frames
 
 
-def encode_once(frames, warm: bool = True):
+def encode_once(frames, warm: bool = True, runs: int = 1):
     from tiler_tpu.config import EncoderConfig
     from tiler_tpu.pipeline.encoder import Encoder
     cfg = EncoderConfig(palette_count=PAL, tile_palette_size=16)
@@ -50,11 +60,61 @@ def encode_once(frames, warm: bool = True):
         # warmup at the SAME shapes: shape-bucketed kernels compile here
         # so the timed run measures steady-state throughput
         Encoder(cfg).run_all(frames, fps=24.0, fast_lzma=True)
+    all_fps = []
+    for _ in range(max(runs, 1)):
+        enc = Encoder(cfg)
+        t0 = time.perf_counter()
+        blob = enc.run_all(frames, fps=24.0, fast_lzma=True)
+        dt = time.perf_counter() - t0
+        all_fps.append(len(frames) / dt)
+    return all_fps, enc, blob
+
+
+def real_content_entry():
+    """Re-encode the reference's own 300-frame city demo (352x288@30) —
+    the dedup-exercising real-content config (tools/bench_city.py's
+    operating point: 64 palettes, the demo's own budget)."""
+    ref_path = '/root/reference/docs/demo/city_cif.gtm'
+    if not os.path.exists(ref_path) or \
+            os.environ.get('TILER_BENCH_NO_REAL') == '1':
+        return None
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.decode import decode_video
+    from tiler_tpu.pipeline.encoder import Encoder
+    src = open(ref_path, 'rb').read()
+    frames, _ = decode_video(src)
+    n = int(os.environ.get('TILER_BENCH_REAL_FRAMES', '0'))
+    if n:
+        frames = frames[:n]  # debug knob; the driver runs the full clip
+    cfg = EncoderConfig(palette_count=64, tile_palette_size=16)
+    # partial warm: compiles the CIF shape buckets at a fraction of a
+    # full-clip encode (full warm would double the bench wall clock)
+    Encoder(cfg).run_all(frames[:64], fps=30.0, fast_lzma=True)
     enc = Encoder(cfg)
     t0 = time.perf_counter()
-    blob = enc.run_all(frames, fps=24.0, fast_lzma=True)
+    blob = enc.run_all(frames, fps=30.0, fast_lzma=True)
     dt = time.perf_counter() - t0
-    return len(frames) / dt, enc, blob
+    dec, _ = decode_video(blob)
+    mse = np.mean((dec.astype(np.float64) - frames.astype(np.float64)) ** 2)
+    st = enc.state
+    return {
+        'metric': 'encode_city_cif_300f',
+        'wall_s': round(dt, 2),
+        'fps': round(len(frames) / dt, 3),
+        'psnr': round(float(10 * np.log10(255.0 ** 2 / mse)), 3)
+        if mse else 99.0,
+        'gtm_bytes': len(blob),
+        'ref_gtm_bytes': len(src),
+        'n_keyframes': st.metrics.get('n_keyframes'),
+        'ft_q_changed_frac': st.metrics.get('ft_q_changed_frac'),
+        'ft_pair_dedup': st.metrics.get('ft_pair_dedup'),
+        'step_times': {k: round(v, 2) for k, v in st.step_times.items()},
+        'phases': {
+            'dither': st.metrics.get('dither_phases'),
+            'global_tiling': st.metrics.get('gt_phases'),
+            'frame_tiling': st.metrics.get('ft_phases'),
+        },
+    }
 
 
 def main():
@@ -62,14 +122,16 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
         frames = synthetic_clip(F_CPU, H, W)
-        fps, _, _ = encode_once(frames, warm=False)
-        print(json.dumps({'cpu_fps': fps}))
+        all_fps, _, _ = encode_once(frames, warm=False)
+        print(json.dumps({'cpu_fps': all_fps[0]}))
         return
 
     import jax
     backend = jax.default_backend()
     frames = synthetic_clip(F, H, W)
-    fps, enc, blob = encode_once(frames)
+    runs = int(os.environ.get('TILER_BENCH_RUNS', '3'))
+    all_fps, enc, blob = encode_once(frames, runs=runs)
+    fps = float(np.median(all_fps))
 
     psnr = None
     try:
@@ -101,14 +163,21 @@ def main():
         except Exception:
             pass
 
+    try:
+        real = real_content_entry()
+    except Exception:
+        real = None
+
     st = enc.state
     print(json.dumps({
         'metric': f'encode_fps_{W}x{H}_{backend}',
         'value': round(fps, 3),
         'unit': 'frames/s',
+        'runs_fps': [round(v, 3) for v in all_fps],
         'vs_baseline': round(vs_baseline, 3),
         'psnr': psnr,
         'gtm_bytes': len(blob),
+        'real_content': real,
         'step_times': {k: round(v, 2) for k, v in st.step_times.items()},
         'phases': {
             'dither': st.metrics.get('dither_phases'),
