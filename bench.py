@@ -166,6 +166,10 @@ def main():
     try:
         real = real_content_entry()
     except Exception:
+        # a broken real-content path must be distinguishable from an
+        # intentional skip: keep the headline entry alive, dump why
+        import traceback
+        traceback.print_exc(file=sys.stderr)
         real = None
 
     st = enc.state

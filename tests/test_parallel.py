@@ -214,20 +214,11 @@ def test_mesh_encode_byte_identical(rng, mesh8):
     The clip has a static band (temporal query dedup active, non-dense
     path) and two keyframes, so the sharded stages see the gather path,
     the forward-fill path, and per-keyframe candidate sets."""
+    from __graft_entry__ import _dryrun_clip
     from tiler_tpu.config import EncoderConfig
     from tiler_tpu.pipeline.encoder import Encoder
 
-    f, h, w = 6, 48, 64
-    yy, xx = np.mgrid[0:h, 0:w]
-    frames = np.zeros((f, h, w, 3), np.uint8)
-    for i in range(f):
-        if i < 3:
-            pat = ((xx * 4 + i * 7) % 256)[..., None] * np.array([1, .7, .4])
-        else:  # hard cut: unrelated scene
-            pat = ((yy * 5 + (i - 3) * 9) % 256)[..., None] \
-                * np.array([.3, .5, 1])
-        frames[i] = np.clip(pat + rng.normal(0, 5, (h, w, 3)), 0, 255)
-    frames[4:, :, : w // 2] = frames[3, :, : w // 2]  # static half after cut
+    frames = _dryrun_clip()  # shared with dryrun_multichip: one scenario
 
     cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
                         max_tiles=120)

@@ -158,8 +158,19 @@ def cmd_encode(a) -> int:
 
     mesh = None
     if a.devices > 1:
+        import jax
+
         from .parallel.mesh import make_mesh
+        from .parallel.mesh_pipeline import mesh_ok
+        avail = len(jax.devices())
+        if a.devices > avail:
+            raise SystemExit(f'--devices {a.devices}: only {avail} '
+                             f'device(s) available')
         mesh = make_mesh(a.devices)
+        if not mesh_ok(mesh):
+            raise SystemExit(f'--devices {a.devices}: device count must '
+                             'be a power of two (row padding is '
+                             'pow2-bucketed)')
     enc = Encoder(cfg, mesh=mesh)
     if resume_from:
         enc.state = resume_state if resume_state is not None \

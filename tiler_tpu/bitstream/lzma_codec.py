@@ -54,7 +54,10 @@ def iter_lzma_streams(data: bytes):
             yield chunk
             n_done += 1
             if not dec.eof:
-                if len(dec.unused_data) or n_done > 1:
+                # (unused_data is always empty before eof, so a truncated
+                # stream is only detectable by position: any non-final
+                # stream cut short means the later keyframes are gone)
+                if n_done > 1:
                     raise ValueError(
                         f'truncated LZMA stream at keyframe {n_done}')
                 return  # single truncated stream: return what we have

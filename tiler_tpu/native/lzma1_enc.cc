@@ -154,17 +154,20 @@ struct MatchFinder {
   size_t n;
   int depth;
   unsigned nice_len;
+  size_t max_dist;  // declared dict size: never emit a farther match
   std::vector<int32_t> head4, head3, head2, prev;
 
   static constexpr int kH4Bits = 17;
   static constexpr int kH3Bits = 16;
   static constexpr int kH2Bits = 16;
 
-  void init(const uint8_t* b, size_t len, int d, unsigned nice) {
+  void init(const uint8_t* b, size_t len, int d, unsigned nice,
+            size_t window) {
     buf = b;
     n = len;
     depth = d;
     nice_len = nice;
+    max_dist = window;
     head4.assign(size_t(1) << kH4Bits, -1);
     head3.assign(size_t(1) << kH3Bits, -1);
     head2.assign(size_t(1) << kH2Bits, -1);
@@ -197,7 +200,7 @@ struct MatchFinder {
     uint32_t best_dist = 0;
     if (cap >= 2) {
       int32_t c = head2[h2(p)];
-      if (c >= 0 && size_t(c) < p) {
+      if (c >= 0 && size_t(c) < p && p - size_t(c) <= max_dist) {
         unsigned l = match_len(size_t(c), p, cap);
         if (l >= 2) {
           best = l;
@@ -207,7 +210,7 @@ struct MatchFinder {
     }
     if (cap >= 3) {
       int32_t c = head3[h3(p)];
-      if (c >= 0 && size_t(c) < p) {
+      if (c >= 0 && size_t(c) < p && p - size_t(c) <= max_dist) {
         unsigned l = match_len(size_t(c), p, cap);
         if (l >= 3 && l > best) {
           best = l;
@@ -218,7 +221,8 @@ struct MatchFinder {
     if (cap >= 4) {
       int32_t c = head4[h4(p)];
       int steps = depth;
-      while (c >= 0 && size_t(c) < p && steps-- > 0) {
+      while (c >= 0 && size_t(c) < p && p - size_t(c) <= max_dist &&
+             steps-- > 0) {
         size_t cp = size_t(c);
         // quick reject on the current best tail byte
         if (best == 0 || (best < cap && buf[cp + best] == buf[p + best])) {
@@ -404,11 +408,11 @@ struct LzmaEncoder {
   }
 
   void encode(const uint8_t* buf, size_t n, int depth, unsigned nice_len,
-              std::vector<uint8_t>& out) {
+              size_t dict_size, std::vector<uint8_t>& out) {
     rc.out = &out;
     init_probs();
     MatchFinder mf;
-    mf.init(buf, n, depth, nice_len);
+    mf.init(buf, n, depth, nice_len, dict_size);
     const unsigned pb_mask = (1u << pb) - 1;
 
     size_t pos = 0;
@@ -522,10 +526,13 @@ uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
   }
   std::vector<uint8_t> out;
   out.reserve(n / 2 + 64);
-  // 13-byte LZMA-alone header: props, dict size, unknown size (-eos)
+  // 13-byte LZMA-alone header: props, dict size, unknown size (-eos).
+  // The match finder honors the declared dict size as its window, so
+  // inputs beyond the cap still produce spec-valid streams for windowed
+  // decoders.
   out.push_back(uint8_t((pb * 5 + lp) * 9 + lc));
   uint32_t dict = 1u << 16;
-  while (dict < n && dict < (1u << 25)) dict <<= 1;
+  while (dict < n && dict < (1u << 26)) dict <<= 1;
   for (int i = 0; i < 4; i++) out.push_back(uint8_t(dict >> (8 * i)));
   for (int i = 0; i < 8; i++) out.push_back(0xFF);
 
@@ -533,7 +540,7 @@ uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
   enc.lc = lc;
   enc.lp = lp;
   enc.pb = pb;
-  enc.encode(src, n, depth, nice_len, out);
+  enc.encode(src, n, depth, nice_len, size_t(dict), out);
 
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(out.size()));
   if (!buf) {

@@ -86,7 +86,8 @@ def encode_gop_sharded(frames: np.ndarray, config, n_hosts: int = 2,
                        palette_size=config.tile_palette_size,
                        frame_count=len(frames), kf_count=len(results),
                        fast_lzma=fast_lzma,
-                       total_tile_count=total_tiles)
+                       total_tile_count=total_tiles,
+                       lzma_mode=config.lzma_mode)
     offset = 0
     for r in results:
         st = r['state']

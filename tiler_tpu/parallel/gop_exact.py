@@ -284,7 +284,8 @@ def _encode_my_partition(frames, config, my_host, n_hosts, fps, fast_lzma,
     writer = GTMWriter(
         width=tw * TILE_W, height=th * TILE_W, fps=fps,
         tiles_pal=g_tiles_pal, palette_size=config.tile_palette_size,
-        frame_count=f_total, kf_count=len(keyframes), fast_lzma=fast_lzma)
+        frame_count=f_total, kf_count=len(keyframes), fast_lzma=fast_lzma,
+        lzma_mode=config.lzma_mode)
     for k, (s, e) in enumerate(keyframes):
         kf = all_kf[k]
         kf_frames = [dict(tile_idx=kf['stm_tile'][i].ravel(),

@@ -48,9 +48,14 @@ def mesh_ok(mesh) -> bool:
 
 
 def replicate(mesh: Mesh, arr):
-    """Place an array fully replicated on every mesh device."""
+    """Place an array fully replicated on every mesh device (no-op when
+    it already carries that sharding — callers replicate hot tensors
+    once per encode and pass them down)."""
     ndim = arr.ndim if hasattr(arr, 'ndim') else np.asarray(arr).ndim
-    return jax.device_put(arr, NamedSharding(mesh, P(*(None,) * ndim)))
+    sh = NamedSharding(mesh, P(*(None,) * ndim))
+    if getattr(arr, 'sharding', None) == sh:
+        return arr
+    return jax.device_put(arr, sh)
 
 
 def shard_rows(mesh: Mesh, arr):
@@ -216,6 +221,9 @@ def _get_topk_fn(mesh: Mesh, k: int):
     return fn
 
 
+_cands_rep_cache: dict = {}
+
+
 def nearest_k_sharded(mesh: Mesh, queries: np.ndarray, candidates,
                       k: int, q_chunk: int = 8192, c_chunk: int = 8192):
     """ops.knn.nearest_k with each query chunk sharded across the mesh;
@@ -224,7 +232,18 @@ def nearest_k_sharded(mesh: Mesh, queries: np.ndarray, candidates,
     from ..ops.knn import _device_chunks, _pad_pow2, _pad_rows
     q_all = np.asarray(queries, np.float32)
     n_q = len(q_all)
-    cands = replicate(mesh, _device_chunks(candidates, c_chunk))
+    # one-entry cache: FrameTiling marks every keyframe against the SAME
+    # global dataset — rebuilding + re-broadcasting it per keyframe would
+    # repeat the ICI all-gather (id() key is safe here: the cache also
+    # holds a reference, so the id cannot be recycled while cached)
+    ckey = (mesh, id(candidates), c_chunk)
+    if _cands_rep_cache.get('key') != ckey:
+        _cands_rep_cache.clear()
+        _cands_rep_cache['key'] = ckey
+        _cands_rep_cache['src'] = candidates
+        _cands_rep_cache['rep'] = replicate(
+            mesh, _device_chunks(candidates, c_chunk))
+    cands = _cands_rep_cache['rep']
     fn = _get_topk_fn(mesh, k)
     sh = NamedSharding(mesh, P(mesh.axis_names, None))
     out_idx = np.empty((n_q, k), np.int32)

@@ -365,6 +365,10 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     phases['dataset'] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     tiles_pal_dev = state.device_tiles_pal()
+    if par:
+        # one ICI broadcast per encode; candidate_features' replicate()
+        # then no-ops on the already-replicated tensor every keyframe
+        tiles_pal_dev = replicate(state.mesh, tiles_pal_dev)
     jax.block_until_ready(tiles_pal_dev)
     phases['upload'] = round(time.perf_counter() - t0, 3)
     ch_all = _changed_mask(state.frames_rgb, state.tilemap_h,

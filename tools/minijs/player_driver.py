@@ -85,33 +85,38 @@ class PlayerVM:
         # neutralize the decodeFrame self-rescheduling path: we drive it
         orig_decode = g['decodeFrame']
 
-        g['gtmInStream'] = it.construct(
-            g['LZMA'].get('iStream'), [ArrayBuffer(bytearray(gtm_bytes))])
-        it.call(g['startFromReader'], [])
+        try:
+            g['gtmInStream'] = it.construct(
+                g['LZMA'].get('iStream'), [ArrayBuffer(bytearray(gtm_bytes))])
+            it.call(g['startFromReader'], [])
 
-        frames = []
-        guard = 0
-        stall = 0
-        while js_tonumber(g['gtmLoopCount']) == 0 and \
-                len(frames) < max_frames and guard < 2 * max_frames + 64:
-            guard += 1
-            g['gtmLzmaBytesPerSecond'] = 1e15
-            before = frame_ends[0]
-            it.call(orig_decode, [])
-            if frame_ends[0] > before:
-                stall = 0
-                img = g['gtmTMImageData']
-                frames.append(imagedata_rgba(img)[..., :3])
-            else:
-                # zero-progress ticks happen at keyframe boundaries while
-                # unpackData feeds the next LZMA stream; a long stall means
-                # the stream is truly exhausted/stuck
-                stall += 1
-                if stall > 16:
-                    break
-        g['readCommand'] = orig_read
-        if native_lzma:
-            lzma_obj.props['decodeMaxSize'] = orig_decode_max
+            frames = []
+            guard = 0
+            stall = 0
+            while js_tonumber(g['gtmLoopCount']) == 0 and \
+                    len(frames) < max_frames and guard < 2 * max_frames + 64:
+                guard += 1
+                g['gtmLzmaBytesPerSecond'] = 1e15
+                before = frame_ends[0]
+                it.call(orig_decode, [])
+                if frame_ends[0] > before:
+                    stall = 0
+                    img = g['gtmTMImageData']
+                    frames.append(imagedata_rgba(img)[..., :3])
+                else:
+                    # zero-progress ticks happen at keyframe boundaries
+                    # while unpackData feeds the next LZMA stream; a long
+                    # stall means the stream is truly exhausted/stuck
+                    stall += 1
+                    if stall > 16:
+                        break
+        finally:
+            # a PlayerVM is reused across tests: a mid-playback throw must
+            # not leave the wrapped readCommand / swapped LZMA seam in
+            # place for the next play()
+            g['readCommand'] = orig_read
+            if native_lzma:
+                lzma_obj.props['decodeMaxSize'] = orig_decode_max
         if not frames:
             raise JSException('player produced no frames')
         return np.stack(frames)
