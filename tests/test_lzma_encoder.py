@@ -1,0 +1,143 @@
+"""Native LZMA1 encoder (lzma1_enc.cc): fuzz + framing + mode matrix.
+
+The encoder is the `lzma.exe e -lc8 -eos` parity component
+(/root/reference/extern.pas:224). Validity oracle: the independent
+native decoder (lzma1.cc, itself cross-validated against liblzma and
+the reference's js-lzma in test_js_player_conformance)."""
+import lzma as pylzma
+
+import numpy as np
+import pytest
+
+from tiler_tpu.native import lzma_decode_alone, lzma_encode_alone
+
+
+def _payloads(rng):
+    yield b''
+    yield b'\x00'
+    yield bytes(range(256)) * 3
+    yield b'ab' * 5000                                  # rep-heavy
+    yield bytes(rng.integers(0, 256, 4096).astype(np.uint8))    # random
+    yield bytes(rng.integers(0, 4, 30000).astype(np.uint8))     # indices
+    yield bytes(np.tile(rng.integers(0, 256, 97).astype(np.uint8), 300))
+    # long runs + structure boundaries
+    yield b'\xff' * 10000 + bytes(rng.integers(0, 256, 100)) + b'\x00' * 5000
+
+
+@pytest.mark.parametrize('lc,lp,pb', [(8, 0, 2), (3, 0, 2), (0, 2, 0),
+                                      (8, 4, 4), (5, 1, 1)])
+def test_roundtrip_param_matrix(rng, lc, lp, pb):
+    for data in _payloads(rng):
+        enc = lzma_encode_alone(data, lc=lc, lp=lp, pb=pb)
+        assert enc[0] == (pb * 5 + lp) * 9 + lc
+        dec, consumed = lzma_decode_alone(enc)
+        assert dec == data
+        assert consumed == len(enc), 'EOS framing must consume exactly'
+
+
+def test_roundtrip_fuzz(rng):
+    """Randomized content/size/effort sweep; every stream must decode
+    bit-exactly with exact consumed-length accounting."""
+    for trial in range(60):
+        n = int(rng.integers(0, 20000))
+        kind = trial % 3
+        if kind == 0:
+            data = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        elif kind == 1:
+            data = bytes(rng.integers(0, 16, n).astype(np.uint8))
+        else:
+            unit = bytes(rng.integers(0, 256, max(int(rng.integers(1, 50)),
+                                                  1)).astype(np.uint8))
+            data = (unit * (n // max(len(unit), 1) + 1))[:n]
+        depth = int(rng.integers(1, 64))
+        nice = int(rng.integers(8, 273))
+        enc = lzma_encode_alone(data, depth=depth, nice_len=nice)
+        dec, consumed = lzma_decode_alone(enc)
+        assert dec == data and consumed == len(enc)
+
+
+def test_concat_framing_mixed_modes(rng):
+    """lc8 and liblzma-lc3 streams concatenate per keyframe and split
+    back exactly (the GTM container contract)."""
+    from tiler_tpu.bitstream.lzma_codec import (iter_lzma_streams,
+                                                lzma_compress_alone)
+    parts = [b'first' * 100,
+             bytes(rng.integers(0, 8, 5000).astype(np.uint8)),
+             b'third' * 999]
+    blob = (lzma_encode_alone(parts[0])
+            + lzma_compress_alone(parts[1])
+            + lzma_encode_alone(parts[2]))
+    assert list(iter_lzma_streams(blob)) == parts
+
+
+def test_window_limit_respected():
+    """A match candidate beyond the declared dict size must not be
+    emitted: craft a repeat at distance > 64 KiB with a tiny in-between
+    so the only long match is the far one, and verify via an
+    independent WINDOWED decoder (liblzma, lc<=4) that the stream stays
+    valid for ring-buffer implementations."""
+    unit = bytes(range(256)) * 8  # 2 KiB block
+    filler = b'\x00' * (70 * 1024)
+    data = unit + filler + unit
+    enc = lzma_encode_alone(data, lc=3, lp=0, pb=2)
+    dec, consumed = lzma_decode_alone(enc)
+    assert dec == data and consumed == len(enc)
+    # liblzma enforces the header's dict size with a real window
+    assert pylzma.decompress(enc, format=pylzma.FORMAT_ALONE) == data
+
+
+def test_writer_auto_mode_picks_smaller():
+    from tiler_tpu.bitstream.gtm import GTMWriter
+
+    def build(mode):
+        r = np.random.default_rng(0)  # identical payload per mode
+        tiles = r.integers(0, 16, (32, 8, 8)).astype(np.uint8)
+        wr = GTMWriter(width=32, height=24, fps=24.0, tiles_pal=tiles,
+                       palette_size=16, frame_count=1, kf_count=1,
+                       lzma_mode=mode)
+        cells = 12
+        wr.add_keyframe(0, 0, 0,
+                        r.integers(0, 256, (256, 16, 3)).astype(np.uint8),
+                        [dict(tile_idx=r.integers(0, 32, cells),
+                              pal_idx=r.integers(0, 256, cells),
+                              hmir=np.zeros(cells, bool),
+                              vmir=np.zeros(cells, bool),
+                              smoothed=np.zeros(cells, bool))])
+        return wr.tobytes()
+
+    blobs = {mode: build(mode) for mode in ('lc3', 'lc8', 'auto')}
+    assert len(blobs['auto']) == min(len(blobs['lc3']), len(blobs['lc8']))
+    # all three decode identically
+    from tiler_tpu.decode import decode_video
+    ref, _ = decode_video(blobs['lc3'])
+    for mode in ('lc8', 'auto'):
+        got, _ = decode_video(blobs[mode])
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_cli_transcode_roundtrip(tmp_path):
+    """transcode recompresses streams; the decoded video is identical.
+    Covers both container forms: headered (repo sample) and legacy
+    headerless (reference demo)."""
+    import subprocess
+    import sys
+
+    from tiler_tpu.decode import decode_video
+
+    for src in ('/root/repo/decoders/web/sample.gtm',
+                '/root/reference/docs/demo/city_cif.gtm'):
+        import os
+        if not os.path.exists(src):
+            continue
+        out = str(tmp_path / 'out.gtm')
+        r = subprocess.run(
+            [sys.executable, '-m', 'tiler_tpu', 'transcode', src, out,
+             '--lzma-mode', 'auto'],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, JAX_PLATFORMS='cpu'))
+        assert r.returncode == 0, r.stderr
+        want, _ = decode_video(open(src, 'rb').read())
+        got, _ = decode_video(open(out, 'rb').read())
+        np.testing.assert_array_equal(got, want)
+        # auto never grows the payload beyond the better single mode
+        assert os.path.getsize(out) <= os.path.getsize(src) * 1.01

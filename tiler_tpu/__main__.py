@@ -35,7 +35,7 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                    default='medium')
     p.add_argument('--smoothing', type=float, default=20.0,
                    help='temporal smoothing strength / 1000')
-    p.add_argument('--enc-gamma', type=float, default=2.0)
+    p.add_argument('--enc-gamma', type=float, default=1.8)  # main.lfm:400
     p.add_argument('--dithering-gamma', action='store_true')
     p.add_argument('--ft-gamma', action='store_true')
     p.add_argument('--fps', type=float, default=24.0)
@@ -276,6 +276,51 @@ def cmd_decode(a) -> int:
     return 0
 
 
+def cmd_transcode(a) -> int:
+    """Recompress a GTM's keyframe streams with another LZMA mode
+    (commands and pixels untouched — the decoded video is identical).
+    Useful to shrink existing streams or to produce `lzma.exe -lc8`
+    -style files from liblzma-encoded ones."""
+    from .bitstream.gtm import (GTMHeader, GTMKeyFrameInfo, HEADER_SIZE,
+                                KFINFO_SIZE)
+    from .bitstream.lzma_codec import iter_lzma_streams, lzma_compress_alone
+    data = open(a.input, 'rb').read()
+
+    def compress(raw: bytes) -> bytes:
+        if a.lzma_mode in ('lc8', 'auto'):
+            from .native import lzma_encode_alone
+            native = lzma_encode_alone(raw)
+            if a.lzma_mode == 'lc8':
+                return native
+            lib = lzma_compress_alone(raw)
+            return native if len(native) < len(lib) else lib
+        return lzma_compress_alone(raw)
+
+    if data[:4] == b'GTMv':
+        hdr = GTMHeader.unpack(data)
+        whole = hdr.whole_header_size or (HEADER_SIZE
+                                          + KFINFO_SIZE * hdr.kf_count)
+        infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
+                 for i in range(hdr.kf_count)]
+        streams = [compress(c) for c in iter_lzma_streams(data[whole:])]
+        if len(streams) != hdr.kf_count:
+            raise ValueError(f'{a.input}: {len(streams)} streams but '
+                             f'header declares {hdr.kf_count} keyframes')
+        for info, s in zip(infos, streams):
+            info.compressed_size = len(s)
+        out = b''.join([hdr.pack()] + [i.pack() for i in infos] + streams)
+    else:
+        # legacy headerless container (the published demos): the whole
+        # file is concatenated LZMA-alone streams
+        out = b''.join(compress(c) for c in iter_lzma_streams(data))
+    with open(a.output, 'wb') as fh:
+        fh.write(out)
+    print(json.dumps(dict(input_bytes=len(data), output_bytes=len(out),
+                          mode=a.lzma_mode,
+                          ratio=round(len(out) / max(len(data), 1), 4))))
+    return 0
+
+
 def cmd_info(a) -> int:
     from .bitstream.gtm import parse_gtm
     from .decode import interpret_commands
@@ -428,6 +473,15 @@ def main(argv=None) -> int:
     pd.add_argument('input')
     pd.add_argument('output', help='.npy or PNG pattern with %%d')
     pd.set_defaults(fn=cmd_decode)
+
+    pt = sub.add_parser('transcode',
+                        help='recompress keyframe streams (video bytes '
+                             'decode identically)')
+    pt.add_argument('input')
+    pt.add_argument('output')
+    pt.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto'),
+                    default='auto')
+    pt.set_defaults(fn=cmd_transcode)
 
     pi = sub.add_parser('info', help='inspect a GTM stream')
     pi.add_argument('input')

@@ -218,6 +218,14 @@ def run_dither(state: EncoderState) -> EncoderState:
     n_total = state.n_tiles
     buf = jnp.zeros((n_total, TILE_W, TILE_W), jnp.uint8)
 
+    # scan batching: the dedup key's 8-bit group field holds
+    # 256 // palette_count keyframes per device scan, so multi-keyframe
+    # clips pay the per-scan dispatch overhead (sort + compact + plan +
+    # assign round trips — the dominant cost at small resolutions
+    # through a high-RTT link) once per BATCH instead of once per
+    # keyframe. Group ids stay distinct per keyframe, so plans and
+    # selections are unchanged — identical bytes.
+    kb = max(1, 256 // cfg.palette_count)
     t_quant = t_scan = 0.0
     with cf.ThreadPoolExecutor(1) as qpool:
         t0 = time.perf_counter()
@@ -229,20 +237,26 @@ def run_dither(state: EncoderState) -> EncoderState:
             # prepare(k+1) writing tile_dpi[cells_{k+1}]
             futs.append(qpool.submit(quantize_keyframe_palettes, state, k))
         phases['prepare_kmeans'] = time.perf_counter() - t0
-        for k in range(n_kf):
+        for b0 in range(0, n_kf, kb):
+            batch = range(b0, min(b0 + kb, n_kf))
             t0 = time.perf_counter()
-            counts = futs[k].result()
-            finish_quantize_keyframe(state, k, counts)
+            for k in batch:
+                finish_quantize_keyframe(state, k, futs[k].result())
             t_quant += time.perf_counter() - t0
             t0 = time.perf_counter()
-            rows = np.flatnonzero(act_kf == k)
+            rows = np.flatnonzero((act_kf >= batch.start)
+                                  & (act_kf < batch.stop))
             if rows.size:
                 idx = jnp.asarray(act[rows].astype(np.int32))
                 sel = tiles_dev[idx]
                 dpi_rows = np.maximum(state.tile_dpi[act[rows]], 0)
+                groups = ((act_kf[rows] - batch.start) * cfg.palette_count
+                          + dpi_rows)
+                group_pals = state.palettes_rgb[batch.start:batch.stop] \
+                    .reshape(-1, cfg.tile_palette_size, 3)
                 dithered = dither_cached(
-                    sel, state.palettes_rgb[k],
-                    jnp.asarray(dpi_rows.astype(np.int32)),
+                    sel, group_pals,
+                    jnp.asarray(groups.astype(np.int32)),
                     return_device=True)
                 buf = buf.at[idx].set(dithered)
             t_scan += time.perf_counter() - t0
