@@ -52,17 +52,30 @@ def synthetic_clip(f, h, w, seed=0):
     return frames
 
 
+def _bench_mesh():
+    """TILER_BENCH_DEVICES=N (N>1, pow2): run the production mesh path
+    across N local devices — the scaling config for multi-chip hosts
+    (BASELINE.md 'frames/s at 1 chip, 1 host, N hosts'). Only one real
+    chip is reachable through this tunnel, so the default stays 1."""
+    n = int(os.environ.get('TILER_BENCH_DEVICES', '1'))
+    if n <= 1:
+        return None
+    from tiler_tpu.parallel.mesh import make_mesh
+    return make_mesh(n)
+
+
 def encode_once(frames, warm: bool = True, runs: int = 1):
     from tiler_tpu.config import EncoderConfig
     from tiler_tpu.pipeline.encoder import Encoder
     cfg = EncoderConfig(palette_count=PAL, tile_palette_size=16)
+    mesh = _bench_mesh()
     if warm:
         # warmup at the SAME shapes: shape-bucketed kernels compile here
         # so the timed run measures steady-state throughput
-        Encoder(cfg).run_all(frames, fps=24.0, fast_lzma=True)
+        Encoder(cfg, mesh=mesh).run_all(frames, fps=24.0, fast_lzma=True)
     all_fps = []
     for _ in range(max(runs, 1)):
-        enc = Encoder(cfg)
+        enc = Encoder(cfg, mesh=mesh)
         t0 = time.perf_counter()
         blob = enc.run_all(frames, fps=24.0, fast_lzma=True)
         dt = time.perf_counter() - t0
