@@ -132,15 +132,12 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
 
     Returns (labels [n] int32, centroids [k, A] uint8).
     """
-    from ..ops.kmodes import (_cost_less, make_dissim_fn,
-                              _normalize_cost_triple, _next_pow2)
-    from ..constants import DISSIM_SUB_MATCHING_BITS
+    from ..ops.kmodes import _next_pow2
 
     devices = mesh.devices.reshape(-1)
     n_dev = devices.size
     assert n_dev & (n_dev - 1) == 0, 'device count must be a power of two'
     flat_mesh = Mesh(devices, ('km',))
-    ax = 'km'
 
     n, a = x.shape
     assert 0 < k <= n
@@ -153,6 +150,47 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
     valid_k = np.zeros(k_pad, bool)
     valid_k[:k] = True
     n_loc = n_pad // n_dev
+    fn = _kmodes_solver(flat_mesh, n_loc, a, k_pad, n_modalities,
+                        max_iters)
+
+    data_sh = NamedSharding(flat_mesh, P('km'))
+
+    def run(sp: int):
+        labels, cents, cost = fn(jax.device_put(xp, data_sh),
+                                 jax.device_put(valid_n, data_sh),
+                                 jnp.asarray(valid_k), jnp.int32(sp))
+        return labels, cents, tuple(int(v) for v in np.asarray(cost))
+
+    if start_point >= 0:
+        labels, cents, _cost = run(start_point)
+    else:
+        # golden-ratio multi-restart, lowest cost wins, first on ties
+        # (kmodes.pas:949-966, 1046-1053) — identical selection to the
+        # single-device paths so N-host stays bit-equal to 1-host
+        from ..ops.kmodes import golden_ratio_starts
+        best = None
+        for sp in golden_ratio_starts(n, -start_point):
+            labels_i, cents_i, cost = run(sp)
+            if best is None or cost < best[0]:
+                best = (cost, labels_i, cents_i)
+        _, labels, cents = best
+    return np.asarray(labels)[:n], np.asarray(cents)[:k]
+
+
+@functools.lru_cache(maxsize=128)
+def _kmodes_solver(flat_mesh: Mesh, n_loc: int, a: int, k_pad: int,
+                   n_modalities: int, max_iters: int):
+    """Builds (and caches) the jitted shard_mapped KModes solver for one
+    padded shape bucket. The per-call closure in round-2's version made
+    jax.jit recompile for EVERY bin of a GlobalTiling solve — 16+
+    compiles per encode was why the mesh-KModes path measured 4.6x
+    slower than the vmapped batch solver; bins share a handful of pow2
+    shape buckets, so the cache brings distributed GT solves down to a
+    few compiles total."""
+    from ..constants import DISSIM_SUB_MATCHING_BITS
+    from ..ops.kmodes import (_cost_less, make_dissim_fn,
+                              _normalize_cost_triple)
+    ax = 'km'
 
     def solver(x_loc, v_loc, valid_k, start_point):
         my = jax.lax.axis_index(ax)
@@ -262,33 +300,11 @@ def sharded_kmodes(mesh: Mesh, x: np.ndarray, k: int, start_point: int,
         labels, cost = assign(cents)
         return labels, cents, jnp.stack(cost)
 
-    data_sh = NamedSharding(flat_mesh, P(ax))
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         solver, mesh=flat_mesh,
         in_specs=(P(ax), P(ax), P(None), P()),
         out_specs=(P(ax), P(None, None), P(None)),
         check_vma=False))
-
-    def run(sp: int):
-        labels, cents, cost = fn(jax.device_put(xp, data_sh),
-                                 jax.device_put(valid_n, data_sh),
-                                 jnp.asarray(valid_k), jnp.int32(sp))
-        return labels, cents, tuple(int(v) for v in np.asarray(cost))
-
-    if start_point >= 0:
-        labels, cents, _cost = run(start_point)
-    else:
-        # golden-ratio multi-restart, lowest cost wins, first on ties
-        # (kmodes.pas:949-966, 1046-1053) — identical selection to the
-        # single-device paths so N-host stays bit-equal to 1-host
-        from ..ops.kmodes import golden_ratio_starts
-        best = None
-        for sp in golden_ratio_starts(n, -start_point):
-            labels_i, cents_i, cost = run(sp)
-            if best is None or cost < best[0]:
-                best = (cost, labels_i, cents_i)
-        _, labels, cents = best
-    return np.asarray(labels)[:n], np.asarray(cents)[:k]
 
 
 def sharded_nearest_1(mesh: Mesh, queries: np.ndarray,

@@ -239,12 +239,13 @@ def run_global_tiling(state: EncoderState,
     if mesh_ok(state.mesh) and os.environ.get('TILER_MESH_KMODES') == '1':
         # opt-in distributed per-bin KModes (sharded_ops.sharded_kmodes,
         # bit-identical at 1/2/8 devices by test). NOT the mesh default:
-        # the bins are many and small, so 16+ sequential shard_map solves
-        # (one compile each) measured 4.6x SLOWER than the vmapped
-        # super-shape batch solver on the 8-device CPU mesh — the vmap
-        # lanes already saturate one chip, and a 2 s solve phase can't
-        # amortize per-bin collectives. Multi-host encodes reach the
-        # distributed solver through parallel.gop_exact instead.
+        # even with the solver compile cache (which took this path from
+        # 41.8 s to 3.5 s on the 8-device CPU mesh) the sequential
+        # per-bin solves still trail the vmapped super-shape batch
+        # solver (2.5 s) — the bins are many and small, and vmap lanes
+        # already saturate one chip. On real multi-chip hardware with
+        # large bins the distributed solve may win; multi-host encodes
+        # reach it through parallel.gop_exact either way.
         fwd, new_use, new_active, merges = compute_global_tiling_fwd(
             state.tiles_pal, state.tile_active, state.tile_use,
             state.tile_dpi, cfg, desired_tiles, mesh=state.mesh)
