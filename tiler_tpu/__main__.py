@@ -62,6 +62,12 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                    help="keyframe stream compressor: liblzma lc=3 "
                         "(default, smallest measured), native lc=8 "
                         "(lzma.exe -lc8 parity), or per-keyframe auto")
+    p.add_argument('--stream', action='store_true',
+                   help='bounded-memory streaming encode: GOPs are '
+                        'detected online, encoded independently (per-GOP '
+                        'tilesets, the --hosts container form) and '
+                        'appended to disk as they complete — RAM stays '
+                        'O(one GOP) regardless of clip length')
     p.add_argument('--devices', type=int, default=1,
                    help='shard the frame-axis-parallel encoder stages '
                         'across the first N local devices (a '
@@ -120,6 +126,8 @@ def cmd_encode(a) -> int:
         return _cmd_encode_distributed(a)
     if a.hosts > 1:
         return _cmd_encode_hosts(a)
+    if a.stream:
+        return _cmd_encode_stream(a)
     import dataclasses
     import os
 
@@ -273,6 +281,54 @@ def cmd_decode(a) -> int:
     print(json.dumps(dict(frames=len(frames), width=stream.width,
                           height=stream.height,
                           tiles=int(stream.tiles.shape[0]))))
+    return 0
+
+
+def _cmd_encode_stream(a) -> int:
+    """Bounded-memory streaming encode (pipeline.stream): frames arrive
+    lazily (.npy memory-mapped / PNGs one file at a time / video via an
+    ffmpeg PNG spool), GOPs encode as they complete."""
+    import os
+
+    from .pipeline import load as load_mod
+    from .pipeline.stream import (encode_streaming, iter_frames_npy,
+                                  iter_frames_pngs)
+    cfg = _config_from_args(a)
+    fps = a.fps
+    tmp_dir = None
+    try:
+        if a.input.endswith('.npy'):
+            frames = iter_frames_npy(a.input)
+        elif '%' in a.input or a.input.endswith('.png'):
+            pattern = a.input if '%' not in a.input \
+                else a.input.replace('%04d', '*')
+            frames = iter_frames_pngs(pattern)
+        else:
+            # spool to PNGs once (disk-bounded), then stream them lazily
+            import shutil
+            import tempfile
+
+            from .utils.progress import run_command
+            ffmpeg = shutil.which('ffmpeg')
+            if ffmpeg is None:
+                raise RuntimeError('ffmpeg not available on this host')
+            tmp_dir = tempfile.mkdtemp(prefix='tiler_stream_')
+            code, _out, stderr = run_command(
+                [ffmpeg] + load_mod.ffmpeg_args(
+                    a.input, os.path.join(tmp_dir, '%04d.png'),
+                    a.start_frame, a.frame_count, a.scaling), echo=True)
+            if code != 0:
+                raise RuntimeError(f'ffmpeg failed ({code}): '
+                                   f'{stderr[-500:]}')
+            fps = load_mod.parse_ffmpeg_fps(stderr)
+            frames = iter_frames_pngs(os.path.join(tmp_dir, '*.png'))
+        metrics = encode_streaming(frames, cfg, a.output, fps=fps,
+                                   fast_lzma=a.fast_lzma)
+    finally:
+        if tmp_dir:
+            import shutil
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    print(json.dumps(metrics))
     return 0
 
 

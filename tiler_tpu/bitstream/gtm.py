@@ -252,23 +252,9 @@ class GTMWriter:
         tileset: optional (start_index, tiles [n,8,8]) segment to emit
         before this keyframe's palettes (gtTileSet supports arbitrary
         ranges; the players grow their tile store)."""
-        parts = self._pending
+        raw = build_keyframe_stream(self._pending, palettes_rgb, frames,
+                                    tileset, self.palette_size)
         self._pending = []
-        if tileset is not None:
-            start, tiles = tileset
-            if len(tiles):
-                parts.append(_cmd_word(GTMCommand.TILE_SET,
-                                       self.palette_size))
-                parts.append(struct.pack('<II', start,
-                                         start + len(tiles) - 1))
-                parts.append(np.ascontiguousarray(
-                    tiles, dtype=np.uint8).tobytes())
-        parts.append(emit_kf_palettes(palettes_rgb))
-        for k, fr in enumerate(frames):
-            parts.append(emit_frame(fr['tile_idx'], fr['pal_idx'],
-                                    fr['hmir'], fr['vmir'], fr['smoothed'],
-                                    kf_end=(k == len(frames) - 1)))
-        raw = b''.join(parts)
         n_frames = end_frame - start_frame + 1
         info = GTMKeyFrameInfo(
             kf_index=kf_index, frame_index=start_frame,
@@ -282,41 +268,101 @@ class GTMWriter:
     def tobytes(self) -> bytes:
         # compress keyframe streams on a thread pool (liblzma releases the
         # GIL); stats follow main.pas:4727-4757
+        comps = self._compress_pending()
+        return b''.join([self.finalize_container()] + comps)
+
+    # -- streaming (bounded-memory) assembly --------------------------------
+
+    def _compress_pending(self) -> list[bytes]:
+        """Compress every buffered raw keyframe stream (thread pool;
+        liblzma and the native encoder both release the GIL), record the
+        compressed sizes in kf_infos, and release the raw buffers."""
         import concurrent.futures as cf
+        import functools
         import os
 
-        def compress(raw: bytes) -> bytes:
-            if self.lzma_mode in ('lc8', 'auto'):
-                from ..native import lzma_encode_alone
-                depth, nice = (16, 32) if self.fast_lzma else (128, 128)
-                native = lzma_encode_alone(raw, depth=depth, nice_len=nice)
-                if self.lzma_mode == 'lc8':
-                    return native
-                lib = lzma_compress_alone(raw, fast=self.fast_lzma)
-                return native if len(native) < len(lib) else lib
-            return lzma_compress_alone(raw, fast=self.fast_lzma)
-
+        compress = functools.partial(compress_keyframe_stream,
+                                     fast_lzma=self.fast_lzma,
+                                     lzma_mode=self.lzma_mode)
         workers = min(max(os.cpu_count() or 1, 1), 8)
         with cf.ThreadPoolExecutor(workers) as ex:
             comps = list(ex.map(compress, self.streams))
+        done = getattr(self, '_flushed', 0)
+        for info, comp in zip(self.kf_infos[done:], comps):
+            info.compressed_size = len(comp)
+        self._flushed = done + len(comps)
+        self.streams = []
+        return comps
+
+    def flush_streams(self, fh) -> None:
+        """Compress and write the buffered keyframe streams to fh, then
+        drop them from memory — the bounded-memory path for long-clip
+        streaming encodes (pipeline.stream). Call finalize_container()
+        at the end for the header + keyframe-info prefix."""
+        for comp in self._compress_pending():
+            fh.write(comp)
+
+    def finalize_container(self) -> bytes:
+        """Header + keyframe-info block, from the recorded compressed
+        sizes (every stream must have been compressed — via tobytes or
+        flush_streams). Stats follow main.pas:4727-4757."""
         hdr = self.header
         hdr.kf_max_bytes_per_sec = 0
         hdr.average_bytes_per_sec = 0
-        for i, (info, comp) in enumerate(zip(self.kf_infos, comps)):
-            info.compressed_size = len(comp)
+        for i, info in enumerate(self.kf_infos):
             n_frames = self._kf_frames[i]
             # KFMaxBytesPerSec excludes KF 0 unless it is the only one
             # (main.pas:4741-4742): KF 0 carries the tileset burst.
             if info.kf_index > 0 or hdr.kf_count == 1:
                 hdr.kf_max_bytes_per_sec = max(
                     hdr.kf_max_bytes_per_sec,
-                    int(round(len(comp) * self.fps / n_frames)))
-            hdr.average_bytes_per_sec += len(comp)
+                    int(round(info.compressed_size * self.fps / n_frames)))
+            hdr.average_bytes_per_sec += info.compressed_size
         hdr.average_bytes_per_sec = int(round(
             hdr.average_bytes_per_sec * self.fps / max(hdr.frame_count, 1)))
+        hdr.kf_count = len(self.kf_infos)
         hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * len(self.kf_infos)
-        return b''.join([hdr.pack()] +
-                        [i.pack() for i in self.kf_infos] + comps)
+        return b''.join([hdr.pack()] + [i.pack() for i in self.kf_infos])
+
+
+def build_keyframe_stream(prefix_parts: list[bytes],
+                          palettes_rgb: np.ndarray, frames: list[dict],
+                          tileset: tuple[int, np.ndarray] | None,
+                          palette_size: int) -> bytes:
+    """One keyframe's raw command stream: optional prefix (the first
+    keyframe's SET_DIMENSIONS / global tileset), an optional gtTileSet
+    segment, palette loads, then the frame command runs — shared by
+    GTMWriter.add_keyframe and the bounded-memory streaming assembler
+    (pipeline.stream)."""
+    parts = list(prefix_parts)
+    if tileset is not None:
+        start, tiles = tileset
+        if len(tiles):
+            parts.append(_cmd_word(GTMCommand.TILE_SET, palette_size))
+            parts.append(struct.pack('<II', start, start + len(tiles) - 1))
+            parts.append(np.ascontiguousarray(
+                tiles, dtype=np.uint8).tobytes())
+    parts.append(emit_kf_palettes(palettes_rgb))
+    for k, fr in enumerate(frames):
+        parts.append(emit_frame(fr['tile_idx'], fr['pal_idx'],
+                                fr['hmir'], fr['vmir'], fr['smoothed'],
+                                kf_end=(k == len(frames) - 1)))
+    return b''.join(parts)
+
+
+def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
+                             lzma_mode: str = 'lc3') -> bytes:
+    """One keyframe stream's LZMA-alone bytes under the configured mode
+    ('lc3' liblzma / 'lc8' native / 'auto' smaller-of-both)."""
+    if lzma_mode in ('lc8', 'auto'):
+        from ..native import lzma_encode_alone
+        depth, nice = (16, 32) if fast_lzma else (128, 128)
+        native = lzma_encode_alone(raw, depth=depth, nice_len=nice)
+        if lzma_mode == 'lc8':
+            return native
+        lib = lzma_compress_alone(raw, fast=fast_lzma)
+        return native if len(native) < len(lib) else lib
+    return lzma_compress_alone(raw, fast=fast_lzma)
 
 
 @dataclasses.dataclass
