@@ -56,6 +56,15 @@ def test_streaming_matches_gop_sharded(rng, tmp_path):
                                fast_lzma=True, chunk=4)
     got = open(out, 'rb').read()
     assert got == want, 'streaming encode differs from batch GOP encode'
+    # stream + mesh compose: still byte-identical
+    import jax
+
+    from tiler_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) >= 8:
+        out8 = str(tmp_path / 's8.gtm')
+        encode_streaming(iter(frames), cfg, out8, fps=24.0,
+                         fast_lzma=True, chunk=4, mesh=make_mesh(8))
+        assert open(out8, 'rb').read() == want
     assert metrics['n_keyframes'] >= 2
     assert metrics['max_buffered_frames'] < len(frames), \
         'memory bound: never held the whole clip'

@@ -294,6 +294,14 @@ def _cmd_encode_stream(a) -> int:
     from .pipeline.stream import (encode_streaming, iter_frames_npy,
                                   iter_frames_pngs)
     cfg = _config_from_args(a)
+    mesh = None
+    if a.devices > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.mesh_pipeline import mesh_ok
+        mesh = make_mesh(a.devices)
+        if not mesh_ok(mesh):
+            raise SystemExit(f'--devices {a.devices}: device count must '
+                             'be a power of two')
     fps = a.fps
     tmp_dir = None
     try:
@@ -323,7 +331,7 @@ def _cmd_encode_stream(a) -> int:
             fps = load_mod.parse_ffmpeg_fps(stderr)
             frames = iter_frames_pngs(os.path.join(tmp_dir, '*.png'))
         metrics = encode_streaming(frames, cfg, a.output, fps=fps,
-                                   fast_lzma=a.fast_lzma)
+                                   fast_lzma=a.fast_lzma, mesh=mesh)
     finally:
         if tmp_dir:
             import shutil

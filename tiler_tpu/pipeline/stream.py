@@ -83,11 +83,12 @@ class OnlineKeyframeDetector:
         return starts
 
 
-def _encode_gop(config, gop_frames: np.ndarray, fps: float):
+def _encode_gop(config, gop_frames: np.ndarray, fps: float, mesh=None):
     """One GOP as an independent single-keyframe encode (the
-    parallel.distributed.encode_gop_partition body)."""
+    parallel.distributed.encode_gop_partition body); mesh shards the
+    frame-axis-parallel stages (byte-identical, parallel.mesh_pipeline)."""
     from .encoder import Encoder
-    enc = Encoder(config)
+    enc = Encoder(config, mesh=mesh)
     enc.load(gop_frames, fps=fps)
     enc.state.keyframes = np.array([[0, len(gop_frames) - 1]], np.int32)
     enc.dither()
@@ -102,10 +103,13 @@ def _encode_gop(config, gop_frames: np.ndarray, fps: float):
 
 
 def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
-                     fast_lzma: bool = False, chunk: int = 64) -> dict:
+                     fast_lzma: bool = False, chunk: int = 64,
+                     mesh=None) -> dict:
     """Encode an iterator/iterable of [H,W,3] uint8 frames to out_path
-    with bounded memory. Returns metrics (n_frames, n_keyframes,
-    gtm_bytes, max_buffered_frames)."""
+    with bounded memory. mesh: optional device mesh for the per-GOP
+    encodes (stream + --devices compose; byte-identical either way).
+    Returns metrics (n_frames, n_keyframes, gtm_bytes,
+    max_buffered_frames)."""
     det = None
     buf: list[np.ndarray] = []
     buf_start = 0
@@ -125,7 +129,7 @@ def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
     def process_gop(start: int, end: int) -> None:
         nonlocal kf_index, tile_offset, gop0
         gop = np.stack(buf[:end - start + 1])
-        st, n_act = _encode_gop(config, gop, fps)
+        st, n_act = _encode_gop(config, gop, fps, mesh=mesh)
         dims.setdefault('w', st.screen_w)
         dims.setdefault('h', st.screen_h)
         frames_d = [dict(tile_idx=st.stm_tile[f].ravel() + tile_offset,
