@@ -230,12 +230,15 @@ def run_dither(state: EncoderState) -> EncoderState:
     with cf.ThreadPoolExecutor(1) as qpool:
         t0 = time.perf_counter()
         futs = []
+        import os
         for k in range(n_kf):
             prepare_dither_keyframe(state, k)  # device
             # keyframes' cell ranges are disjoint (identity tilemap), so
             # quantize(k) reading tile_dpi[cells_k] is safe against
             # prepare(k+1) writing tile_dpi[cells_{k+1}]
             futs.append(qpool.submit(quantize_keyframe_palettes, state, k))
+            if os.environ.get('TILER_NO_OVERLAP') == '1':
+                futs[-1].result()  # A/B switch: serialize host quantize
         phases['prepare_kmeans'] = time.perf_counter() - t0
         for b0 in range(0, n_kf, kb):
             batch = range(b0, min(b0 + kb, n_kf))
