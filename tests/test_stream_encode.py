@@ -92,3 +92,52 @@ def test_cli_stream_encode(rng, tmp_path):
     from tiler_tpu.decode import decode_video
     dec, _ = decode_video(open(out, 'rb').read())
     assert dec.shape == frames.shape
+
+
+def test_streaming_with_shared_gts_tileset(rng, tmp_path):
+    """Two-pass global-tileset streaming: pass 1 produces a GTS (batch
+    encode with gts_out), pass 2 streams against it — the tileset is
+    emitted once, every GOP maps onto the shared indices, memory stays
+    bounded (the reference's ReloadPreviousTiling workflow,
+    main.pas:4372-4470, composed with streaming)."""
+    import dataclasses
+
+    from tiler_tpu.bitstream.gtm import parse_gtm, read_gts
+    from tiler_tpu.decode import decode_video, interpret_commands
+    from tiler_tpu.ops.stats import psnr
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.pipeline.global_tiling import run_global_tiling
+
+    frames = _multishot(rng)
+    cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
+                        max_tiles=120)
+
+    # pass 1: tileset from a batch encode of sampled frames
+    gts = str(tmp_path / 'pass1.gts')
+    enc = Encoder(cfg)
+    enc.load(frames[::2])
+    enc.dither()
+    enc.make_unique()
+    run_global_tiling(enc.state, gts_out=gts)
+    gts_tiles, _ = read_gts(gts)
+
+    # pass 2: stream against the fixed tileset
+    cfg2 = dataclasses.replace(cfg, reload_tileset=gts)
+    out = str(tmp_path / 'shared.gtm')
+    metrics = encode_streaming(iter(frames), cfg2, out, fps=24.0,
+                               fast_lzma=True, chunk=4)
+    assert metrics['shared_tileset'] == len(gts_tiles)
+    assert metrics['n_keyframes'] >= 2
+    assert metrics['max_buffered_frames'] < len(frames)
+
+    blob = open(out, 'rb').read()
+    parsed = parse_gtm(blob)
+    assert parsed.header.kf_count == metrics['n_keyframes']
+    stream = interpret_commands(parsed)
+    # exactly the shared tileset, referenced globally by every keyframe
+    assert stream.tiles.shape[0] == len(gts_tiles)
+    for f in stream.frames:
+        assert (f.tile_idx < len(gts_tiles)).all()
+    dec, _ = decode_video(blob)
+    assert dec.shape == frames.shape
+    assert float(psnr(dec, frames)) > 15.0

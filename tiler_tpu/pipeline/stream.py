@@ -109,7 +109,18 @@ def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
     with bounded memory. mesh: optional device mesh for the per-GOP
     encodes (stream + --devices compose; byte-identical either way).
     Returns metrics (n_frames, n_keyframes, gtm_bytes,
-    max_buffered_frames)."""
+    max_buffered_frames).
+
+    Two-pass global-tileset mode: when config.reload_tileset names a GTS
+    file (the reference's ReloadPreviousTiling workflow,
+    main.pas:4372-4470 — e.g. produced by a batch encode of sampled
+    frames with --gts-out), every GOP maps onto that FIXED tileset: the
+    tileset is emitted ONCE in the first stream, tilemaps reference the
+    shared global indices, and streaming regains cross-GOP tile sharing
+    while staying O(one GOP) in memory."""
+    if config.reload_tileset:
+        return _encode_streaming_reload(frames_iter, config, out_path,
+                                        fps, fast_lzma, chunk, mesh)
     det = None
     buf: list[np.ndarray] = []
     buf_start = 0
@@ -225,6 +236,125 @@ def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
             pass
     return dict(n_frames=total, n_keyframes=kf_index, gtm_bytes=size,
                 max_buffered_frames=max_buf)
+
+
+def _encode_streaming_reload(frames_iter, config, out_path: str,
+                             fps: float, fast_lzma: bool, chunk: int,
+                             mesh) -> dict:
+    """Streaming encode against a FIXED global tileset (see
+    encode_streaming docstring): the scaled GTS is emitted once, every
+    GOP's tilemap maps onto its indices, no per-GOP tileset segments."""
+    from ..bitstream.gtm import emit_tileset, read_gts
+
+    gts_tiles, gts_pal_size = read_gts(config.reload_tileset)
+    scaled = (gts_tiles.astype(np.int64) * config.tile_palette_size
+              // gts_pal_size).astype(np.uint8)
+    lut: dict[bytes, int] = {}
+    for i, row in enumerate(scaled):
+        lut.setdefault(row.tobytes(), i)
+
+    det = None
+    buf: list[np.ndarray] = []
+    buf_start = 0
+    total = 0
+    max_buf = 0
+    kf_index = 0
+    infos: list[GTMKeyFrameInfo] = []
+    kf_counts: list[int] = []
+    dims = {}
+
+    tmp_fd, tmp_path = tempfile.mkstemp(
+        prefix=os.path.basename(out_path) + '.streams.')
+    tmp = os.fdopen(tmp_fd, 'wb')
+
+    def process_gop(start: int, end: int) -> None:
+        nonlocal kf_index
+        gop = np.stack(buf[:end - start + 1])
+        st, n_act = _encode_gop(config, gop, fps, mesh=mesh)
+        if not dims:
+            dims['w'], dims['h'] = st.screen_w, st.screen_h
+            dims['prefix'] = [emit_tileset(
+                scaled, config.tile_palette_size,
+                st.tilemap_w, st.tilemap_h, fps)]
+        # every active tile's pixels ARE a scaled GTS line after the
+        # reload path (run_reload_tiling overwrote them); map local
+        # dense indices to the shared global ones
+        lutarr = np.array([lut[st.tiles_pal[i].tobytes()]
+                           for i in range(n_act)], np.int64)
+        frames_d = [dict(tile_idx=lutarr[st.stm_tile[f].ravel()],
+                         pal_idx=st.stm_pal[f].ravel(),
+                         hmir=st.stm_h[f].ravel(),
+                         vmir=st.stm_v[f].ravel(),
+                         smoothed=st.stm_smooth[f].ravel())
+                    for f in range(st.n_frames)]
+        raw = build_keyframe_stream(
+            dims['prefix'] if kf_index == 0 else [],
+            st.palettes_rgb[0], frames_d, None, config.tile_palette_size)
+        comp = compress_keyframe_stream(raw, fast_lzma=fast_lzma,
+                                        lzma_mode=config.lzma_mode)
+        tmp.write(comp)
+        infos.append(GTMKeyFrameInfo(
+            kf_index=kf_index, frame_index=start, raw_size=len(raw),
+            compressed_size=len(comp),
+            timecode_ms=int(round(1000.0 * start / fps))))
+        kf_counts.append(end - start + 1)
+        kf_index += 1
+
+    try:
+        it = iter(frames_iter)
+        done = False
+        while not done:
+            chunk_frames = []
+            for _ in range(chunk):
+                try:
+                    chunk_frames.append(np.asarray(next(it)))
+                except StopIteration:
+                    done = True
+                    break
+            if chunk_frames:
+                arr = np.stack(chunk_frames)
+                if det is None:
+                    th = min(arr.shape[1] // TILE_W, MAX_TILEMAP_H)
+                    tw = min(arr.shape[2] // TILE_W, MAX_TILEMAP_W)
+                    det = OnlineKeyframeDetector(th * tw)
+                starts = det.feed(arr)
+                buf.extend(chunk_frames)
+                total += len(chunk_frames)
+                max_buf = max(max_buf, len(buf))
+                for s in starts:
+                    process_gop(buf_start, s - 1)
+                    del buf[: s - buf_start]
+                    buf_start = s
+        if buf:
+            process_gop(buf_start, total - 1)
+            buf.clear()
+        tmp.close()
+
+        assert infos, 'no frames'
+        writer = GTMWriter(
+            width=dims['w'], height=dims['h'], fps=fps, tiles_pal=None,
+            palette_size=config.tile_palette_size, frame_count=total,
+            kf_count=kf_index, fast_lzma=fast_lzma,
+            total_tile_count=len(scaled), lzma_mode=config.lzma_mode)
+        writer.kf_infos = infos
+        writer._kf_frames = kf_counts
+        prefix = writer.finalize_container()
+        with open(out_path, 'wb') as out:
+            out.write(prefix)
+            with open(tmp_path, 'rb') as sf:
+                shutil.copyfileobj(sf, out)
+        size = os.path.getsize(out_path)
+    finally:
+        try:
+            tmp.close()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+    return dict(n_frames=total, n_keyframes=kf_index, gtm_bytes=size,
+                max_buffered_frames=max_buf, shared_tileset=len(scaled))
 
 
 def iter_frames_npy(path: str):
