@@ -60,8 +60,19 @@ def _bench_mesh():
     n = int(os.environ.get('TILER_BENCH_DEVICES', '1'))
     if n <= 1:
         return None
+    import jax
+
     from tiler_tpu.parallel.mesh import make_mesh
-    return make_mesh(n)
+    from tiler_tpu.parallel.mesh_pipeline import mesh_ok
+    if n > len(jax.devices()):
+        raise SystemExit(f'TILER_BENCH_DEVICES={n}: only '
+                         f'{len(jax.devices())} device(s) available')
+    mesh = make_mesh(n)
+    if not mesh_ok(mesh):
+        raise SystemExit(f'TILER_BENCH_DEVICES={n}: must be a power of '
+                         'two (a silent single-device fallback would '
+                         'mislabel the scaling numbers)')
+    return mesh
 
 
 def encode_once(frames, warm: bool = True, runs: int = 1):

@@ -141,3 +141,24 @@ def test_streaming_with_shared_gts_tileset(rng, tmp_path):
     dec, _ = decode_video(blob)
     assert dec.shape == frames.shape
     assert float(psnr(dec, frames)) > 15.0
+
+
+def test_streaming_non_multiple_of_8_and_empty(rng, tmp_path):
+    """The online detector must see tile-grid-CROPPED frames like the
+    batch path (review r3): odd dimensions stay byte-identical. Empty
+    input raises a clean ValueError."""
+    import pytest
+
+    from tiler_tpu.parallel.distributed import encode_gop_sharded
+    frames = _multishot(rng, f=10, h=50, w=67)  # crops to 48x64
+    cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
+                        max_tiles=120)
+    want = encode_gop_sharded(frames, cfg, n_hosts=1, fps=24.0,
+                              fast_lzma=True)
+    out = str(tmp_path / 'odd.gtm')
+    encode_streaming(iter(frames), cfg, out, fps=24.0, fast_lzma=True,
+                     chunk=3)
+    assert open(out, 'rb').read() == want
+
+    with pytest.raises(ValueError, match='no frames'):
+        encode_streaming(iter([]), cfg, str(tmp_path / 'e.gtm'))

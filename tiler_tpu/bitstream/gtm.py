@@ -271,36 +271,17 @@ class GTMWriter:
         comps = self._compress_pending()
         return b''.join([self.finalize_container()] + comps)
 
-    # -- streaming (bounded-memory) assembly --------------------------------
-
     def _compress_pending(self) -> list[bytes]:
         """Compress every buffered raw keyframe stream (thread pool;
-        liblzma and the native encoder both release the GIL), record the
-        compressed sizes in kf_infos, and release the raw buffers."""
-        import concurrent.futures as cf
-        import functools
-        import os
-
-        compress = functools.partial(compress_keyframe_stream,
-                                     fast_lzma=self.fast_lzma,
-                                     lzma_mode=self.lzma_mode)
-        workers = min(max(os.cpu_count() or 1, 1), 8)
-        with cf.ThreadPoolExecutor(workers) as ex:
-            comps = list(ex.map(compress, self.streams))
-        done = getattr(self, '_flushed', 0)
-        for info, comp in zip(self.kf_infos[done:], comps):
+        liblzma and the native encoder both release the GIL) and record
+        the compressed sizes in kf_infos."""
+        comps = compress_keyframe_streams(self.streams,
+                                          fast_lzma=self.fast_lzma,
+                                          lzma_mode=self.lzma_mode)
+        for info, comp in zip(self.kf_infos, comps):
             info.compressed_size = len(comp)
-        self._flushed = done + len(comps)
         self.streams = []
         return comps
-
-    def flush_streams(self, fh) -> None:
-        """Compress and write the buffered keyframe streams to fh, then
-        drop them from memory — the bounded-memory path for long-clip
-        streaming encodes (pipeline.stream). Call finalize_container()
-        at the end for the header + keyframe-info prefix."""
-        for comp in self._compress_pending():
-            fh.write(comp)
 
     def finalize_container(self) -> bytes:
         """Header + keyframe-info block, from the recorded compressed
@@ -363,6 +344,20 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
         lib = lzma_compress_alone(raw, fast=fast_lzma)
         return native if len(native) < len(lib) else lib
     return lzma_compress_alone(raw, fast=fast_lzma)
+
+
+def compress_keyframe_streams(raws: list[bytes], fast_lzma: bool = False,
+                              lzma_mode: str = 'lc3') -> list[bytes]:
+    """Thread-pooled compress_keyframe_stream over many streams (the
+    compressors release the GIL)."""
+    import concurrent.futures as cf
+    import functools
+    import os
+    compress = functools.partial(compress_keyframe_stream,
+                                 fast_lzma=fast_lzma, lzma_mode=lzma_mode)
+    workers = min(max(os.cpu_count() or 1, 1), 8)
+    with cf.ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(compress, raws))
 
 
 @dataclasses.dataclass

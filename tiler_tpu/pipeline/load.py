@@ -74,7 +74,7 @@ def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
         # progressive pipe pump with live echo (internalRuncommand,
         # extern.pas:94-200): ffmpeg reports progress on stderr
         code, _out, stderr = run_command(
-            [ffmpeg] + ffmpeg_args(path, os.path.join(tmp, '%04d.png'),
+            [ffmpeg] + ffmpeg_args(path, os.path.join(tmp, '%06d.png'),
                                    start_frame, frame_count, scale),
             echo=True)
         if code != 0:
@@ -86,13 +86,28 @@ def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
     return frames, fps
 
 
-def frames_from_pngs(pattern: str) -> np.ndarray:
-    from PIL import Image
-    paths = sorted(glob.glob(pattern))
+def sorted_frame_paths(pattern: str) -> list[str]:
+    """Glob sorted NUMERICALLY by the digits in each name: a plain
+    lexicographic sort interleaves '10000.png' between '0999' and
+    '2000' once a spool passes 9999 frames — exactly the long-clip case
+    streaming exists for."""
+    import re
+
+    def key(p):
+        name = os.path.basename(p)
+        nums = re.findall(r'\d+', name)
+        return ([int(x) for x in nums], name)
+
+    paths = sorted(glob.glob(pattern), key=key)
     if not paths:
         raise FileNotFoundError(pattern)
+    return paths
+
+
+def frames_from_pngs(pattern: str) -> np.ndarray:
+    from PIL import Image
     return np.stack([np.asarray(Image.open(p).convert('RGB'))
-                     for p in paths])
+                     for p in sorted_frame_paths(pattern)])
 
 
 def split_into_tiles(frames: np.ndarray, th: int, tw: int) -> np.ndarray:

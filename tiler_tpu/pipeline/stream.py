@@ -5,19 +5,23 @@ The reference (and our batch path) loads the whole clip into RAM
 frame ITERATOR instead: keyframes are detected online (bit-identical
 boundaries — the batch detector's EWMA resets at every keyframe, so
 chunked feeding changes nothing, load.keyframes_from_correlations), each
-completed GOP is encoded independently with its own tileset segment (the
-container form of parallel.distributed.encode_gop_sharded), and its
-compressed stream is appended to disk immediately. RAM high-water is one
-GOP plus one detector chunk; the budget guard
-(SHOT_TRANS_MAX_TILES_PER_KF) bounds GOP length, so memory is O(1) in
-clip length.
+completed GOP is encoded independently, and its compressed stream is
+appended to disk immediately. RAM high-water is one GOP plus one
+detector chunk; the budget guard (SHOT_TRANS_MAX_TILES_PER_KF) bounds
+GOP length, so memory is O(1) in clip length.
 
-Output is BYTE-IDENTICAL to encode_gop_sharded(frames, n_hosts=1) on the
-same frames (asserted by test): same boundaries, same per-GOP encodes,
-same container. The only whole-clip datum — the total tile count in the
-SET_DIMENSIONS header command — is resolved by keeping the FIRST GOP's
-payload raw until finalize (every decoder grows its tile store on
-gtTileSet segments, but the hint is emitted exactly anyway).
+Two container modes:
+  * default: each GOP carries its own tileset segment (the
+    parallel.distributed.encode_gop_sharded form). Output is
+    BYTE-IDENTICAL to encode_gop_sharded(frames, n_hosts=1) on the same
+    frames (asserted by test); the one whole-clip datum — the total tile
+    count in SET_DIMENSIONS — is resolved by keeping the FIRST GOP's
+    payload raw until finalize.
+  * config.reload_tileset set (the reference's ReloadPreviousTiling
+    workflow, main.pas:4372-4470): every GOP maps onto that FIXED GTS
+    tileset, which is emitted once and referenced globally — streaming
+    regains cross-GOP tile sharing. Pass 1 typically builds the GTS from
+    sampled frames with --gts-out.
 """
 from __future__ import annotations
 
@@ -102,74 +106,28 @@ def _encode_gop(config, gop_frames: np.ndarray, fps: float, mesh=None):
     return st, n_act
 
 
-def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
-                     fast_lzma: bool = False, chunk: int = 64,
-                     mesh=None) -> dict:
-    """Encode an iterator/iterable of [H,W,3] uint8 frames to out_path
-    with bounded memory. mesh: optional device mesh for the per-GOP
-    encodes (stream + --devices compose; byte-identical either way).
-    Returns metrics (n_frames, n_keyframes, gtm_bytes,
-    max_buffered_frames).
+def _stream_driver(frames_iter, out_path: str, chunk: int,
+                   process_gop, finalize) -> dict:
+    """Shared scaffolding for both streaming modes: chunked iteration,
+    online detection on tile-grid-CROPPED frames (the batch detector
+    sees cropped frames, load.run_load:175 — feeding raw pixels would
+    flip boundaries near thresholds), GOP buffering, the compressed-
+    stream spool NEXT TO out_path (a tmpfs /tmp would re-introduce an
+    O(clip) RAM footprint), and cleanup.
 
-    Two-pass global-tileset mode: when config.reload_tileset names a GTS
-    file (the reference's ReloadPreviousTiling workflow,
-    main.pas:4372-4470 — e.g. produced by a batch encode of sampled
-    frames with --gts-out), every GOP maps onto that FIXED tileset: the
-    tileset is emitted ONCE in the first stream, tilemaps reference the
-    shared global indices, and streaming regains cross-GOP tile sharing
-    while staying O(one GOP) in memory."""
-    if config.reload_tileset:
-        return _encode_streaming_reload(frames_iter, config, out_path,
-                                        fps, fast_lzma, chunk, mesh)
+    process_gop(tmp_fh, gop_frames, start, end) encodes + appends one
+    GOP; finalize(tmp_path, total) assembles the final file and returns
+    its metrics dict."""
     det = None
+    crop = None
     buf: list[np.ndarray] = []
     buf_start = 0
     total = 0
     max_buf = 0
-    kf_index = 0
-    tile_offset = 0
-    gop0 = None          # (start, end, palettes, frame_dicts, tiles)
-    infos: list[GTMKeyFrameInfo] = []
-    kf_counts: list[int] = []
-    dims = {}
-
     tmp_fd, tmp_path = tempfile.mkstemp(
-        prefix=os.path.basename(out_path) + '.streams.')
+        prefix=os.path.basename(out_path) + '.streams.',
+        dir=os.path.dirname(out_path) or '.')
     tmp = os.fdopen(tmp_fd, 'wb')
-
-    def process_gop(start: int, end: int) -> None:
-        nonlocal kf_index, tile_offset, gop0
-        gop = np.stack(buf[:end - start + 1])
-        st, n_act = _encode_gop(config, gop, fps, mesh=mesh)
-        dims.setdefault('w', st.screen_w)
-        dims.setdefault('h', st.screen_h)
-        frames_d = [dict(tile_idx=st.stm_tile[f].ravel() + tile_offset,
-                         pal_idx=st.stm_pal[f].ravel(),
-                         hmir=st.stm_h[f].ravel(),
-                         vmir=st.stm_v[f].ravel(),
-                         smoothed=st.stm_smooth[f].ravel())
-                    for f in range(st.n_frames)]
-        payload = (start, end, st.palettes_rgb[0],
-                   frames_d, st.tiles_pal[:n_act].copy())
-        kf_counts.append(end - start + 1)
-        if kf_index == 0:
-            # held raw until the total tile count is known (the
-            # SET_DIMENSIONS prefix lives in stream 0)
-            gop0 = payload
-        else:
-            raw = build_keyframe_stream(
-                [], payload[2], frames_d,
-                (tile_offset, payload[4]), config.tile_palette_size)
-            comp = compress_keyframe_stream(raw, fast_lzma=fast_lzma,
-                                            lzma_mode=config.lzma_mode)
-            tmp.write(comp)
-            infos.append(GTMKeyFrameInfo(
-                kf_index=kf_index, frame_index=start, raw_size=len(raw),
-                compressed_size=len(comp),
-                timecode_ms=int(round(1000.0 * start / fps))))
-        tile_offset += n_act
-        kf_index += 1
-
     try:
         it = iter(frames_iter)
         done = False
@@ -182,49 +140,33 @@ def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
                     done = True
                     break
             if chunk_frames:
-                arr = np.stack(chunk_frames)
                 if det is None:
-                    th = min(arr.shape[1] // TILE_W, MAX_TILEMAP_H)
-                    tw = min(arr.shape[2] // TILE_W, MAX_TILEMAP_W)
+                    h, w = chunk_frames[0].shape[:2]
+                    th = min(h // TILE_W, MAX_TILEMAP_H)
+                    tw = min(w // TILE_W, MAX_TILEMAP_W)
+                    if th == 0 or tw == 0:
+                        raise ValueError('input smaller than one tile')
                     det = OnlineKeyframeDetector(th * tw)
+                    crop = (th * TILE_W, tw * TILE_W)
+                arr = np.stack(chunk_frames)[:, :crop[0], :crop[1]]
                 starts = det.feed(arr)
                 buf.extend(chunk_frames)
                 total += len(chunk_frames)
                 max_buf = max(max_buf, len(buf))
                 for s in starts:
-                    process_gop(buf_start, s - 1)
+                    process_gop(tmp, np.stack(buf[:s - buf_start]),
+                                buf_start, s - 1)
                     del buf[: s - buf_start]
                     buf_start = s
+        if total == 0:
+            raise ValueError('streaming encode received no frames')
         if buf:
-            process_gop(buf_start, total - 1)
+            process_gop(tmp, np.stack(buf), buf_start, total - 1)
             buf.clear()
         tmp.close()
-
-        # finalize: stream 0 (with the now-known tile total) + container
-        assert gop0 is not None, 'no frames'
-        writer = GTMWriter(
-            width=dims['w'], height=dims['h'], fps=fps, tiles_pal=None,
-            palette_size=config.tile_palette_size, frame_count=total,
-            kf_count=kf_index, fast_lzma=fast_lzma,
-            total_tile_count=tile_offset, lzma_mode=config.lzma_mode)
-        raw0 = build_keyframe_stream(
-            writer._pending, gop0[2], gop0[3], (0, gop0[4]),
-            config.tile_palette_size)
-        comp0 = compress_keyframe_stream(raw0, fast_lzma=fast_lzma,
-                                         lzma_mode=config.lzma_mode)
-        info0 = GTMKeyFrameInfo(
-            kf_index=0, frame_index=gop0[0], raw_size=len(raw0),
-            compressed_size=len(comp0),
-            timecode_ms=int(round(1000.0 * gop0[0] / fps)))
-        writer.kf_infos = [info0] + infos
-        writer._kf_frames = kf_counts
-        prefix = writer.finalize_container()
-        with open(out_path, 'wb') as out:
-            out.write(prefix)
-            out.write(comp0)
-            with open(tmp_path, 'rb') as sf:
-                shutil.copyfileobj(sf, out)
-        size = os.path.getsize(out_path)
+        metrics = finalize(tmp_path, total)
+        metrics['max_buffered_frames'] = max_buf
+        return metrics
     finally:
         try:
             tmp.close()
@@ -234,16 +176,92 @@ def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
             os.unlink(tmp_path)
         except OSError:
             pass
-    return dict(n_frames=total, n_keyframes=kf_index, gtm_bytes=size,
-                max_buffered_frames=max_buf)
+
+
+def _kf_info(kf_index: int, start: int, raw: bytes, comp: bytes,
+             fps: float) -> GTMKeyFrameInfo:
+    return GTMKeyFrameInfo(
+        kf_index=kf_index, frame_index=start, raw_size=len(raw),
+        compressed_size=len(comp),
+        timecode_ms=int(round(1000.0 * start / fps)))
+
+
+def encode_streaming(frames_iter, config, out_path: str, fps: float = 24.0,
+                     fast_lzma: bool = False, chunk: int = 64,
+                     mesh=None) -> dict:
+    """Encode an iterator/iterable of [H,W,3] uint8 frames to out_path
+    with bounded memory (see module docstring for the two container
+    modes). mesh: optional device mesh for the per-GOP encodes (stream
+    and --devices compose; byte-identical either way). Returns metrics
+    (n_frames, n_keyframes, gtm_bytes, max_buffered_frames)."""
+    if config.reload_tileset:
+        return _encode_streaming_reload(frames_iter, config, out_path,
+                                        fps, fast_lzma, chunk, mesh)
+    state = dict(kf=0, tiles=0, gop0=None)
+    infos: list[GTMKeyFrameInfo] = []
+    kf_counts: list[int] = []
+    dims = {}
+
+    def process_gop(tmp, gop, start, end):
+        st, n_act = _encode_gop(config, gop, fps, mesh=mesh)
+        dims.setdefault('w', st.screen_w)
+        dims.setdefault('h', st.screen_h)
+        off = state['tiles']
+        frames_d = [dict(tile_idx=st.stm_tile[f].ravel() + off,
+                         pal_idx=st.stm_pal[f].ravel(),
+                         hmir=st.stm_h[f].ravel(),
+                         vmir=st.stm_v[f].ravel(),
+                         smoothed=st.stm_smooth[f].ravel())
+                    for f in range(st.n_frames)]
+        kf_counts.append(end - start + 1)
+        if state['kf'] == 0:
+            # held raw until the total tile count is known (the
+            # SET_DIMENSIONS prefix lives in stream 0)
+            state['gop0'] = (start, st.palettes_rgb[0], frames_d,
+                             st.tiles_pal[:n_act].copy())
+        else:
+            raw = build_keyframe_stream(
+                [], st.palettes_rgb[0], frames_d,
+                (off, st.tiles_pal[:n_act]), config.tile_palette_size)
+            comp = compress_keyframe_stream(raw, fast_lzma=fast_lzma,
+                                            lzma_mode=config.lzma_mode)
+            tmp.write(comp)
+            infos.append(_kf_info(state['kf'], start, raw, comp, fps))
+        state['tiles'] += n_act
+        state['kf'] += 1
+
+    def finalize(tmp_path, total):
+        writer = GTMWriter(
+            width=dims['w'], height=dims['h'], fps=fps, tiles_pal=None,
+            palette_size=config.tile_palette_size, frame_count=total,
+            kf_count=state['kf'], fast_lzma=fast_lzma,
+            total_tile_count=state['tiles'], lzma_mode=config.lzma_mode)
+        start0, pals0, frames0, tiles0 = state['gop0']
+        raw0 = build_keyframe_stream(writer._pending, pals0, frames0,
+                                     (0, tiles0), config.tile_palette_size)
+        comp0 = compress_keyframe_stream(raw0, fast_lzma=fast_lzma,
+                                         lzma_mode=config.lzma_mode)
+        writer.kf_infos = [_kf_info(0, start0, raw0, comp0, fps)] + infos
+        writer._kf_frames = kf_counts
+        prefix = writer.finalize_container()
+        with open(out_path, 'wb') as out:
+            out.write(prefix)
+            out.write(comp0)
+            with open(tmp_path, 'rb') as sf:
+                shutil.copyfileobj(sf, out)
+        return dict(n_frames=total, n_keyframes=state['kf'],
+                    gtm_bytes=os.path.getsize(out_path))
+
+    return _stream_driver(frames_iter, out_path, chunk, process_gop,
+                          finalize)
 
 
 def _encode_streaming_reload(frames_iter, config, out_path: str,
                              fps: float, fast_lzma: bool, chunk: int,
                              mesh) -> dict:
-    """Streaming encode against a FIXED global tileset (see
-    encode_streaming docstring): the scaled GTS is emitted once, every
-    GOP's tilemap maps onto its indices, no per-GOP tileset segments."""
+    """Streaming encode against a FIXED global tileset (see module
+    docstring): the scaled GTS is emitted once, every GOP's tilemap maps
+    onto its indices, no per-GOP tileset segments."""
     from ..bitstream.gtm import emit_tileset, read_gts
 
     gts_tiles, gts_pal_size = read_gts(config.reload_tileset)
@@ -253,23 +271,12 @@ def _encode_streaming_reload(frames_iter, config, out_path: str,
     for i, row in enumerate(scaled):
         lut.setdefault(row.tobytes(), i)
 
-    det = None
-    buf: list[np.ndarray] = []
-    buf_start = 0
-    total = 0
-    max_buf = 0
-    kf_index = 0
+    state = dict(kf=0)
     infos: list[GTMKeyFrameInfo] = []
     kf_counts: list[int] = []
     dims = {}
 
-    tmp_fd, tmp_path = tempfile.mkstemp(
-        prefix=os.path.basename(out_path) + '.streams.')
-    tmp = os.fdopen(tmp_fd, 'wb')
-
-    def process_gop(start: int, end: int) -> None:
-        nonlocal kf_index
-        gop = np.stack(buf[:end - start + 1])
+    def process_gop(tmp, gop, start, end):
         st, n_act = _encode_gop(config, gop, fps, mesh=mesh)
         if not dims:
             dims['w'], dims['h'] = st.screen_w, st.screen_h
@@ -288,53 +295,20 @@ def _encode_streaming_reload(frames_iter, config, out_path: str,
                          smoothed=st.stm_smooth[f].ravel())
                     for f in range(st.n_frames)]
         raw = build_keyframe_stream(
-            dims['prefix'] if kf_index == 0 else [],
+            dims['prefix'] if state['kf'] == 0 else [],
             st.palettes_rgb[0], frames_d, None, config.tile_palette_size)
         comp = compress_keyframe_stream(raw, fast_lzma=fast_lzma,
                                         lzma_mode=config.lzma_mode)
         tmp.write(comp)
-        infos.append(GTMKeyFrameInfo(
-            kf_index=kf_index, frame_index=start, raw_size=len(raw),
-            compressed_size=len(comp),
-            timecode_ms=int(round(1000.0 * start / fps))))
+        infos.append(_kf_info(state['kf'], start, raw, comp, fps))
         kf_counts.append(end - start + 1)
-        kf_index += 1
+        state['kf'] += 1
 
-    try:
-        it = iter(frames_iter)
-        done = False
-        while not done:
-            chunk_frames = []
-            for _ in range(chunk):
-                try:
-                    chunk_frames.append(np.asarray(next(it)))
-                except StopIteration:
-                    done = True
-                    break
-            if chunk_frames:
-                arr = np.stack(chunk_frames)
-                if det is None:
-                    th = min(arr.shape[1] // TILE_W, MAX_TILEMAP_H)
-                    tw = min(arr.shape[2] // TILE_W, MAX_TILEMAP_W)
-                    det = OnlineKeyframeDetector(th * tw)
-                starts = det.feed(arr)
-                buf.extend(chunk_frames)
-                total += len(chunk_frames)
-                max_buf = max(max_buf, len(buf))
-                for s in starts:
-                    process_gop(buf_start, s - 1)
-                    del buf[: s - buf_start]
-                    buf_start = s
-        if buf:
-            process_gop(buf_start, total - 1)
-            buf.clear()
-        tmp.close()
-
-        assert infos, 'no frames'
+    def finalize(tmp_path, total):
         writer = GTMWriter(
             width=dims['w'], height=dims['h'], fps=fps, tiles_pal=None,
             palette_size=config.tile_palette_size, frame_count=total,
-            kf_count=kf_index, fast_lzma=fast_lzma,
+            kf_count=state['kf'], fast_lzma=fast_lzma,
             total_tile_count=len(scaled), lzma_mode=config.lzma_mode)
         writer.kf_infos = infos
         writer._kf_frames = kf_counts
@@ -343,18 +317,12 @@ def _encode_streaming_reload(frames_iter, config, out_path: str,
             out.write(prefix)
             with open(tmp_path, 'rb') as sf:
                 shutil.copyfileobj(sf, out)
-        size = os.path.getsize(out_path)
-    finally:
-        try:
-            tmp.close()
-        except Exception:  # noqa: BLE001
-            pass
-        try:
-            os.unlink(tmp_path)
-        except OSError:
-            pass
-    return dict(n_frames=total, n_keyframes=kf_index, gtm_bytes=size,
-                max_buffered_frames=max_buf, shared_tileset=len(scaled))
+        return dict(n_frames=total, n_keyframes=state['kf'],
+                    gtm_bytes=os.path.getsize(out_path),
+                    shared_tileset=len(scaled))
+
+    return _stream_driver(frames_iter, out_path, chunk, process_gop,
+                          finalize)
 
 
 def iter_frames_npy(path: str):
@@ -365,12 +333,9 @@ def iter_frames_npy(path: str):
 
 
 def iter_frames_pngs(pattern: str):
-    """Lazy frame iterator over a sorted PNG glob."""
-    import glob
-
+    """Lazy frame iterator over a numerically sorted PNG glob."""
     from PIL import Image
-    paths = sorted(glob.glob(pattern))
-    if not paths:
-        raise FileNotFoundError(pattern)
-    for p in paths:
+
+    from .load import sorted_frame_paths
+    for p in sorted_frame_paths(pattern):
         yield np.asarray(Image.open(p).convert('RGB'))
