@@ -97,3 +97,42 @@ def test_frames_from_video_real_binary(tmp_path, rng):
     frames, fps = L.frames_from_video(out, frame_count=4)
     assert frames.shape[0] == 4 and frames.shape[1:] == (96, 160, 3)
     assert fps == 8.0
+
+
+def test_open_video_stream_with_fake_ffmpeg(monkeypatch, tmp_path, rng):
+    """Pipe-based streaming ingestion: a fake ffmpeg executable serves
+    both the 1-frame PNG probe and the rawvideo pipe; frames arrive in
+    order with the probed dimensions and scraped fps."""
+    src = rng.integers(0, 255, (5, 24, 40, 3)).astype(np.uint8)
+    src_npy = str(tmp_path / 'src.npy')
+    np.save(src_npy, src)
+    fake = tmp_path / 'ffmpeg'
+    fake.write_text(f"""#!/usr/bin/env python3
+import os, re, sys
+import numpy as np
+frames = np.load({src_npy!r})
+args = sys.argv[1:]
+m = re.search(r'between\\(n\\\\,(\\d+)\\\\,(\\d+)\\)', ' '.join(args))
+lo, hi = int(m.group(1)), int(m.group(2))
+sel = frames[lo:hi + 1]
+sys.stderr.write('Stream #0:0: Video: rawvideo, rgb24, 40x24, '
+                 '25 fps, 25 tbr\\n')
+if args[-1] == '-':
+    sys.stdout.buffer.write(sel.tobytes())
+else:
+    from PIL import Image
+    for i, fr in enumerate(sel):
+        Image.fromarray(fr).save(args[-1] % (i + 1))
+""")
+    fake.chmod(0o755)
+    monkeypatch.setattr(shutil, 'which', lambda name: str(fake))
+
+    it, fps, (h, w) = L.open_video_stream('whatever.mp4')
+    assert (h, w) == (24, 40)
+    assert fps == 25.0
+    got = np.stack(list(it))
+    np.testing.assert_array_equal(got, src)
+
+    # frame-range select honored through the pipe
+    it2, _, _ = L.open_video_stream('x.mp4', start_frame=1, frame_count=3)
+    np.testing.assert_array_equal(np.stack(list(it2)), src[1:4])

@@ -288,8 +288,6 @@ def _cmd_encode_stream(a) -> int:
     """Bounded-memory streaming encode (pipeline.stream): frames arrive
     lazily (.npy memory-mapped / PNGs one file at a time / video via an
     ffmpeg PNG spool), GOPs encode as they complete."""
-    import os
-
     from .pipeline import load as load_mod
     from .pipeline.stream import (encode_streaming, iter_frames_npy,
                                   iter_frames_pngs)
@@ -303,39 +301,18 @@ def _cmd_encode_stream(a) -> int:
             raise SystemExit(f'--devices {a.devices}: device count must '
                              'be a power of two')
     fps = a.fps
-    tmp_dir = None
-    try:
-        if a.input.endswith('.npy'):
-            frames = iter_frames_npy(a.input)
-        elif '%' in a.input or a.input.endswith('.png'):
-            pattern = a.input if '%' not in a.input \
-                else a.input.replace('%04d', '*')
-            frames = iter_frames_pngs(pattern)
-        else:
-            # spool to PNGs once (disk-bounded), then stream them lazily
-            import shutil
-            import tempfile
-
-            from .utils.progress import run_command
-            ffmpeg = shutil.which('ffmpeg')
-            if ffmpeg is None:
-                raise RuntimeError('ffmpeg not available on this host')
-            tmp_dir = tempfile.mkdtemp(prefix='tiler_stream_')
-            code, _out, stderr = run_command(
-                [ffmpeg] + load_mod.ffmpeg_args(
-                    a.input, os.path.join(tmp_dir, '%06d.png'),
-                    a.start_frame, a.frame_count, a.scaling), echo=True)
-            if code != 0:
-                raise RuntimeError(f'ffmpeg failed ({code}): '
-                                   f'{stderr[-500:]}')
-            fps = load_mod.parse_ffmpeg_fps(stderr)
-            frames = iter_frames_pngs(os.path.join(tmp_dir, '*.png'))
-        metrics = encode_streaming(frames, cfg, a.output, fps=fps,
-                                   fast_lzma=a.fast_lzma, mesh=mesh)
-    finally:
-        if tmp_dir:
-            import shutil
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+    if a.input.endswith('.npy'):
+        frames = iter_frames_npy(a.input)
+    elif '%' in a.input or a.input.endswith('.png'):
+        pattern = a.input if '%' not in a.input \
+            else a.input.replace('%04d', '*')
+        frames = iter_frames_pngs(pattern)
+    else:
+        # single rawvideo pipe: frames are never all in RAM OR on disk
+        frames, fps, _hw = load_mod.open_video_stream(
+            a.input, a.start_frame, a.frame_count, a.scaling)
+    metrics = encode_streaming(frames, cfg, a.output, fps=fps,
+                               fast_lzma=a.fast_lzma, mesh=mesh)
     print(json.dumps(metrics))
     return 0
 

@@ -86,6 +86,66 @@ def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
     return frames, fps
 
 
+def ffmpeg_rawvideo_args(path: str, start_frame: int = 0,
+                         frame_count: int = 0,
+                         scale: float = 1.0) -> list[str]:
+    """ffmpeg argv streaming rgb24 raw frames to stdout (same select/
+    range/Lanczos filters as the PNG form)."""
+    return ffmpeg_args(path, '-', start_frame, frame_count,
+                       scale)[:-3] + ['-pix_fmt', 'rgb24',
+                                      '-f', 'rawvideo', '-']
+
+
+def open_video_stream(path: str, start_frame: int = 0,
+                      frame_count: int = 0, scale: float = 1.0):
+    """Pipe-based ingestion for the streaming encoder: returns
+    (frame_iterator, fps, (h, w)). A one-frame PNG probe learns the
+    post-filter output dimensions and fps (no fragile stderr
+    size-scrape), then a single `-f rawvideo` pipe streams every frame
+    — frames are never all in RAM and, unlike the batch
+    frames_from_video spool, never all on disk either."""
+    import subprocess as sp
+
+    from PIL import Image
+    ffmpeg = shutil.which('ffmpeg')
+    if ffmpeg is None:
+        raise RuntimeError('ffmpeg not available on this host')
+    from ..utils.progress import run_command
+    tmp = tempfile.mkdtemp(prefix='tiler_probe_')
+    try:
+        code, _out, stderr = run_command(
+            [ffmpeg] + ffmpeg_args(path, os.path.join(tmp, '%06d.png'),
+                                   start_frame, 1, scale), echo=False)
+        if code != 0:
+            raise RuntimeError(f'ffmpeg probe failed ({code}): '
+                               f'{stderr[-500:]}')
+        fps = parse_ffmpeg_fps(stderr)
+        first = np.asarray(Image.open(
+            sorted_frame_paths(os.path.join(tmp, '*.png'))[0])
+            .convert('RGB'))
+        h, w = first.shape[:2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    proc = sp.Popen([ffmpeg] + ffmpeg_rawvideo_args(
+        path, start_frame, frame_count, scale),
+        stdout=sp.PIPE, stderr=sp.DEVNULL)
+
+    def gen():
+        nbytes = h * w * 3
+        try:
+            while True:
+                buf = proc.stdout.read(nbytes)
+                if len(buf) < nbytes:
+                    break
+                yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+        finally:
+            proc.stdout.close()
+            proc.wait()
+
+    return gen(), fps, (h, w)
+
+
 def sorted_frame_paths(pattern: str) -> list[str]:
     """Glob sorted NUMERICALLY by the digits in each name: a plain
     lexicographic sort interleaves '10000.png' between '0999' and
