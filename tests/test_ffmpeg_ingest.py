@@ -136,3 +136,30 @@ else:
     # frame-range select honored through the pipe
     it2, _, _ = L.open_video_stream('x.mp4', start_frame=1, frame_count=3)
     np.testing.assert_array_equal(np.stack(list(it2)), src[1:4])
+
+
+def test_open_video_stream_failure_raises(monkeypatch, tmp_path, rng):
+    """A mid-stream ffmpeg death must raise (with stderr tail), never
+    silently truncate (review r3)."""
+    src = rng.integers(0, 255, (4, 16, 16, 3)).astype(np.uint8)
+    src_npy = str(tmp_path / 'src.npy')
+    np.save(src_npy, src)
+    fake = tmp_path / 'ffmpeg'
+    fake.write_text(f"""#!/usr/bin/env python3
+import sys
+import numpy as np
+frames = np.load({src_npy!r})
+args = sys.argv[1:]
+sys.stderr.write('Video: rawvideo, 16x16, 25 fps\\n')
+if args[-1] == '-':
+    sys.stdout.buffer.write(frames[:2].tobytes())
+    sys.stderr.write('boom: decoder exploded\\n')
+    sys.exit(1)
+from PIL import Image
+Image.fromarray(frames[0]).save(args[-1] % 1)
+""")
+    fake.chmod(0o755)
+    monkeypatch.setattr(shutil, 'which', lambda name: str(fake))
+    it, _fps, _hw = L.open_video_stream('x.mp4')
+    with pytest.raises(RuntimeError, match='boom'):
+        list(it)

@@ -32,12 +32,17 @@ def ffmpeg_args(path: str, out_pattern: str, start_frame: int = 0,
                 frame_count: int = 0, scale: float = 1.0) -> list[str]:
     """ffmpeg argv for frame extraction (DoExternalFFMpeg,
     main.pas:4780-4787): frame-range select, full-range conversion and
-    Lanczos scale, rgb24 PNG sequence out."""
+    Lanczos scale, rgb24 PNG sequence out. A bounded frame_count also
+    caps the OUTPUT (-frames:v): the select filter alone keeps decoding
+    the input to EOF after the range."""
     last = start_frame + frame_count - 1 if frame_count > 0 else 2**30
     sel = (f"select=between(n\\,{start_frame}\\,{last}),"
            f"setpts=PTS-STARTPTS,scale=in_range=auto:out_range=full")
     vf = f"{sel},scale=iw*{scale}:ih*{scale}:flags=lanczos"
-    return ['-y', '-i', path, '-vf', vf, '-pix_fmt', 'rgb24', out_pattern]
+    args = ['-y', '-i', path, '-vf', vf]
+    if frame_count > 0:
+        args += ['-frames:v', str(frame_count)]
+    return args + ['-pix_fmt', 'rgb24', out_pattern]
 
 
 def parse_ffmpeg_fps(stderr: str, default: float = 24.0) -> float:
@@ -89,59 +94,70 @@ def frames_from_video(path: str, start_frame: int = 0, frame_count: int = 0,
 def ffmpeg_rawvideo_args(path: str, start_frame: int = 0,
                          frame_count: int = 0,
                          scale: float = 1.0) -> list[str]:
-    """ffmpeg argv streaming rgb24 raw frames to stdout (same select/
-    range/Lanczos filters as the PNG form)."""
-    return ffmpeg_args(path, '-', start_frame, frame_count,
-                       scale)[:-3] + ['-pix_fmt', 'rgb24',
-                                      '-f', 'rawvideo', '-']
+    """ffmpeg argv streaming rgb24 raw frames to stdout: the PNG-form
+    argv with only the output target swapped for a rawvideo pipe."""
+    args = ffmpeg_args(path, '-', start_frame, frame_count, scale)
+    return args[:-1] + ['-f', 'rawvideo', '-']
 
 
 def open_video_stream(path: str, start_frame: int = 0,
                       frame_count: int = 0, scale: float = 1.0):
     """Pipe-based ingestion for the streaming encoder: returns
-    (frame_iterator, fps, (h, w)). A one-frame PNG probe learns the
-    post-filter output dimensions and fps (no fragile stderr
-    size-scrape), then a single `-f rawvideo` pipe streams every frame
-    — frames are never all in RAM and, unlike the batch
-    frames_from_video spool, never all on disk either."""
-    import subprocess as sp
+    (frame_iterator, fps, (h, w)). A one-frame probe
+    (frames_from_video) learns the post-filter output dimensions and
+    fps, then a single `-f rawvideo` pipe streams every frame — frames
+    are never all in RAM and, unlike the batch frames_from_video spool,
+    never all on disk either.
 
-    from PIL import Image
+    The iterator fails LOUDLY: a nonzero ffmpeg exit or a mid-frame
+    pipe end raises (with the stderr tail) instead of silently
+    finalizing a truncated encode; abandoning the iterator early
+    terminates ffmpeg rather than blocking on a full residual decode."""
+    import collections
+    import threading
+
     ffmpeg = shutil.which('ffmpeg')
     if ffmpeg is None:
         raise RuntimeError('ffmpeg not available on this host')
-    from ..utils.progress import run_command
-    tmp = tempfile.mkdtemp(prefix='tiler_probe_')
-    try:
-        code, _out, stderr = run_command(
-            [ffmpeg] + ffmpeg_args(path, os.path.join(tmp, '%06d.png'),
-                                   start_frame, 1, scale), echo=False)
-        if code != 0:
-            raise RuntimeError(f'ffmpeg probe failed ({code}): '
-                               f'{stderr[-500:]}')
-        fps = parse_ffmpeg_fps(stderr)
-        first = np.asarray(Image.open(
-            sorted_frame_paths(os.path.join(tmp, '*.png'))[0])
-            .convert('RGB'))
-        h, w = first.shape[:2]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    probe, fps = frames_from_video(path, start_frame, 1, scale)
+    h, w = probe.shape[1:3]
 
-    proc = sp.Popen([ffmpeg] + ffmpeg_rawvideo_args(
+    proc = subprocess.Popen([ffmpeg] + ffmpeg_rawvideo_args(
         path, start_frame, frame_count, scale),
-        stdout=sp.PIPE, stderr=sp.DEVNULL)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    err_tail: collections.deque = collections.deque(maxlen=50)
+
+    def drain():
+        for line in proc.stderr:
+            err_tail.append(line)
+    drainer = threading.Thread(target=drain, daemon=True)
+    drainer.start()
+
+    def tail() -> str:
+        return b''.join(err_tail).decode('utf-8', 'replace')[-500:]
 
     def gen():
         nbytes = h * w * 3
+        completed = False
         try:
             while True:
                 buf = proc.stdout.read(nbytes)
-                if len(buf) < nbytes:
+                if not buf:
+                    completed = True
                     break
+                if len(buf) < nbytes:
+                    raise RuntimeError(
+                        f'ffmpeg pipe ended mid-frame ({len(buf)} of '
+                        f'{nbytes} bytes): {tail()}')
                 yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
         finally:
             proc.stdout.close()
-            proc.wait()
+            if not completed and proc.poll() is None:
+                proc.terminate()  # abandoned early: don't block on EOF
+            code = proc.wait()
+            drainer.join(timeout=5)
+            if completed and code != 0:
+                raise RuntimeError(f'ffmpeg failed ({code}): {tail()}')
 
     return gen(), fps, (h, w)
 
