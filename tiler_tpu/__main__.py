@@ -106,12 +106,18 @@ def _config_from_args(a) -> 'EncoderConfig':
         start_step=a.start_step, end_step=a.end_step)
 
 
+def _pattern_to_glob(path: str) -> str:
+    """in_%04d.png -> in_*.png (any printf-style frame field)."""
+    import re
+    return re.sub(r'%0?\d*d', '*', path) if '%' in path else path
+
+
 def _load_input(path: str, a):
     from .pipeline import load as load_mod
     if path.endswith('.npy'):
         return np.load(path), a.fps
     if '%' in path or path.endswith('.png'):
-        pattern = path if '%' not in path else path.replace('%04d', '*')
+        pattern = _pattern_to_glob(path)
         return load_mod.frames_from_pngs(pattern), a.fps
     return load_mod.frames_from_video(path, a.start_frame, a.frame_count,
                                       a.scaling)
@@ -304,9 +310,7 @@ def _cmd_encode_stream(a) -> int:
     if a.input.endswith('.npy'):
         frames = iter_frames_npy(a.input)
     elif '%' in a.input or a.input.endswith('.png'):
-        pattern = a.input if '%' not in a.input \
-            else a.input.replace('%04d', '*')
-        frames = iter_frames_pngs(pattern)
+        frames = iter_frames_pngs(_pattern_to_glob(a.input))
     else:
         # single rawvideo pipe: frames are never all in RAM OR on disk
         frames, fps, _hw = load_mod.open_video_stream(
