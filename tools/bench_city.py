@@ -8,6 +8,7 @@ palette budget (64 palettes x 16 colors — the demo's own operating
 point per its header tile/palette counts).
 """
 import json
+import os
 import sys
 import time
 
@@ -23,7 +24,9 @@ def main():
     from tiler_tpu.decode import decode_video
     from tiler_tpu.pipeline.encoder import Encoder
 
-    src = open(REF, 'rb').read()
+    # optional: a different demo stream (e.g. football_cif.gtm)
+    ref = next((a for a in sys.argv[1:] if a.endswith('.gtm')), REF)
+    src = open(ref, 'rb').read()
     frames, _stream = decode_video(src)
     warm = '--warm' in sys.argv
     cfg = EncoderConfig(palette_count=64, tile_palette_size=16)
@@ -38,7 +41,9 @@ def main():
     mse = np.mean((dec.astype(np.float64) - frames.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / mse) if mse else 99.0
     print(json.dumps({
-        'metric': 'encode_city_cif_300f' + ('_warm' if warm else ''),
+        'metric': ('encode_'
+                   + os.path.basename(ref).replace('.gtm', '')
+                   + ('_warm' if warm else '')),
         'wall_s': round(dt, 1),
         'fps': round(len(frames) / dt, 3),
         'psnr': round(float(psnr), 3),
