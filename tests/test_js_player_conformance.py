@@ -228,11 +228,11 @@ def test_lc8_stream_roundtrips_and_matches_players(player_vm, web_player_vm,
 
 
 GOLDEN = '/root/reference/docs/demo/city_cif.gtm'
+GOLDEN2 = '/root/reference/docs/demo/football_cif.gtm'
 
 
-@pytest.mark.skipif(not os.path.exists(GOLDEN),
-                    reason='reference demo stream not present')
-def test_golden_reference_stream(player_vm):
+@pytest.mark.parametrize('golden', [GOLDEN, GOLDEN2])
+def test_golden_reference_stream(player_vm, golden):
     """The reference's OWN published stream (legacy headerless container,
     lzma.exe lc=8) through this repo's harness, both directions:
 
@@ -251,7 +251,9 @@ def test_golden_reference_stream(player_vm):
     from minijs.engine import ArrayBuffer, js_tonumber
     from tiler_tpu.native import lzma_decode_alone
 
-    raw = open(GOLDEN, 'rb').read()
+    if not os.path.exists(golden):
+        pytest.skip('reference demo stream not present')
+    raw = open(golden, 'rb').read()
     it = player_vm.interp
     g = it.globals
 
@@ -272,8 +274,10 @@ def test_golden_reference_stream(player_vm):
     arr = it.get_property(res, 'toUint8Array').call_impl(res, [])
     got = bytes(arr.data)
     want_cmds, _ = lzma_decode_alone(raw)
-    assert len(got) == cap
-    assert got == want_cmds[:cap]
+    # js-lzma copies a whole match at once, so a match crossing the
+    # declared-size boundary overshoots it by up to matchlen-1 bytes
+    assert cap <= len(got) <= cap + 273
+    assert got == want_cmds[:len(got)]
 
     # (b) real player (native lzma seam) == our decoder, first 3 frames
     from tiler_tpu.decode import decode_video

@@ -52,6 +52,13 @@ class PlayerVM:
             lzma_obj.props['decodeMaxSize'] = self._native_decode_max()
 
         # fresh playback state (the page-load state of the player globals)
+        # — including the fake canvas dims: redimFrame only rebuilds its
+        # ImageData when the dims CHANGE, so playing two same-sized
+        # streams back-to-back on one VM would otherwise leave the
+        # nulled gtmTMImageData un-recreated
+        for canvas in self.host.canvases.values():
+            canvas.props['width'] = 0.0
+            canvas.props['height'] = 0.0
         g['gtmCanvasId'] = 'frame'
         g['gtmReady'] = False
         g['gtmPlaying'] = True
