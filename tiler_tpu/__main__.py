@@ -570,7 +570,18 @@ def main(argv=None) -> int:
     pdbg.set_defaults(fn=cmd_debug)
 
     a = ap.parse_args(argv)
-    return a.fn(a)
+    try:
+        return a.fn(a)
+    except BrokenPipeError:
+        # stdout consumer went away (e.g. `... | head`): exit quietly
+        # like standard Unix tools instead of tracebacking
+        import os
+        try:
+            sys.stdout.close()
+        except Exception:  # noqa: BLE001
+            pass
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
+        return 0
 
 
 if __name__ == '__main__':
