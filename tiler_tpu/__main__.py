@@ -292,8 +292,9 @@ def cmd_decode(a) -> int:
 
 def _cmd_encode_stream(a) -> int:
     """Bounded-memory streaming encode (pipeline.stream): frames arrive
-    lazily (.npy memory-mapped / PNGs one file at a time / video via an
-    ffmpeg PNG spool), GOPs encode as they complete."""
+    lazily (.npy memory-mapped / PNGs one file at a time / video through
+    a single ffmpeg rawvideo pipe — no PNG spool on disk), GOPs encode as
+    they complete."""
     from .pipeline import load as load_mod
     from .pipeline.stream import (encode_streaming, iter_frames_npy,
                                   iter_frames_pngs)
@@ -368,6 +369,9 @@ def cmd_transcode(a) -> int:
             hdr.average_bytes_per_sec += len(s)
         hdr.average_bytes_per_sec = int(round(
             hdr.average_bytes_per_sec * fps / max(hdr.frame_count, 1)))
+        # the output header region is written dense (no input padding
+        # preserved), so the declared offset must match what we emit
+        hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * hdr.kf_count
         out = b''.join([hdr.pack()] + [i.pack() for i in infos] + streams)
     else:
         # legacy headerless container (the published demos): the whole

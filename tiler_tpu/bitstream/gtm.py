@@ -334,16 +334,35 @@ def build_keyframe_stream(prefix_parts: list[bytes],
 def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
                              lzma_mode: str = 'lc3') -> bytes:
     """One keyframe stream's LZMA-alone bytes under the configured mode
-    ('lc3' liblzma / 'lc8' native / 'auto' smaller-of-both)."""
+    ('lc3' liblzma / 'lc8' native / 'auto' smaller-of-both).
+
+    'auto' degrades to the liblzma result when the native encoder cannot
+    build (no C++ toolchain on this host) — it would have picked lc3 in
+    the measured cases anyway (docs/RESULTS.md); 'lc8' stays a hard
+    requirement because the caller asked for that exact framing."""
     if lzma_mode in ('lc8', 'auto'):
-        from ..native import lzma_encode_alone
-        depth, nice = (16, 32) if fast_lzma else (128, 128)
-        native = lzma_encode_alone(raw, depth=depth, nice_len=nice)
+        try:
+            from ..native import lzma_encode_alone
+            depth, nice = (16, 32) if fast_lzma else (128, 128)
+            native = lzma_encode_alone(raw, depth=depth, nice_len=nice)
+        except Exception:
+            if lzma_mode == 'lc8':
+                raise
+            global _warned_no_native_lzma
+            if not _warned_no_native_lzma:
+                _warned_no_native_lzma = True
+                import warnings
+                warnings.warn('native LZMA encoder unavailable; '
+                              "lzma_mode='auto' falls back to liblzma lc3")
+            return lzma_compress_alone(raw, fast=fast_lzma)
         if lzma_mode == 'lc8':
             return native
         lib = lzma_compress_alone(raw, fast=fast_lzma)
         return native if len(native) < len(lib) else lib
     return lzma_compress_alone(raw, fast=fast_lzma)
+
+
+_warned_no_native_lzma = False
 
 
 def compress_keyframe_streams(raws: list[bytes], fast_lzma: bool = False,
@@ -387,7 +406,8 @@ def parse_gtm(data: bytes) -> ParsedGTM:
                  for i in range(header.kf_count)]
         whole = header.whole_header_size or (HEADER_SIZE +
                                              KFINFO_SIZE * header.kf_count)
-        commands = lzma_decompress_concat(data[whole:])
+        commands = lzma_decompress_concat(
+            data[whole:], expected_count=header.kf_count)
         if header.kf_count > 0 and not commands:
             raise ValueError('corrupt GTM: no decodable command data')
         return ParsedGTM(header=header, kf_infos=infos, commands=commands)

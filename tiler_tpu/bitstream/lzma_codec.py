@@ -24,7 +24,7 @@ def lzma_compress_alone(data: bytes, fast: bool = False) -> bytes:
     return comp.compress(data) + comp.flush()
 
 
-def iter_lzma_streams(data: bytes):
+def iter_lzma_streams(data: bytes, expected_count: int | None = None):
     """Lazily decode a concatenation of LZMA-alone streams, yielding one
     decompressed chunk per stream (= per keyframe) — the incremental
     unpack of the JS player (gtm.player.js:157-170) at keyframe
@@ -32,9 +32,21 @@ def iter_lzma_streams(data: bytes):
 
     Streams with lc+lp<=4 go through liblzma; lc=8 streams (the reference's
     `-lc8` output) go through the native C++ decoder in tiler_tpu.native.
+
+    `expected_count` (the header's kf_count, when the caller knows it)
+    turns EVERY short read into an error — without it a corrupt/truncated
+    FIRST stream returns whatever decoded, because a headerless container
+    has no stream count to check against.
     """
     rest = data
     n_done = 0
+
+    def short_read(reason: str):
+        if expected_count is not None and n_done < expected_count:
+            raise ValueError(
+                f'{reason}: {n_done} of {expected_count} keyframe '
+                'streams decoded')
+
     while len(rest) >= 13:
         props = rest[0]
         lc = props % 9
@@ -50,6 +62,7 @@ def iter_lzma_streams(data: bytes):
                 if n_done:
                     raise ValueError(
                         f'corrupt LZMA stream after keyframe {n_done}')
+                short_read('corrupt first LZMA stream')
                 return
             yield chunk
             n_done += 1
@@ -60,6 +73,7 @@ def iter_lzma_streams(data: bytes):
                 if n_done > 1:
                     raise ValueError(
                         f'truncated LZMA stream at keyframe {n_done}')
+                short_read('truncated first LZMA stream')
                 return  # single truncated stream: return what we have
             rest = dec.unused_data
         else:
@@ -70,14 +84,18 @@ def iter_lzma_streams(data: bytes):
                 if n_done:
                     raise ValueError(
                         f'corrupt LZMA stream after keyframe {n_done}')
+                short_read('corrupt first LZMA stream')
                 return
             yield chunk
             n_done += 1
             if consumed <= 0:
+                short_read('unterminated LZMA stream')
                 return
             rest = rest[consumed:]
+    short_read('truncated GTM body')
 
 
-def lzma_decompress_concat(data: bytes) -> bytes:
+def lzma_decompress_concat(data: bytes,
+                           expected_count: int | None = None) -> bytes:
     """Decompress a concatenation of LZMA-alone streams (one per keyframe)."""
-    return b''.join(iter_lzma_streams(data))
+    return b''.join(iter_lzma_streams(data, expected_count=expected_count))

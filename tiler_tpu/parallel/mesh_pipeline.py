@@ -65,6 +65,17 @@ def shard_rows(mesh: Mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def _evict_other_meshes(cache: dict, mesh: Mesh) -> None:
+    """Single-mesh cache policy: encodes use one mesh at a time, so when
+    a new mesh shows up the compiled programs (and any replicated device
+    buffers) of previous meshes are dead weight — drop them instead of
+    holding them for the process lifetime."""
+    stale = [k for k in cache
+             if (k[0] if isinstance(k, tuple) else k) is not mesh]
+    for k in stale:
+        del cache[k]
+
+
 # -- stage 3: fused query features + streaming 1-NN -----------------------
 
 _assign_cache: dict = {}
@@ -75,6 +86,7 @@ def _get_assign_fn(mesh: Mesh, gamma_value, use_wavelets: bool):
     fn = _assign_cache.get(key)
     if fn is not None:
         return fn
+    _evict_other_meshes(_assign_cache, mesh)
     ax = mesh.axis_names
 
     def local(rows_loc, src_rep, cands3d):
@@ -115,6 +127,7 @@ def _get_chunk_feats_fn(mesh: Mesh, gamma_value, use_wavelets: bool):
     fn = _feats_cache.get(key)
     if fn is not None:
         return fn
+    _evict_other_meshes(_feats_cache, mesh)
     ax = mesh.axis_names
 
     def local(tp_all, pal_all, tidx, pidx, hm, vm):
@@ -158,6 +171,7 @@ def _get_knoll_fns(mesh: Mesh):
     fns = _knoll_cache.get(mesh)
     if fns is not None:
         return fns
+    _evict_other_meshes(_knoll_cache, mesh)
     ax = mesh.axis_names
 
     def counts_local(uniq_chunk, pals):
@@ -207,6 +221,7 @@ def _get_topk_fn(mesh: Mesh, k: int):
     fn = _topk_cache.get(key)
     if fn is not None:
         return fn
+    _evict_other_meshes(_topk_cache, mesh)
     ax = mesh.axis_names
 
     def local(q_loc, cands3d):
