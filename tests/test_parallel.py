@@ -208,8 +208,9 @@ def test_distributed_two_process_encode(tmp_path, rng):
 def test_mesh_encode_byte_identical(rng, mesh8):
     """THE round-3 north-star criterion: the full production encode with
     the ('gop','frame') mesh wired into the pipeline (frame-sharded
-    FrameTiling mark/feats/assign + distributed KModes,
-    parallel.mesh_pipeline) is byte-identical to the 1-device encode.
+    FrameTiling mark/feats/assign + distributed KModes via
+    mesh_kmodes=True, parallel.mesh_pipeline) is byte-identical to the
+    1-device encode.
 
     The clip has a static band (temporal query dedup active, non-dense
     path) and two keyframes, so the sharded stages see the gather path,
@@ -221,7 +222,7 @@ def test_mesh_encode_byte_identical(rng, mesh8):
     frames = _dryrun_clip()  # shared with dryrun_multichip: one scenario
 
     cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
-                        max_tiles=120)
+                        max_tiles=120, mesh_kmodes=True)
     want = Encoder(cfg).run_all(frames, fast_lzma=True)
     enc = Encoder(cfg, mesh=mesh8)
     got = enc.run_all(frames, fast_lzma=True)

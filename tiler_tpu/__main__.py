@@ -72,6 +72,13 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                    help='shard the frame-axis-parallel encoder stages '
                         'across the first N local devices (a '
                         "('gop','frame') mesh; byte-identical stream)")
+    p.add_argument('--mesh-kmodes', action='store_true',
+                   help='with --devices N: run the GlobalTiling KModes '
+                        'solves distributed across the mesh too '
+                        '(bit-identical; default keeps the vmapped '
+                        'single-device batch solver, which measures '
+                        'faster when bins are small — see '
+                        'EncoderConfig.mesh_kmodes)')
     p.add_argument('--hosts', type=int, default=1,
                    help='N-host GOP-sharded encode (in-process simulation;'
                         ' byte-identical to the single-host stream)')
@@ -103,6 +110,7 @@ def _config_from_args(a) -> 'EncoderConfig':
         ft_gamma=a.ft_gamma, fps=a.fps, start_frame=a.start_frame,
         frame_count=a.frame_count, scaling=a.scaling,
         reload_tileset=a.reload_gts, lzma_mode=a.lzma_mode,
+        mesh_kmodes=getattr(a, 'mesh_kmodes', False),
         start_step=a.start_step, end_step=a.end_step)
 
 

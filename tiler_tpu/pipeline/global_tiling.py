@@ -236,9 +236,11 @@ def run_global_tiling(state: EncoderState,
     import os
 
     from ..parallel.mesh_pipeline import mesh_ok
-    if mesh_ok(state.mesh) and os.environ.get('TILER_MESH_KMODES') == '1':
+    if mesh_ok(state.mesh) and (cfg.mesh_kmodes or
+                                os.environ.get('TILER_MESH_KMODES') == '1'):
         # opt-in distributed per-bin KModes (sharded_ops.sharded_kmodes,
-        # bit-identical at 1/2/8 devices by test). NOT the mesh default:
+        # bit-identical at 1/2/8 devices by test; config.mesh_kmodes or
+        # the TILER_MESH_KMODES=1 env override). NOT the mesh default:
         # even with the solver compile cache (which took this path from
         # 41.8 s to 3.5 s on the 8-device CPU mesh) the sequential
         # per-bin solves still trail the vmapped super-shape batch
