@@ -94,6 +94,14 @@ def encode_once(frames, warm: bool = True, runs: int = 1):
     return all_fps, enc, blob
 
 
+def _dispatch_total(st) -> int:
+    """Pipeline-issued device interactions (jit dispatches + eager ops +
+    H2D/D2H transfers) over the whole encode — the tunnel-sensitivity
+    metric (utils.dispatch)."""
+    d = st.metrics.get('dispatches') or {}
+    return sum(v.get('total', 0) for v in d.values())
+
+
 def real_content_entry():
     """Re-encode the reference's own 300-frame city demo (352x288@30) —
     the dedup-exercising real-content config (tools/bench_city.py's
@@ -132,6 +140,8 @@ def real_content_entry():
         'n_keyframes': st.metrics.get('n_keyframes'),
         'ft_q_changed_frac': st.metrics.get('ft_q_changed_frac'),
         'ft_pair_dedup': st.metrics.get('ft_pair_dedup'),
+        'n_dispatches': _dispatch_total(st),
+        'dispatches': st.metrics.get('dispatches'),
         'step_times': {k: round(v, 2) for k, v in st.step_times.items()},
         'phases': {
             'dither': st.metrics.get('dither_phases'),
@@ -206,6 +216,8 @@ def main():
         'psnr': psnr,
         'gtm_bytes': len(blob),
         'real_content': real,
+        'n_dispatches': _dispatch_total(st),
+        'dispatches': st.metrics.get('dispatches'),
         'step_times': {k: round(v, 2) for k, v in st.step_times.items()},
         'phases': {
             'dither': st.metrics.get('dither_phases'),

@@ -137,55 +137,93 @@ var TilerLZMA = {};
     return 16 + rc.bitTreeDecode(this.high, 8, 0);
   };
 
-  // Decodes ONE alone-format stream starting at src[offset].
-  // Returns {out: Uint8Array, consumed: n} or throws.
-  TilerLZMA.decodeAlone = function (src, offset) {
+  // Resumable alone-format decoder: decodeTo(target) decodes until the
+  // output holds >= target bytes (or the stream ends) and can be called
+  // again later — the incremental unpack of the reference player
+  // (gtm.player.js:157-170 via js-lzma's decodeMaxSize, lzma.js:724), so
+  // large keyframes decompress across frame ticks instead of in one
+  // first-touch burst.
+  function AloneDecoder(src, offset) {
     if (src.length - offset < 13) { throw new Error('lzma: short header'); }
     var props = src[offset];
     if (props >= 225) { throw new Error('lzma: bad props'); }
-    var lc = props % 9;
+    this.lc = props % 9;
     props = props / 9 | 0;
-    var lp = props % 5;
-    var pb = props / 5 | 0;
+    this.lp = props % 5;
+    this.pb = props / 5 | 0;
     var sizeLo = src[offset + 5] + src[offset + 6] * 256 +
       src[offset + 7] * 65536 + src[offset + 8] * 16777216;
     var sizeHi = src[offset + 9] + src[offset + 10] * 256 +
       src[offset + 11] * 65536 + src[offset + 12] * 16777216;
-    var sizeKnown = !(sizeLo === 4294967295 && sizeHi === 4294967295);
-    var unpackSize = sizeLo + sizeHi * 4294967296;
+    this.sizeKnown = !(sizeLo === 4294967295 && sizeHi === 4294967295);
+    this.unpackSize = sizeLo + sizeHi * 4294967296;
 
-    var litProbs = newProbs(768 << (lc + lp));
-    var isMatch = newProbs(12 * 16);
-    var isRep = newProbs(12);
-    var isRepG0 = newProbs(12);
-    var isRepG1 = newProbs(12);
-    var isRepG2 = newProbs(12);
-    var isRep0Long = newProbs(12 * 16);
-    var posSlot = newProbs(4 * 64);
-    var specPos = newProbs(kNumFullDistances - kEndPosModelIndex);
-    var alignProbs = newProbs(1 << kNumAlignBits);
-    var lenDec = new LenDecoder();
-    var repLenDec = new LenDecoder();
+    this.litProbs = newProbs(768 << (this.lc + this.lp));
+    this.isMatch = newProbs(12 * 16);
+    this.isRep = newProbs(12);
+    this.isRepG0 = newProbs(12);
+    this.isRepG1 = newProbs(12);
+    this.isRepG2 = newProbs(12);
+    this.isRep0Long = newProbs(12 * 16);
+    this.posSlot = newProbs(4 * 64);
+    this.specPos = newProbs(kNumFullDistances - kEndPosModelIndex);
+    this.alignProbs = newProbs(1 << kNumAlignBits);
+    this.lenDec = new LenDecoder();
+    this.repLenDec = new LenDecoder();
+    this.rc = new RangeDecoder(src, offset + 13, src.length);
+    this.offset = offset;
 
-    var rc = new RangeDecoder(src, offset + 13, src.length);
+    this.cap = 65536;
+    this.out = new Uint8Array(this.cap);
+    this.n = 0;
+    this.state = 0;
+    this.rep0 = 0; this.rep1 = 0; this.rep2 = 0; this.rep3 = 0;
+    this.finished = false;
+  }
 
-    var cap = 65536;
-    var out = new Uint8Array(cap);
-    var n = 0;
+  AloneDecoder.prototype.consumed = function () {
+    return 13 + (this.rc.pos - (this.offset + 13));
+  };
+
+  AloneDecoder.prototype._grow = function (need) {
+    while (this.cap < need) { this.cap *= 2; }
+    var bigger = new Uint8Array(this.cap);
+    bigger.set(this.out.slice(0, this.n), 0);
+    this.out = bigger;
+  };
+
+  // Decode until the output holds >= target bytes (or end of stream).
+  // Returns true when the stream is complete. One iteration can
+  // overshoot target by one match length (<= 273 bytes).
+  AloneDecoder.prototype.decodeTo = function (target) {
+    if (this.finished) { return true; }
+    var rc = this.rc;
+    var lc = this.lc;
+    var litProbs = this.litProbs, isMatch = this.isMatch,
+      isRep = this.isRep, isRepG0 = this.isRepG0,
+      isRepG1 = this.isRepG1, isRepG2 = this.isRepG2,
+      isRep0Long = this.isRep0Long, posSlot = this.posSlot,
+      specPos = this.specPos, alignProbs = this.alignProbs;
+    var lenDec = this.lenDec, repLenDec = this.repLenDec;
+    var sizeKnown = this.sizeKnown, unpackSize = this.unpackSize;
+    var state = this.state, rep0 = this.rep0, rep1 = this.rep1,
+      rep2 = this.rep2, rep3 = this.rep3;
+    var n = this.n, out = this.out, cap = this.cap;
+    var pbMask = (1 << this.pb) - 1;
+    var lpMask = (1 << this.lp) - 1;
+    var self = this;
+    var done = false;
 
     function grow(need) {
-      while (cap < need) { cap *= 2; }
-      var bigger = new Uint8Array(cap);
-      bigger.set(out.slice(0, n), 0);
-      out = bigger;
+      self.n = n;
+      self._grow(need);
+      out = self.out;
+      cap = self.cap;
     }
 
-    var state = 0, rep0 = 0, rep1 = 0, rep2 = 0, rep3 = 0;
-    var pbMask = (1 << pb) - 1;
-    var lpMask = (1 << lp) - 1;
-
     for (;;) {
-      if (sizeKnown && n >= unpackSize) { break; }
+      if (sizeKnown && n >= unpackSize) { done = true; break; }
+      if (n >= target) { break; }
       if (rc.overrun) { throw new Error('lzma: truncated stream'); }
 
       var posState = n & pbMask;
@@ -262,7 +300,7 @@ var TilerLZMA = {};
           }
           rep0 = d;
         }
-        if (rep0 === 4294967295) { break; } // end-of-stream marker
+        if (rep0 === 4294967295) { done = true; break; } // end-of-stream
       }
       len += kMatchMinLen;
       if (rep0 + 1 > n) { throw new Error('lzma: bad distance'); }
@@ -274,7 +312,23 @@ var TilerLZMA = {};
       n += len;
     }
 
-    return { out: out.slice(0, n), consumed: 13 + (rc.pos - (offset + 13)) };
+    this.state = state;
+    this.rep0 = rep0; this.rep1 = rep1;
+    this.rep2 = rep2; this.rep3 = rep3;
+    this.n = n;
+    this.out = out;
+    this.finished = done;
+    return done;
+  };
+
+  TilerLZMA.AloneDecoder = AloneDecoder;
+
+  // Decodes ONE alone-format stream starting at src[offset] in full.
+  // Returns {out: Uint8Array, consumed: n} or throws.
+  TilerLZMA.decodeAlone = function (src, offset) {
+    var d = new AloneDecoder(src, offset);
+    d.decodeTo(Infinity);
+    return { out: d.out.slice(0, d.n), consumed: d.consumed() };
   };
 })();
 
@@ -290,7 +344,10 @@ function TilerGTM(bytes) {
   this.srcPos = 0;            // next undecoded compressed byte
   this.cmd = null;            // decoded command bytes (one keyframe chunk)
   this.cmdPos = 0;
+  this.cmdLen = 0;            // decoded-so-far length within this.cmd
+  this.dec = null;            // in-progress incremental AloneDecoder
   this.pending = [];          // decoded-but-unread chunks
+  this.kfMaxBps = 0;          // header playback budget (0 = unthrottled)
 
   this.width = 0;
   this.height = 0;
@@ -318,28 +375,68 @@ function TilerGTM(bytes) {
     this.headerHeight = dw(20);
     this.kfCount = dw(24);
     this.frameCount = dw(28);
+    this.kfMaxBps = dw(36);   // KFMaxBytesPerSec (main.pas:113 analogue)
     this.srcPos = whole;
   }
   this.startPos = this.srcPos;
 }
 
+// Per-tick decompression budget: the header's KFMaxBytesPerSec spread
+// over one frame interval (the reference player's unpackData rate
+// limit, gtm.player.js:157-170). 0 / headerless = decode whole chunks
+// up front (legacy behavior).
+TilerGTM.prototype._burst = function () {
+  if (!this.kfMaxBps) { return Infinity; }
+  return Math.max(65536,
+    Math.ceil(this.kfMaxBps * this.frameLengthMs / 1000));
+};
+
+// Advance the in-progress incremental decode to >= target output bytes.
+TilerGTM.prototype._pump = function (target) {
+  if (this.dec === null) { return; }
+  var done = this.dec.decodeTo(target);
+  this.cmd = this.dec.out;
+  this.cmdLen = this.dec.n;
+  if (done) {
+    this.srcPos += this.dec.consumed();
+    this.dec = null;
+  }
+};
+
 TilerGTM.prototype._moreCommands = function () {
   if (this.srcPos >= this.src.length) { return false; }
-  var res = TilerLZMA.decodeAlone(this.src, this.srcPos);
-  this.srcPos += res.consumed;
-  this.cmd = res.out;
+  this.dec = new TilerLZMA.AloneDecoder(this.src, this.srcPos);
   this.cmdPos = 0;
+  this.cmd = this.dec.out;
+  this.cmdLen = 0;
+  this._pump(this._burst());
   return true;
 };
 
+// Make nbytes available at cmdPos, decoding on demand (past the rate
+// budget if the current frame genuinely needs the bytes now).
+TilerGTM.prototype._need = function (nbytes) {
+  if (this.cmdPos + nbytes > this.cmdLen && this.dec !== null) {
+    this._pump(this.cmdPos + nbytes);
+  }
+  if (this.cmdPos + nbytes > this.cmdLen) {
+    throw new Error('gtm: truncated command payload');
+  }
+};
+
 TilerGTM.prototype._ensure = function (nbytes) {
-  if (this.cmd === null || this.cmdPos + nbytes > this.cmd.length) {
+  if (this.cmd !== null && this.cmdPos + nbytes > this.cmdLen &&
+      this.dec !== null) {
+    this._pump(this.cmdPos + nbytes);
+  }
+  if (this.cmd === null || this.cmdPos + nbytes > this.cmdLen) {
     // command words never straddle keyframe chunks (each chunk is a whole
     // keyframe's stream)
-    if (this.cmd !== null && this.cmdPos < this.cmd.length) {
+    if (this.cmd !== null && this.cmdPos < this.cmdLen) {
       throw new Error('gtm: command straddles chunk boundary');
     }
     if (!this._moreCommands()) { return false; }
+    return this._ensure(nbytes);
   }
   return true;
 };
@@ -402,6 +499,8 @@ TilerGTM.prototype.decodeFrame = function () {
       if (this.frameIndex > 0) {
         this.srcPos = this.startPos;
         this.cmd = null;
+        this.cmdLen = 0;
+        this.dec = null;
         this.looped++;
         if (!this._ensure(2)) { return false; }
       } else {
@@ -413,6 +512,7 @@ TilerGTM.prototype.decodeFrame = function () {
     var attrs = w >> GTM_CMD_BITS;
 
     if (cmd === 30) {          // SetDimensions
+      this._need(12);
       this.tmW = this._word();
       this.tmH = this._word();
       this.frameLengthMs = Math.round(this._dword() / 1000000);
@@ -424,6 +524,7 @@ TilerGTM.prototype.decodeFrame = function () {
       }
       this._redim();
     } else if (cmd === 29) {   // TileSet
+      this._need(8);
       var tstart = this._dword();
       var tend = this._dword();
       this.palSize = attrs;
@@ -432,6 +533,7 @@ TilerGTM.prototype.decodeFrame = function () {
         this.palettes = new Uint8Array(256 * this.palSize * 4);
       }
       var cnt = (tend - tstart + 1) * 64;
+      this._need(cnt);
       if ((tend + 1) * 64 > this.tiles.length) {
         var g2 = new Uint8Array((tend + 1) * 64);
         g2.set(this.tiles, 0);
@@ -441,6 +543,7 @@ TilerGTM.prototype.decodeFrame = function () {
         tstart * 64);
       this.cmdPos += cnt;
     } else if (cmd === 3) {    // LoadPalette
+      this._need(2 + this.palSize * 4);
       var palIdx = this.cmd[this.cmdPos];
       this.cmdPos += 2;        // + palette format byte (0 = RGBA32)
       var dst = palIdx * this.palSize * 4;
@@ -450,8 +553,10 @@ TilerGTM.prototype.decodeFrame = function () {
     } else if (cmd === 0) {    // SkipBlock
       this.tmPos += attrs + 1;
     } else if (cmd === 1) {    // ShortTileIdx
+      this._need(2);
       this._blit(this._word(), attrs);
     } else if (cmd === 2) {    // LongTileIdx
+      this._need(4);
       this._blit(this._dword(), attrs);
     } else if (cmd === 28) {   // FrameEnd
       if (this.tmPos !== this.tmW * this.tmH) {
@@ -459,6 +564,12 @@ TilerGTM.prototype.decodeFrame = function () {
       }
       this.tmPos = 0;
       this.frameIndex++;
+      // rate-limited read-ahead for the rest of this keyframe's chunk
+      // (the reference's per-tick unpackData); on-demand _need calls
+      // cover any shortfall, so this only smooths the work
+      if (this.dec !== null) {
+        this._pump(this.cmdLen + this._burst());
+      }
       return true;
     } else {
       throw new Error('gtm: unknown command ' + cmd);

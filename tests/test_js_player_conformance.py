@@ -126,6 +126,56 @@ def test_encoded_stream_matches_our_web_player(web_player_vm, encoded_blob):
     np.testing.assert_array_equal(got, want)
 
 
+def test_web_player_incremental_lzma_matches_full(web_player_vm,
+                                                  encoded_blob):
+    """TilerLZMA.AloneDecoder driven in small decodeTo steps produces the
+    same bytes/consumed as the one-shot decodeAlone (the resumable state
+    machine behind the player's rate-limited keyframe decompression)."""
+    from minijs.engine import TypedArray, js_tonumber
+    from tiler_tpu.bitstream.gtm import GTMHeader, HEADER_SIZE, KFINFO_SIZE
+
+    hdr = GTMHeader.unpack(encoded_blob)
+    whole = hdr.whole_header_size or (HEADER_SIZE
+                                      + KFINFO_SIZE * hdr.kf_count)
+    body = TypedArray(bytearray(encoded_blob[whole:]))
+    it = web_player_vm
+    lzma = it.get_global('TilerLZMA')
+    full = it.get_property(lzma, 'decodeAlone').call_impl(
+        lzma, [body, 0.0])
+    want_out = bytes(it.get_property(full, 'out').data)
+    want_consumed = js_tonumber(it.get_property(full, 'consumed'))
+
+    dec = it.construct(it.get_property(lzma, 'AloneDecoder'), [body, 0.0])
+    decode_to = it.get_property(dec, 'decodeTo')
+    target = 0.0
+    for _ in range(100000):
+        target += 777.0
+        if decode_to.call_impl(dec, [target]) is True:
+            break
+    else:
+        raise AssertionError('incremental decode never finished')
+    n = int(js_tonumber(dec.get('n')))
+    got_out = bytes(dec.get('out').data[:n])
+    got_consumed = js_tonumber(
+        it.get_property(dec, 'consumed').call_impl(dec, []))
+    assert got_out == want_out
+    assert got_consumed == want_consumed
+
+
+def test_web_player_throttled_playback_matches(web_player_vm,
+                                               encoded_blob):
+    """Playback with a tiny KFMaxBytesPerSec header budget (forcing the
+    incremental per-tick unpack path, many pumps per chunk) is pixel-
+    identical to our decoder — the reference player's rate-limited
+    unpackData semantics (gtm.player.js:157-170)."""
+    import struct
+    patched = bytearray(encoded_blob)
+    struct.pack_into('<I', patched, 36, 1)  # 1 byte/s -> 64 KiB floor
+    want, _ = decode_video(encoded_blob)
+    got = play_web(web_player_vm, bytes(patched), want.shape[0])
+    np.testing.assert_array_equal(got, want)
+
+
 def _mkframe(rng, cells, n_tiles, smooth_p=0.3, with_hi=True):
     tile_idx = rng.integers(0, 1024, cells, np.int64)
     if with_hi:  # indices >= 2^16 -> gtLongTileIdx words

@@ -292,10 +292,13 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     assert group_pals.shape[0] <= 256, 'pal_group must fit 8 bits'
 
     # device-resident tiles pass through untouched (no round trip)
+    from ..utils.dispatch import note
     tiles_d = tiles_rgb if isinstance(tiles_rgb, jnp.ndarray) \
         else jnp.asarray(np.asarray(tiles_rgb))
     group_d = pal_group if isinstance(pal_group, jnp.ndarray) \
         else jnp.asarray(np.asarray(pal_group, np.int32))
+    note('jit', 2)
+    note('d2h')
     keys, skeys, inv, count = _dedup_keys(tiles_d, group_d)
     u = int(count)  # one scalar sync
     u_cap = _pad_pow2(u, minimum=256)
@@ -308,11 +311,13 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
         from ..parallel import mesh_pipeline as mp
         if not mp.mesh_ok(mesh):
             mesh = None
+    note('h2d')
     pals_d = jnp.asarray(group_pals)
     pals_rep = mp.replicate(mesh, pals_d) if mesh is not None else None
     plan_parts = []
     for lo in range(0, u_cap, chunk):
         hi = min(u_cap, lo + chunk)
+        note('jit')
         if mesh is not None:
             plan_parts.append(
                 mp.knoll_counts_sharded(mesh, uniq[lo:hi], pals_rep))
@@ -329,6 +334,7 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     tchunk = 65536
     for lo in range(0, n, tchunk):
         hi = min(n, lo + tchunk)
+        note('jit')
         cp = _pad_pow2(hi - lo)
         kchunk = keys[lo:hi]
         if cp != hi - lo:

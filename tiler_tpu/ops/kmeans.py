@@ -68,9 +68,11 @@ def _update(x, labels, k, old_cents):
     return jnp.where(empty[:, None], old_cents, cents), empty
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'max_iters'))
-def kmeans(x, k: int, max_iters: int = 100, seed: int = 0x42381337):
-    """Returns (labels [N] int32, centroids [k,D] f32, n_iters).
+def kmeans_core(x, k: int, max_iters: int = 100, seed: int = 0x42381337):
+    """Traceable k-means body: call from inside another jitted program
+    (e.g. the fused dither-prepare dispatch) or via the `kmeans` wrapper.
+
+    Returns (labels [N] int32, centroids [k,D] f32, n_iters).
 
     Converges when assignments stop changing (yakmo runs to convergence;
     max_iters is a safety bound)."""
@@ -95,3 +97,7 @@ def kmeans(x, k: int, max_iters: int = 100, seed: int = 0x42381337):
         cond, body, (cents, labels, jnp.bool_(True), jnp.int32(0)))
     cents, _ = _update(x, labels, k, cents)
     return labels.astype(jnp.int32), cents, iters
+
+
+kmeans = functools.partial(jax.jit,
+                           static_argnames=('k', 'max_iters'))(kmeans_core)

@@ -493,12 +493,17 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
                 vn[j, :len(sel)] = True
                 vk[j, :exp_k[i]] = True
                 starts[j] = exp_start[i]
+            from ..utils.dispatch import note
+            note('h2d', 4)
+            note('jit')
             labels, cents, winner, iters, costs = _batch_gather_solver(
                 k_pad, n_modalities, max_iters)(
                     sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
                     jnp.asarray(vk), jnp.asarray(starts))
             pending.append((lanes, labels, cents, winner, iters, costs))
     for lanes, labels, cents, winner, iters, costs in pending:
+        from ..utils.dispatch import note
+        note('d2h', 4 if need_cents else 3)
         labels = np.asarray(labels)
         cents_np = np.asarray(cents) if need_cents else None
         winner = np.asarray(winner)

@@ -113,16 +113,18 @@ def nearest_1(queries: np.ndarray, candidates: np.ndarray,
     q_all = np.asarray(queries, np.float32)
     n_q = len(q_all)
     cands = _device_chunks(candidates, c_chunk)
-    out_idx = np.empty(n_q, np.int32)
-    out_err = np.empty(n_q, np.float32)
+    # queue every chunk's dispatch, download ONCE at the end: a per-chunk
+    # np.asarray would block on the tunnel RTT per chunk
+    parts = []
     for qs in range(0, n_q, q_chunk):
         qe = min(n_q, qs + q_chunk)
         qp = _pad_pow2(qe - qs)
         q = jnp.asarray(_pad_rows(q_all[qs:qe], qp))
+        _note('h2d')
+        _note('jit')
         idx, err = _scan_argmin(q, cands)
-        out_idx[qs:qe] = np.asarray(idx)[:qe - qs]
-        out_err[qs:qe] = np.asarray(err)[:qe - qs]
-    return out_idx, out_err
+        parts.append((idx[:qe - qs], err[:qe - qs]))
+    return _download_parts(parts, n_q)
 
 
 def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
@@ -133,13 +135,33 @@ def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
     q_all = np.asarray(queries, np.float32)
     n_q = len(q_all)
     cands = _device_chunks(candidates, c_chunk)
-    out_idx = np.empty((n_q, k), np.int32)
-    out_err = np.empty((n_q, k), np.float32)
+    parts = []
     for qs in range(0, n_q, q_chunk):
         qe = min(n_q, qs + q_chunk)
         qp = _pad_pow2(qe - qs)
         q = jnp.asarray(_pad_rows(q_all[qs:qe], qp))
+        _note('h2d')
+        _note('jit')
         idx, err = _scan_topk(q, cands, k)
-        out_idx[qs:qe] = np.asarray(idx)[:qe - qs]
-        out_err[qs:qe] = np.asarray(err)[:qe - qs]
-    return out_idx, out_err
+        parts.append((idx[:qe - qs], err[:qe - qs]))
+    return _download_parts(parts, n_q)
+
+
+def _download_parts(parts, n_q):
+    """[(idx, err) device slices] -> host arrays with one device concat
+    + two downloads (the slicing above is lazy until this point)."""
+    if not parts:
+        return (np.empty(0, np.int32), np.empty(0, np.float32))
+    if len(parts) == 1:
+        idx, err = parts[0]
+    else:
+        idx = jnp.concatenate([p[0] for p in parts])
+        err = jnp.concatenate([p[1] for p in parts])
+        _note('eager', 2 + 2 * len(parts))  # slices + concats
+    _note('d2h', 2)
+    return np.asarray(idx), np.asarray(err)
+
+
+def _note(kind, n=1):
+    from ..utils.dispatch import note
+    note(kind, n)

@@ -14,19 +14,26 @@ Design rules (all three matter for the byte-identity guarantee):
     tests/test_parallel.py::test_mesh_encode_byte_identical).
   * cross-row couplings stay on one logical device: the dither plan
     dedup (a global sort), k-means centroid sums (f32 reduction order
-    would change under psum), and the GTM writer. They are a small
-    fraction of the 1080p wall clock (BENCH_r02: ~1.1 s of 22 s).
+    would change under psum — the sharded prepare runs the update
+    replicated on the all-gathered features instead), and the GTM
+    writer. They are a small fraction of the 1080p wall clock
+    (BENCH_r02: ~1.1 s of 22 s).
   * each shard runs the SAME jitted program as the single-device path
     (shard_map, not GSPMD auto-partitioning), so per-device behavior is
     predictable and the Pallas kernels can slot in per-chip later.
 
 Sharded here:
   stage 3 assign  (frame_tiling: PsyV features + streaming 1-NN; the
-                   dominant kernel, 4.8 s of 16.5 s at 1080p)
+                   dominant kernel — ONE dispatch per keyframe, Pallas
+                   kernel per shard on TPU)
   stage 2 feats   (frame_tiling candidate features)
   stage 1 mark    (frame_tiling 8-NN marking)
-  KModes solves   (global_tiling via sharded_ops.sharded_kmodes,
-                   bit-identical by test at 1/2/8 devices)
+  dither prepare  (PsyV features + k-means assignment sharded; centroid
+                   update replicated for bit-exact f32 sums)
+  Knoll dither    (plan counts + rank selection halves)
+  smooth          (cell axis: fused features + frame-chain scan)
+  KModes solves   (global_tiling via sharded_ops.sharded_kmodes when
+                   config.mesh_kmodes, bit-identical at 1/2/8 devices)
 """
 from __future__ import annotations
 
@@ -81,40 +88,71 @@ def _evict_other_meshes(cache: dict, mesh: Mesh) -> None:
 _assign_cache: dict = {}
 
 
-def _get_assign_fn(mesh: Mesh, gamma_value, use_wavelets: bool):
-    key = (mesh, gamma_value, use_wavelets)
+def _get_assign_full_fn(mesh: Mesh, gamma_value, use_wavelets: bool,
+                        qchunk: int, pallas: bool, interpret: bool,
+                        bq: int, bc: int):
+    key = (mesh, gamma_value, use_wavelets, qchunk, pallas, interpret,
+           bq, bc)
     fn = _assign_cache.get(key)
     if fn is not None:
         return fn
     _evict_other_meshes(_assign_cache, mesh)
     ax = mesh.axis_names
 
-    def local(rows_loc, src_rep, cands3d):
-        from ..ops.knn import _scan_argmin
-        q = features.psyv_features_rgb(
-            src_rep[rows_loc], gamma_value=gamma_value,
-            use_wavelets=use_wavelets)
-        return _scan_argmin(q, cands3d)
+    if pallas:
+        def local(rows_loc, src_rep, cands_flat):
+            from ..ops.pallas_kernels import _nn_call
+            q = features.psyv_features_rgb(
+                src_rep[rows_loc], gamma_value=gamma_value,
+                use_wavelets=use_wavelets)
+            err, idx = _nn_call(q, cands_flat, bq, bc, interpret)
+            return idx, err
+
+        in_specs = (P(ax), P(None, None, None, None), P(None, None))
+    else:
+        def local(rows_loc, src_rep, cands3d):
+            from ..ops.knn import _scan_argmin
+            rows2d = rows_loc.reshape(-1, qchunk)
+
+            def body(carry, r):
+                q = features.psyv_features_rgb(
+                    src_rep[r], gamma_value=gamma_value,
+                    use_wavelets=use_wavelets)
+                idx, err = _scan_argmin(q, cands3d)
+                return carry, (idx, err)
+
+            _, (idx, err) = jax.lax.scan(body, None, rows2d)
+            return idx.reshape(-1), err.reshape(-1)
+
+        in_specs = (P(ax), P(None, None, None, None), P(None, None, None))
 
     fn = jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(ax), P(None, None, None, None), P(None, None, None)),
+        local, mesh=mesh, in_specs=in_specs,
         out_specs=(P(ax), P(ax)), check_vma=False))
     _assign_cache[key] = fn
     return fn
 
 
-def assign_sharded(mesh: Mesh, rows: np.ndarray, src_rep, cands3d_rep,
-                   gamma_value, use_wavelets: bool):
-    """Stage-3 assign with the query rows sharded across the mesh.
+def assign_sharded_full(mesh: Mesh, rows: np.ndarray, src_rep, cands_rep,
+                        gamma_value, use_wavelets: bool,
+                        pallas: bool = False, interpret: bool = False):
+    """Stage-3 assign for a WHOLE keyframe in ONE dispatch, the query
+    rows sharded across the mesh.
 
     rows: [QP] int32 (QP a pow2 multiple of the device count) indices
-    into the replicated source-tile tensor; returns (idx [QP] i32,
-    err [QP] f32) — bit-identical per row to the single-device
-    frame_tiling scan path."""
-    fn = _get_assign_fn(mesh, gamma_value, use_wavelets)
+    into the replicated source-tile tensor; cands_rep: the replicated
+    candidate features — flat [C,192] for the Pallas kernel, chunked
+    [n_chunks, BC, 192] for the XLA scan. Returns (idx [QP] i32,
+    err [QP] f32) — per-row identical to the single-device path (the
+    Pallas kernel and the scan share the lowest-index-wins tie rule)."""
+    n_dev = mesh.devices.size
+    qp_loc = len(rows) // n_dev
+    fn = _get_assign_full_fn(
+        mesh, gamma_value, use_wavelets, qchunk=min(16384, qp_loc),
+        pallas=pallas, interpret=interpret, bq=min(2048, qp_loc),
+        bc=4096)
     rows_d = jax.device_put(rows, NamedSharding(mesh, P(mesh.axis_names)))
-    return fn(rows_d, src_rep, cands3d_rep)
+    return fn(rows_d, src_rep, cands_rep)
 
 
 # -- stage 2: candidate-combo PsyV features -------------------------------
@@ -211,6 +249,150 @@ def knoll_assign_sharded(mesh: Mesh, counts_rep, inv, keys, pals_rep):
                      shard_rows(mesh, keys), pals_rep)
 
 
+# -- dither prepare: fused PsyV features + k-means, rows sharded ----------
+# The feature pass shards exactly (rows independent). Inside k-means the
+# ASSIGNMENT (the [N,D]@[D,k] distance matmul — half the per-iteration
+# FLOPs) computes on each device's own rows; the CENTROID UPDATE runs
+# replicated on the all-gathered feature array, because its f32 one-hot
+# matmul sums are accumulation-order-sensitive — a psum of per-shard
+# partial sums could drift low bits and flip a label, breaking the mesh
+# byte-identity guarantee. Replicated update = the exact single-device
+# matmul on the exact single-device input, so labels/centroids match the
+# unsharded solver bit for bit (asserted by the mesh encode tests).
+
+_kmeans_cache: dict = {}
+
+
+def _get_kmeans_prepare_fn(mesh: Mesh, n: int, k: int, gamma_value,
+                           use_lab: bool, use_wavelets: bool,
+                           max_iters: int = 100, seed: int = 0x42381337):
+    key = (mesh, n, k, gamma_value, use_lab, use_wavelets)
+    fn = _kmeans_cache.get(key)
+    if fn is not None:
+        return fn
+    _evict_other_meshes(_kmeans_cache, mesh)
+    ax = mesh.axis_names
+    from ..ops.kmeans import _assign, _plus_plus_init, _update
+
+    def local(tp_all, idx_loc):
+        feats_loc = features.psyv_features_rgb(
+            tp_all[idx_loc], gamma_value=gamma_value, use_lab=use_lab,
+            use_wavelets=use_wavelets).astype(jnp.float32)
+        x2_loc = jnp.sum(feats_loc * feats_loc, axis=1)
+        feats = jax.lax.all_gather(feats_loc, ax, tiled=True)
+        x = feats[:n]
+        cents = _plus_plus_init(x, k, jax.random.PRNGKey(seed))
+
+        def assign_all(cents):
+            lab_loc, _ = _assign(feats_loc, x2_loc, cents)
+            return jax.lax.all_gather(lab_loc, ax, tiled=True)[:n]
+
+        labels = assign_all(cents)
+
+        def cond(carry):
+            _, _, changed, it = carry
+            return jnp.logical_and(changed, it < max_iters)
+
+        def body(carry):
+            cents, labels, _, it = carry
+            cents, _ = _update(x, labels, k, cents)
+            new_labels = assign_all(cents)
+            return (cents, new_labels, jnp.any(new_labels != labels),
+                    it + 1)
+
+        cents, labels, _, _ = jax.lax.while_loop(
+            cond, body, (cents, labels, jnp.bool_(True), jnp.int32(0)))
+        cents, _ = _update(x, labels, k, cents)
+        return labels.astype(jnp.int32), cents
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, None, None), P(ax)),
+        out_specs=(P(None), P(None, None)), check_vma=False))
+    _kmeans_cache[key] = fn
+    return fn
+
+
+def kmeans_prepare_sharded(mesh: Mesh, tiles_rep, idx_padded: np.ndarray,
+                           n: int, k: int, gamma_value, use_lab: bool,
+                           use_wavelets: bool):
+    """Dither-prepare for one keyframe in ONE dispatch, feature rows
+    sharded across the mesh: PsyV(LAB) features of the referenced tiles
+    + Lloyd's k-means into k palette groups. idx_padded: [n_pad] int32
+    (n_pad a pow2 multiple of the device count) cell-tile indices into
+    the replicated source-tile tensor; rows past n are padding. Returns
+    (labels [n] i32, centroids [k,D] f32) — bit-identical to
+    ops.kmeans.kmeans on the same rows."""
+    fn = _get_kmeans_prepare_fn(mesh, n, k, gamma_value, use_lab,
+                                use_wavelets)
+    idx_d = jax.device_put(idx_padded,
+                           NamedSharding(mesh, P(mesh.axis_names)))
+    return fn(tiles_rep, idx_d)
+
+
+# -- smooth: fused cell features + frame-chain scan, cells sharded --------
+# The frame chain is sequential, but every CELL's chain is independent —
+# the reference's per-row thread fan-out (main.pas:1366) becomes the cell
+# axis sharded across the mesh, with the reduced tileset + the keyframe's
+# palettes replicated. Same per-cell program as pipeline.smooth, so the
+# smoothed tilemap (and the stream) is byte-identical.
+
+_smooth_cache: dict = {}
+
+
+def _get_smooth_fn(mesh: Mesh, strength: float):
+    key = (mesh, strength)
+    fn = _smooth_cache.get(key)
+    if fn is not None:
+        return fn
+    _evict_other_meshes(_smooth_cache, mesh)
+    ax = mesh.axis_names
+
+    def local(tp_all, pals, tile, pal, hm, vm):
+        from ..pipeline.smooth import _cell_features, _smooth_chain
+        f, c_loc = tile.shape
+        feats = _cell_features(
+            tp_all, pals, tile.reshape(-1), pal.reshape(-1),
+            hm.reshape(-1), vm.reshape(-1)).reshape(f, c_loc, -1)
+        return _smooth_chain(feats, tile, pal, hm, vm, strength)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, None), P(None, None, None),
+                  P(None, ax), P(None, ax), P(None, ax), P(None, ax)),
+        out_specs=(P(None, ax),) * 5, check_vma=False))
+    _smooth_cache[key] = fn
+    return fn
+
+
+def smooth_sharded(mesh: Mesh, tp_rep, palettes_k: np.ndarray,
+                   tile: np.ndarray, pal: np.ndarray, hm: np.ndarray,
+                   vm: np.ndarray, strength: float):
+    """One keyframe's fused smooth with the CELL axis sharded.
+
+    tile/pal/hm/vm: [F, C] host arrays; the cell axis pads up to a
+    device-count multiple (padded cells compute independently and the
+    caller slices them off). Returns the stm field tuple, each
+    [F, C_pad] device-sharded."""
+    n_dev = mesh.devices.size
+    f, c = tile.shape
+    cp = -(-c // n_dev) * n_dev
+
+    def pad(a):
+        if cp == c:
+            return a
+        return np.concatenate(
+            [a, np.zeros((f, cp - c), a.dtype)], axis=1)
+
+    sh = NamedSharding(mesh, P(None, mesh.axis_names))
+    fn = _get_smooth_fn(mesh, strength)
+    pals_rep = jax.device_put(palettes_k,
+                              NamedSharding(mesh, P(None, None, None)))
+    return fn(tp_rep, pals_rep,
+              jax.device_put(pad(tile), sh), jax.device_put(pad(pal), sh),
+              jax.device_put(pad(hm), sh), jax.device_put(pad(vm), sh))
+
+
 # -- stage 1: 8-NN marking ------------------------------------------------
 
 _topk_cache: dict = {}
@@ -261,13 +443,13 @@ def nearest_k_sharded(mesh: Mesh, queries: np.ndarray, candidates,
     cands = _cands_rep_cache['rep']
     fn = _get_topk_fn(mesh, k)
     sh = NamedSharding(mesh, P(mesh.axis_names, None))
-    out_idx = np.empty((n_q, k), np.int32)
-    out_err = np.empty((n_q, k), np.float32)
+    # queue all chunks, download once (ops.knn._download_parts semantics)
+    from ..ops.knn import _download_parts
+    parts = []
     for qs in range(0, n_q, q_chunk):
         qe = min(n_q, qs + q_chunk)
         qp = _pad_pow2(qe - qs)
         q = jax.device_put(_pad_rows(q_all[qs:qe], qp), sh)
         idx, err = fn(q, cands)
-        out_idx[qs:qe] = np.asarray(idx)[:qe - qs]
-        out_err[qs:qe] = np.asarray(err)[:qe - qs]
-    return out_idx, out_err
+        parts.append((idx[:qe - qs], err[:qe - qs]))
+    return _download_parts(parts, n_q)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..constants import TILE_W
 from ..ops import dither, features, palette
-from ..ops.kmeans import kmeans
+from ..ops.kmeans import kmeans_core
 from .state import EncoderState
 
 
@@ -30,48 +30,67 @@ def _dithering_gamma(cfg):
     return cfg.encoder_gamma if cfg.dithering_gamma else None
 
 
-def _gather_feats(tiles_all, idx, gamma_value, use_lab, use_wavelets):
-    """Device gather + PsyV for dither clustering (module-level so the jit
-    cache persists across keyframes/encodes; a per-call jit recompiles
-    through the tunnel every time)."""
-    return features.psyv_features_rgb(
+def _prepare_fused(tiles_all, idx, n: int, k: int, gamma_value, use_lab,
+                   use_wavelets):
+    """Device gather + PsyV + Lloyd's k-means for dither clustering, in
+    ONE dispatch (module-level so the jit cache persists across
+    keyframes/encodes; the k-means already specialized on the exact row
+    count, so fusing the feature pass adds no compiles)."""
+    feats = features.psyv_features_rgb(
         tiles_all[idx], gamma_value=gamma_value, use_lab=use_lab,
         use_wavelets=use_wavelets)
+    labels, cents, _ = kmeans_core(feats[:n], k)
+    return labels, cents
 
 
-_gather_feats_jit = None
+_prepare_fused_jit = None
 _canon_jit = None
 
 
-def prepare_dither_keyframe(state: EncoderState, k: int) -> None:
-    """PsyV(LAB) features of every referenced tile + k-means clustering into
-    palette_count groups (PrepareDitherTiles). The tile gather and feature
-    transform run on device against the cached tile tensor; only the cell
-    index vector goes up."""
+def prepare_dither_keyframe(state: EncoderState, k: int,
+                            tiles_rep=None) -> None:
+    """PsyV(LAB) features of every referenced tile + k-means clustering
+    into palette_count groups (PrepareDitherTiles), fused into one device
+    dispatch; only the cell index vector goes up and labels/centroids
+    come down. Under a mesh the feature rows and the k-means assignment
+    shard across devices (parallel.mesh_pipeline.kmeans_prepare_sharded,
+    bit-identical by construction)."""
     import jax
     import jax.numpy as jnp
+    from ..parallel.mesh_pipeline import kmeans_prepare_sharded, mesh_ok
+    from ..utils.dispatch import note
     cfg = state.config
     s, e = state.keyframes[k]
     cell_tiles = state.tm_tile[s:e + 1].ravel()
-    if len(cell_tiles) > 1 and cfg.palette_count > 1:
-        global _gather_feats_jit
-        if _gather_feats_jit is None:
-            _gather_feats_jit = jax.jit(
-                _gather_feats, static_argnames=('gamma_value', 'use_lab',
-                                                'use_wavelets'))
-        gather_feats = _gather_feats_jit
-
-        n_pad = features.pad_pow2(len(cell_tiles))
+    n = len(cell_tiles)
+    if n > 1 and cfg.palette_count > 1:
+        n_pad = features.pad_pow2(n)
         idx = np.zeros(n_pad, np.int32)
-        idx[:len(cell_tiles)] = cell_tiles
-        feats = gather_feats(state.device_source_tiles(), jnp.asarray(idx),
-                             _dithering_gamma(cfg), True,
-                             cfg.use_wavelets)[:len(cell_tiles)]
-        labels, cents, _ = kmeans(feats, cfg.palette_count)
-        labels = np.asarray(labels)
-        state.palette_centroids[k] = np.asarray(cents)
+        idx[:n] = cell_tiles
+        note('h2d')
+        note('jit')
+        note('d2h', 2)
+        if mesh_ok(state.mesh):
+            labels_d, cents_d = kmeans_prepare_sharded(
+                state.mesh, tiles_rep if tiles_rep is not None
+                else state.device_source_tiles(), idx, n,
+                cfg.palette_count, _dithering_gamma(cfg), True,
+                cfg.use_wavelets)
+        else:
+            global _prepare_fused_jit
+            if _prepare_fused_jit is None:
+                _prepare_fused_jit = jax.jit(
+                    _prepare_fused,
+                    static_argnames=('n', 'k', 'gamma_value', 'use_lab',
+                                     'use_wavelets'))
+            labels_d, cents_d = _prepare_fused_jit(
+                state.device_source_tiles(), jnp.asarray(idx), n,
+                cfg.palette_count, _dithering_gamma(cfg), True,
+                cfg.use_wavelets)
+        labels = np.asarray(labels_d)
+        state.palette_centroids[k] = np.asarray(cents_d)
     else:
-        labels = np.zeros(len(cell_tiles), np.int32)
+        labels = np.zeros(n, np.int32)
     state.tile_dpi[cell_tiles] = labels
 
 
@@ -215,6 +234,10 @@ def run_dither(state: EncoderState) -> EncoderState:
     act = np.flatnonzero(state.tile_active)
     act_kf = tile_kf[act]
     tiles_dev = state.device_source_tiles()
+    tiles_rep = None
+    if mesh_ok(state.mesh):
+        from ..parallel.mesh_pipeline import replicate
+        tiles_rep = replicate(state.mesh, tiles_dev)  # one ICI broadcast
     n_total = state.n_tiles
     buf = jnp.zeros((n_total, TILE_W, TILE_W), jnp.uint8)
 
@@ -232,7 +255,7 @@ def run_dither(state: EncoderState) -> EncoderState:
         futs = []
         import os
         for k in range(n_kf):
-            prepare_dither_keyframe(state, k)  # device
+            prepare_dither_keyframe(state, k, tiles_rep=tiles_rep)
             # keyframes' cell ranges are disjoint (identity tilemap), so
             # quantize(k) reading tile_dpi[cells_k] is safe against
             # prepare(k+1) writing tile_dpi[cells_{k+1}]
@@ -250,6 +273,9 @@ def run_dither(state: EncoderState) -> EncoderState:
             rows = np.flatnonzero((act_kf >= batch.start)
                                   & (act_kf < batch.stop))
             if rows.size:
+                from ..utils.dispatch import note
+                note('h2d', 2)
+                note('eager', 2)  # tile gather + buf scatter
                 idx = jnp.asarray(act[rows].astype(np.int32))
                 sel = tiles_dev[idx]
                 dpi_rows = np.maximum(state.tile_dpi[act[rows]], 0)
@@ -272,9 +298,13 @@ def run_dither(state: EncoderState) -> EncoderState:
     # down (the [N,8,8] tiles remain device-resident through MakeUnique /
     # GlobalTiling; see state.tiles_pal property)
     import jax
+
+    from ..utils.dispatch import note
     global _canon_jit
     if _canon_jit is None:
         _canon_jit = jax.jit(_canonicalize_mirrors_dev)
+    note('jit')
+    note('d2h')
     baked, mir_bits = _canon_jit(buf)
     state.set_tiles_pal_device(baked)
     mir = np.asarray(mir_bits)

@@ -57,10 +57,14 @@ class Encoder:
         return self._timed('smooth', run_smooth, self.state)
 
     def save(self, fast_lzma: bool = False) -> bytes:
+        from ..utils import dispatch
         from .save import run_save
+        before = dispatch.snapshot()
         t0 = time.perf_counter()
         blob = run_save(self.state, fast_lzma=fast_lzma)
         self.state.step_times['save'] = time.perf_counter() - t0
+        self.state.metrics.setdefault('dispatches', {})['save'] = \
+            dispatch.delta(before)
         self._report('save')
         return blob
 
@@ -131,14 +135,47 @@ class Encoder:
         if ok('save'):
             blob = self.save(fast_lzma=fast_lzma)
             done('save')
+        from ..parallel.mesh_pipeline import mesh_ok
+        if mesh_ok(self.state.mesh):
+            self._sharded_wall_metric()
         return blob
+
+    def _sharded_wall_metric(self) -> None:
+        """Fraction of the DEVICE wall clock spent in mesh-sharded stages
+        (the Amdahl number for multi-chip scaling): sharded = dither
+        prepare+scan, FrameTiling mark/feats/assign, smooth (+ the KModes
+        solve when mesh_kmodes); device wall excludes host-only phases
+        (load, save, the DL3/VAR quantize pool, the KModes merge)."""
+        st, m = self.state.step_times, self.state.metrics
+        dp = m.get('dither_phases') or {}
+        gp = m.get('gt_phases') or {}
+        fp = m.get('ft_phases') or {}
+        sharded = (dp.get('prepare_kmeans', 0.0) + dp.get('dither', 0.0)
+                   + fp.get('mark', 0.0) + fp.get('cand_feats', 0.0)
+                   + fp.get('assign', 0.0) + st.get('smooth', 0.0))
+        if self.config.mesh_kmodes:
+            sharded += gp.get('solve', 0.0)
+        device_wall = (st.get('dither', 0.0) - dp.get('quantize', 0.0)
+                       + st.get('make_unique', 0.0)
+                       + st.get('global_tiling', 0.0)
+                       - gp.get('merge_host', 0.0)
+                       + st.get('frame_tiling', 0.0)
+                       + st.get('smooth', 0.0) + st.get('reindex', 0.0))
+        m['mesh_sharded_wall'] = {
+            'sharded_s': round(sharded, 3),
+            'device_wall_s': round(device_wall, 3),
+            'frac': round(sharded / max(device_wall, 1e-9), 3)}
 
     # -- internals ----------------------------------------------------------
 
     def _timed(self, name, fn, *args):
+        from ..utils import dispatch
+        before = dispatch.snapshot()
         t0 = time.perf_counter()
         result = fn(*args)
         self.state.step_times[name] = time.perf_counter() - t0
+        self.state.metrics.setdefault('dispatches', {})[name] = \
+            dispatch.delta(before)
         self._report(name)
         return result
 

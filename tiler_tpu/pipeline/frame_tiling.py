@@ -12,9 +12,17 @@ feature against them (DoFrameTiling main.pas:3992-4047).
 
 TPU-native: both searches are exact streaming distance matmuls (ops.knn);
 the per-keyframe lazy init/teardown critical sections and FramesLeft
-refcounts disappear — each keyframe is a bulk three-phase pass. Dataset
-entry order matches the reference's mirror walk (attrs 0,1,3,2 per tile)
-for tie-compatibility.
+refcounts (the reference's per-frame thread fan-out, main.pas:972)
+disappear — the step runs as three BULK phases batched across keyframes:
+one k-NN pass over every keyframe's marking queries, one feature pass
+over every keyframe's candidate combos, then ONE device dispatch per
+keyframe for the fused stage-3 (query features + streaming 1-NN), with a
+single device->host download at the end. Through a high-RTT tunnel the
+per-interaction cost dominates small encodes (docs/RESULTS.md), so the
+schedule minimizes interactions; per-row math is unchanged, keeping the
+stream bytes identical to the per-keyframe schedule. Dataset entry order
+matches the reference's mirror walk (attrs 0,1,3,2 per tile) for
+tie-compatibility.
 """
 from __future__ import annotations
 
@@ -23,6 +31,7 @@ import numpy as np
 from ..config import FTQuality
 from ..constants import TILE_W
 from ..ops import features, knn
+from ..utils.dispatch import note
 from .state import EncoderState
 
 _ATTR_ORDER = np.array([0, 1, 3, 2], np.int32)  # h|v<<1 per dataset slot
@@ -57,6 +66,8 @@ def build_global_dataset(state: EncoderState):
     if _expand_jit is None:
         _expand_jit = jax.jit(_expand_mirrors)
     act = np.flatnonzero(state.tile_active)
+    note('h2d')
+    note('jit')
     ds = _expand_jit(state.device_tiles_pal()[jnp.asarray(
         act.astype(np.int32))])
     tile_of = np.repeat(act, 4)
@@ -67,22 +78,26 @@ def build_global_dataset(state: EncoderState):
 _expand_jit = None
 
 
-def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
-                    pal_mask: np.ndarray | None):
-    """Stage 1: bool[P, 4A] used-combo indicator for keyframe k."""
-    cfg = state.config
+# -- stage 1: candidate marking -------------------------------------------
+
+def _mark_queries(state: EncoderState, k: int):
+    """Host-side marking queries for keyframe k: the unique referenced
+    tiles' PalPixels rows."""
     s, e = state.keyframes[k]
     cell_tiles = state.tm_tile[s:e + 1].ravel()
-    cell_pals = state.tm_pal[s:e + 1].ravel()
-
     uq_tiles, tile_inv = np.unique(cell_tiles, return_inverse=True)
     queries = state.tiles_pal[uq_tiles].reshape(len(uq_tiles), -1) \
         .astype(np.float32)
-    from ..parallel.mesh_pipeline import mesh_ok, nearest_k_sharded
-    if mesh_ok(state.mesh):
-        idxs, errs = nearest_k_sharded(state.mesh, queries, ds, k=8)
-    else:
-        idxs, errs = knn.nearest_k(queries, ds, k=8)
+    return uq_tiles, tile_inv, queries
+
+
+def _mark_from_knn(state: EncoderState, k: int, idxs, errs, tile_inv,
+                   n_uq: int, n_ds: int, pal_mask: np.ndarray | None):
+    """Pure host set logic turning the 8-NN results into the bool[P, 4A]
+    used-combo indicator (UseOne, main.pas:3802-3853)."""
+    cfg = state.config
+    s, e = state.keyframes[k]
+    cell_pals = state.tm_pal[s:e + 1].ravel()
     # skip consecutive equal-error results (UseOne, main.pas:3832-3837)
     keep = np.ones_like(errs, bool)
     keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
@@ -91,12 +106,12 @@ def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
     # loop is pure set logic, so it vectorizes exactly: scatter the kept
     # k-NN hits into a per-palette indicator, then expand across palettes
     # (SLOW: any palette; MEDIUM: the pal_mask boolean matmul)
-    pair_ids = cell_pals.astype(np.int64) * len(uq_tiles) + tile_inv
+    pair_ids = cell_pals.astype(np.int64) * n_uq + tile_inv
     uq_pairs = np.unique(pair_ids)
-    pair_pal = (uq_pairs // len(uq_tiles)).astype(np.int64)
-    pair_tile_row = (uq_pairs % len(uq_tiles)).astype(np.int64)
+    pair_pal = (uq_pairs // n_uq).astype(np.int64)
+    pair_tile_row = (uq_pairs % n_uq).astype(np.int64)
 
-    marked_q = np.zeros((cfg.palette_count, len(ds)), bool)
+    marked_q = np.zeros((cfg.palette_count, n_ds), bool)
     km = keep[pair_tile_row]                         # [n_pairs, 8]
     marked_q[np.repeat(pair_pal, km.sum(1)),
              idxs[pair_tile_row][km]] = True
@@ -111,6 +126,23 @@ def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
     return used
 
 
+def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
+                    pal_mask: np.ndarray | None):
+    """Stage 1 for ONE keyframe: bool[P, 4A] used-combo indicator.
+
+    run_frame_tiling batches the k-NN across every keyframe instead
+    (same per-row results — rows are independent); this entry point
+    serves tools/tests that study one keyframe."""
+    uq_tiles, tile_inv, queries = _mark_queries(state, k)
+    from ..parallel.mesh_pipeline import mesh_ok, nearest_k_sharded
+    if mesh_ok(state.mesh):
+        idxs, errs = nearest_k_sharded(state.mesh, queries, ds, k=8)
+    else:
+        idxs, errs = knn.nearest_k(queries, ds, k=8)
+    return _mark_from_knn(state, k, idxs, errs, tile_inv, len(uq_tiles),
+                          len(ds), pal_mask)
+
+
 def palette_similarity_mask(state: EncoderState, k: int) -> np.ndarray:
     """[P,P] bool: pal_mask[j,q] = centroid j close enough to q
     (BuildPaletteCorrTriangle + APalTol test, main.pas:3843-3847)."""
@@ -122,37 +154,56 @@ def palette_similarity_mask(state: EncoderState, k: int) -> np.ndarray:
     return d < cfg.ft_palette_tol * highest
 
 
+# -- stage 2: candidate-combo PsyV features -------------------------------
+
 def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                        chunk: int = 262144, tiles_pal_dev=None):
-    """Stage 2: PsyV features of every used (pal, tile, mirror) combo.
+    """Stage 2 for ONE keyframe (wrapper over the multi-keyframe batch):
+    PsyV features of every used (pal, tile, mirror) combo. Returns
+    (feats [C,192] device, pal_idx [C] i32, tile_idx [C] i32, attrs [C])."""
+    per_kf = candidate_features_multi(state, [k], [used], tile_of,
+                                      attrs_of, chunk=chunk,
+                                      tiles_pal_dev=tiles_pal_dev)
+    return per_kf[0]
 
-    The tile-pixel and palette gathers happen on device (tiles_pal and the
-    keyframe's palettes upload once; per-chunk traffic is only the int32
-    index vectors) — the host-side fancy indexing here was a hotspot on
-    slow hosts.
+
+def candidate_features_multi(state: EncoderState, kfs: list[int],
+                             used_list, tile_of, attrs_of,
+                             chunk: int = 262144, tiles_pal_dev=None):
+    """Stage 2 batched across keyframes: ONE feature pass over every
+    keyframe's candidate combos (palettes stacked [len(kfs)*P, S, 3] so a
+    combo's palette row is kf_slot*P + pal).
+
+    The mirror-dedup decision (signed-permutation expansion vs direct
+    pixels; the two differ in f32 low bits) stays PER KEYFRAME — same
+    gate as the per-keyframe schedule, so streams are byte-identical to
+    it — but all keyframes taking the same path batch into one pass.
 
     Mirror dedup (wavelet basis): a mirrored tile's features are an EXACT
     signed column permutation of the unmirrored ones
     (features.mirror_coeff_perms), so the expensive palette-LUT +
-    colorspace + basis matmul runs once per (pal, tile) and the mirror
-    variants expand with static permutations, then un-sort back to the
-    (pal, dentry) candidate order so exact-distance ties resolve
-    identically to the direct path."""
+    colorspace + basis matmul runs once per (kf, pal, tile) and the
+    mirror variants expand with static permutations, then un-sort back to
+    the per-keyframe (pal, dentry) candidate order so exact-distance ties
+    resolve identically to the direct path.
+
+    Returns [per kf in `kfs` order]: (feats [C_k,192] device slice,
+    pal_idx [C_k] i32, tile_idx [C_k] i32, attrs [C_k])."""
     import functools
     import jax
     import jax.numpy as jnp
     cfg = state.config
-    pal_idx, dentry = np.nonzero(used)
-    c = len(pal_idx)
-    tiles = tile_of[dentry]
-    attrs = attrs_of[dentry]
+    n_p = cfg.palette_count
 
     from ..parallel.mesh_pipeline import (chunk_feats_sharded, mesh_ok,
                                           replicate)
     par = mesh_ok(state.mesh)
     tiles_pal_d = state.device_tiles_pal() if tiles_pal_dev is None \
         else tiles_pal_dev  # uploaded once per encode by run_frame_tiling
-    pals_d = jnp.asarray(state.palettes_rgb[k])
+    note('h2d')
+    pals_d = jnp.asarray(
+        np.ascontiguousarray(state.palettes_rgb[np.asarray(kfs)])
+        .reshape(len(kfs) * n_p, -1, 3))
     if par:
         tiles_pal_d = replicate(state.mesh, tiles_pal_d)
         pals_d = replicate(state.mesh, pals_d)
@@ -177,6 +228,8 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                 out = np.full(n_pad, fill, a.dtype)
                 out[:hi - lo] = a[lo:hi]
                 return out
+            note('h2d', 4)
+            note('jit')
             if par:
                 res = chunk_feats_sharded(
                     state.mesh, tiles_pal_d, pals_d,
@@ -192,61 +245,110 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
                     jnp.asarray(pad(b_hm)), jnp.asarray(pad(b_vm)),
                     _ft_gamma(cfg), cfg.use_wavelets)
             parts.append(res[:hi - lo])
+        if len(parts) > 1:
+            note('eager')
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
+    # per-keyframe combo lists + the per-keyframe path gate
     pp = features.mirror_coeff_perms(cfg.use_wavelets)
-    pair_ids = pal_idx.astype(np.int64) * int(state.n_tiles) + tiles
-    uq, inv = np.unique(pair_ids, return_inverse=True)
-    state.metrics.setdefault('ft_pair_dedup', []).append(
-        round(c / max(len(uq), 1), 3))
-    if pp is not None and len(uq) <= 0.9 * c:
-        perm4, sign4 = pp
-        base = base_feats((uq % state.n_tiles).astype(np.int32),
-                          (uq // state.n_tiles).astype(np.int32),
-                          np.zeros(len(uq), bool), np.zeros(len(uq), bool))
-        if par:
-            # the mirror expansion gathers arbitrary base rows; replicate
-            # once (all-gather) instead of per-gather collectives
-            base = replicate(state.mesh, base)
-        # bucket the base length too: _mirror_expand_one specializes on
-        # (base, seg) shapes and an exact len(uq) would recompile per
-        # keyframe
-        b_pad = features.pad_pow2(len(uq))
-        if b_pad != base.shape[0]:
-            base = jnp.pad(base, ((0, b_pad - base.shape[0]), (0, 0)))
-        order = np.argsort(attrs, kind='stable')
-        ginv = inv[order]
-        global _mirror_expand_jit
-        if _mirror_expand_jit is None:
-            _mirror_expand_jit = jax.jit(
-                _mirror_expand_one, static_argnames=('attr',))
-        perm_d, sign_d = jnp.asarray(perm4), jnp.asarray(sign4)
-        bounds = np.searchsorted(attrs[order], np.arange(5))
-        parts = []
-        for a in range(4):
-            lo, hi = int(bounds[a]), int(bounds[a + 1])
-            if hi == lo:
-                continue
-            n_pad = features.pad_pow2(hi - lo)  # bucketed: few compiles
-            seg = np.zeros(n_pad, np.int32)
-            seg[:hi - lo] = ginv[lo:hi]
-            parts.append(_mirror_expand_jit(base, jnp.asarray(seg),
-                                            perm_d, sign_d, a)[:hi - lo])
-        feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        # restore the original (pal, dentry) candidate order: stage-3
-        # argmin breaks exact-distance ties by candidate index, and the
-        # direct path (and the reference's mirror walk) resolve them in
-        # this order — one device row gather keeps the two paths
-        # tie-identical
-        inv_order = np.empty_like(order)
-        inv_order[order] = np.arange(len(order))
-        feats = feats[jnp.asarray(inv_order.astype(np.int32))]
-        return (feats, pal_idx.astype(np.int32),
-                tiles.astype(np.int32), attrs)
+    combos = []          # (kf_slot, pal_idx, dentry, tiles, attrs, perm?)
+    for slot, used in enumerate(used_list):
+        pal_idx, dentry = np.nonzero(used)
+        c = len(pal_idx)
+        tiles = tile_of[dentry]
+        attrs = attrs_of[dentry]
+        pair_ids = pal_idx.astype(np.int64) * int(state.n_tiles) + tiles
+        n_uq = len(np.unique(pair_ids))
+        state.metrics.setdefault('ft_pair_dedup', []).append(
+            round(c / max(n_uq, 1), 3))
+        use_perm = pp is not None and n_uq <= 0.9 * c
+        combos.append((slot, pal_idx, dentry, tiles, attrs, use_perm))
 
-    feats = base_feats(tiles, pal_idx, (attrs & 1).astype(bool),
-                       (attrs & 2).astype(bool))
-    return feats, pal_idx.astype(np.int32), tiles.astype(np.int32), attrs
+    feats_by_slot: dict = {}
+
+    def run_group(group, use_perm: bool):
+        """One batched pass over the kf slots taking the same path."""
+        slot_ids = np.concatenate(
+            [np.full(len(g[1]), g[0], np.int64) for g in group])
+        pal_idx = np.concatenate([g[1] for g in group])
+        tiles = np.concatenate([g[3] for g in group])
+        attrs = np.concatenate([g[4] for g in group])
+        gpal = slot_ids * n_p + pal_idx          # row into stacked pals_d
+        if use_perm:
+            perm4, sign4 = pp
+            pair_ids = gpal * int(state.n_tiles) + tiles
+            uq, inv = np.unique(pair_ids, return_inverse=True)
+            base = base_feats((uq % state.n_tiles).astype(np.int32),
+                              (uq // state.n_tiles).astype(np.int32),
+                              np.zeros(len(uq), bool),
+                              np.zeros(len(uq), bool))
+            if par:
+                # the mirror expansion gathers arbitrary base rows;
+                # replicate once (all-gather) instead of per-gather
+                # collectives
+                base = replicate(state.mesh, base)
+            # bucket the base length too: _mirror_expand_one specializes
+            # on (base, seg) shapes and an exact len(uq) would recompile
+            # per keyframe batch
+            b_pad = features.pad_pow2(len(uq))
+            if b_pad != base.shape[0]:
+                note('eager')
+                base = jnp.pad(base, ((0, b_pad - base.shape[0]), (0, 0)))
+            order = np.argsort(attrs, kind='stable')
+            ginv = inv[order]
+            global _mirror_expand_jit
+            if _mirror_expand_jit is None:
+                _mirror_expand_jit = jax.jit(
+                    _mirror_expand_one, static_argnames=('attr',))
+            perm_d, sign_d = jnp.asarray(perm4), jnp.asarray(sign4)
+            bounds = np.searchsorted(attrs[order], np.arange(5))
+            parts = []
+            for a in range(4):
+                lo, hi = int(bounds[a]), int(bounds[a + 1])
+                if hi == lo:
+                    continue
+                n_pad = features.pad_pow2(hi - lo)  # bucketed
+                seg = np.zeros(n_pad, np.int32)
+                seg[:hi - lo] = ginv[lo:hi]
+                note('h2d')
+                note('jit')
+                parts.append(_mirror_expand_jit(base, jnp.asarray(seg),
+                                                perm_d, sign_d, a)
+                             [:hi - lo])
+            note('eager')
+            feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            # restore the original (pal, dentry) candidate order:
+            # stage-3 argmin breaks exact-distance ties by candidate
+            # index, and the direct path (and the reference's mirror
+            # walk) resolve them in this order — one device row gather
+            # keeps the two paths tie-identical
+            inv_order = np.empty_like(order)
+            inv_order[order] = np.arange(len(order))
+            note('h2d')
+            note('eager')
+            feats = feats[jnp.asarray(inv_order.astype(np.int32))]
+        else:
+            feats = base_feats(tiles, gpal.astype(np.int64),
+                               (attrs & 1).astype(bool),
+                               (attrs & 2).astype(bool))
+        # slice the group result back into per-kf-slot views
+        off = 0
+        for g in group:
+            c_k = len(g[1])
+            note('eager')
+            feats_by_slot[g[0]] = feats[off:off + c_k]
+            off += c_k
+
+    perm_group = [g for g in combos if g[5]]
+    direct_group = [g for g in combos if not g[5]]
+    if perm_group:
+        run_group(perm_group, True)
+    if direct_group:
+        run_group(direct_group, False)
+
+    return [(feats_by_slot[slot], pal_idx.astype(np.int32),
+             tiles.astype(np.int32), attrs)
+            for slot, pal_idx, _, tiles, attrs, _ in combos]
 
 
 def _mirror_expand_one(base, ginv, perm4, sign4, attr: int):
@@ -270,62 +372,82 @@ _chunk_feats_jit = None
 _mirror_expand_jit = None
 
 
-def _query_assign_factory():
+# -- stage 3: fused query features + streaming 1-NN -----------------------
+
+def _assign_scan_factory():
     import functools
     import jax
 
-    @functools.partial(jax.jit, static_argnames=('gamma_value',
+    @functools.partial(jax.jit, static_argnames=('qchunk', 'gamma_value',
                                                  'use_wavelets'))
-    def step(src_tiles_u8, cands3d, gamma_value, use_wavelets):
-        """Fused stage 3: source-tile PsyV features + streaming 1-NN over
-        the device-resident candidate chunks. Only u8 tiles go up; only
-        [Q] idx/err come down."""
-        q = features.psyv_features_rgb(src_tiles_u8,
-                                       gamma_value=gamma_value,
-                                       use_wavelets=use_wavelets)
-        from ..ops.knn import _scan_argmin
-        return _scan_argmin(q, cands3d)
-
-    return step
-
-
-_query_assign = None
-
-
-def _query_assign_pallas_factory():
-    import functools
-    import jax
-
-    @functools.partial(jax.jit, static_argnames=('bq', 'bc', 'gamma_value',
-                                                 'use_wavelets'))
-    def step(src_tiles_u8, cand_feats, bq: int, bc: int, gamma_value,
+    def step(rows, src_all, cands3d, qchunk: int, gamma_value,
              use_wavelets):
-        """Pallas stage 3 in ONE dispatch: query features + fused
-        streaming 1-NN (the two-dispatch form pays an extra tunnel round
-        trip per query chunk)."""
-        from ..ops.pallas_kernels import _nn_call
-        q = features.psyv_features_rgb(src_tiles_u8,
-                                       gamma_value=gamma_value,
-                                       use_wavelets=use_wavelets)
-        return _nn_call(q, cand_feats, bq, bc, False)
+        """Fused stage 3 for a WHOLE keyframe in ONE dispatch: a
+        lax.scan over query chunks, each chunk gathering its source
+        tiles on device, computing PsyV features and running the
+        streaming 1-NN. Only the int32 row vector goes up; only [Q]
+        idx/err come down (at the caller's single end-of-step sync)."""
+        import jax.numpy as jnp
+        rows2d = rows.reshape(-1, qchunk)
+
+        def body(carry, r):
+            q = features.psyv_features_rgb(src_all[r],
+                                           gamma_value=gamma_value,
+                                           use_wavelets=use_wavelets)
+            from ..ops.knn import _scan_argmin
+            idx, err = _scan_argmin(q, cands3d)
+            return carry, (idx, err)
+
+        _, (idx, err) = jax.lax.scan(body, None, rows2d)
+        return idx.reshape(-1), err.reshape(-1)
 
     return step
 
 
-_query_assign_pallas = None
+_assign_scan = None
 
 
-def _use_pallas_nn() -> bool:
-    """Stage-3 1-NN path selection: the fused Pallas streaming kernel on
-    real TPU (the [Q,C] distance matrix never touches HBM — 2.9x the XLA
-    scan at 720p shapes, identical winner indices there; distances round
-    differently so the residual METRIC can differ in low bits), the XLA
-    scan elsewhere. TILER_NO_PALLAS=1 forces the scan path."""
+def _assign_pallas_factory():
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=('bq', 'bc', 'interpret',
+                                                 'gamma_value',
+                                                 'use_wavelets'))
+    def step(rows, src_all, cand_feats, bq: int, bc: int, interpret: bool,
+             gamma_value, use_wavelets):
+        """Pallas stage 3 for a WHOLE keyframe in ONE dispatch: device
+        gather + query features + the fused streaming 1-NN kernel (the
+        [Q,C] distance matrix never touches HBM)."""
+        from ..ops.pallas_kernels import _nn_call
+        q = features.psyv_features_rgb(src_all[rows],
+                                       gamma_value=gamma_value,
+                                       use_wavelets=use_wavelets)
+        err, idx = _nn_call(q, cand_feats, bq, bc, interpret)
+        return idx, err
+
+    return step
+
+
+_assign_pallas = None
+
+
+def _pallas_mode() -> str:
+    """Stage-3 1-NN path selection: 'tpu' = the fused Pallas streaming
+    kernel (2.9x the XLA scan at 720p shapes, identical winner indices
+    there; distances round differently so the residual METRIC can differ
+    in low bits), 'interpret' = the same kernel interpreted (CPU; for
+    conformance tests via TILER_PALLAS_INTERPRET=1), 'off' = the XLA
+    scan. TILER_NO_PALLAS=1 forces the scan path."""
     import os
     if os.environ.get('TILER_NO_PALLAS') == '1':
-        return False
+        return 'off'
     import jax
-    return jax.default_backend() == 'tpu'
+    if jax.default_backend() == 'tpu':
+        return 'tpu'
+    if os.environ.get('TILER_PALLAS_INTERPRET') == '1':
+        return 'interpret'
+    return 'off'
 
 
 def _changed_mask(frames_rgb: np.ndarray, th: int, tw: int) -> np.ndarray:
@@ -350,14 +472,13 @@ def _changed_mask(frames_rgb: np.ndarray, th: int, tw: int) -> np.ndarray:
 def run_frame_tiling(state: EncoderState) -> EncoderState:
     import jax
     import jax.numpy as jnp
-    from ..parallel.mesh_pipeline import (assign_sharded, mesh_ok,
-                                          replicate)
+    from ..parallel.mesh_pipeline import (assign_sharded_full, mesh_ok,
+                                          nearest_k_sharded, replicate)
     par = mesh_ok(state.mesh)
-    global _query_assign
-    if _query_assign is None:
-        _query_assign = _query_assign_factory()
+    import os
     import time
     cfg = state.config
+    n_kf = len(state.keyframes)
     phases = {'mark': 0.0, 'cand_feats': 0.0, 'assign': 0.0}
     t0 = time.perf_counter()
     ds, tile_of, attrs_of = build_global_dataset(state)
@@ -373,49 +494,79 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     phases['upload'] = round(time.perf_counter() - t0, 3)
     ch_all = _changed_mask(state.frames_rgb, state.tilemap_h,
                            state.tilemap_w)
-    residual = 0.0
-    knn_sizes = []
-    q_total = q_changed = 0
-    src_rep = None
 
-    for k in range(len(state.keyframes)):
-        s, e = state.keyframes[k]
-        t0 = time.perf_counter()
+    # ---- stage 1, ALL keyframes: one k-NN pass over the shared global
+    # dataset (per-query results are independent, so batching across
+    # keyframes changes nothing but the dispatch count) ----
+    t0 = time.perf_counter()
+    mark_q = [_mark_queries(state, k) for k in range(n_kf)]
+    all_q = np.concatenate([m[2] for m in mark_q]) if n_kf > 1 \
+        else mark_q[0][2]
+    if par:
+        idxs_all, errs_all = nearest_k_sharded(state.mesh, all_q, ds, k=8)
+    else:
+        idxs_all, errs_all = knn.nearest_k(all_q, ds, k=8)
+    used_list = []
+    off = 0
+    for k in range(n_kf):
+        uq_tiles, tile_inv, _ = mark_q[k]
+        n_uq = len(uq_tiles)
         pal_mask = palette_similarity_mask(state, k) \
             if cfg.ft_quality == FTQuality.MEDIUM else None
-        used = mark_candidates(state, k, ds, tile_of, attrs_of, pal_mask)
-        phases['mark'] += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        feats, cand_pal, cand_tile, cand_attrs = candidate_features(
-            state, k, used, tile_of, attrs_of, tiles_pal_dev=tiles_pal_dev)
-        knn_sizes.append(len(feats))
-        jax.block_until_ready(feats)
-        phases['cand_feats'] += time.perf_counter() - t0
-        t0 = time.perf_counter()
+        used_list.append(_mark_from_knn(
+            state, k, idxs_all[off:off + n_uq], errs_all[off:off + n_uq],
+            tile_inv, n_uq, len(ds), pal_mask))
+        off += n_uq
+    del mark_q, all_q, idxs_all, errs_all
+    phases['mark'] = round(time.perf_counter() - t0, 3)
 
+    # ---- stage 2, ALL keyframes: one batched feature pass ----
+    t0 = time.perf_counter()
+    per_kf = candidate_features_multi(state, list(range(n_kf)), used_list,
+                                      tile_of, attrs_of,
+                                      tiles_pal_dev=tiles_pal_dev)
+    knn_sizes = [int(f.shape[0]) for f, _, _, _ in per_kf]
+    jax.block_until_ready(per_kf[-1][0])
+    phases['cand_feats'] = round(time.perf_counter() - t0, 3)
+
+    # ---- stage 3: ONE fused dispatch per keyframe, results queued on
+    # device; a single download at the end of the step ----
+    t0 = time.perf_counter()
+    pallas = _pallas_mode()
+    use_pallas = pallas != 'off'
+    c_chunk = 4096 if use_pallas else 8192
+    src_all = state.device_source_tiles()
+    if par:
+        src_all = replicate(state.mesh, src_all)
+
+    global _assign_scan, _assign_pallas
+    if _assign_scan is None:
+        _assign_scan = _assign_scan_factory()
+    if _assign_pallas is None:
+        _assign_pallas = _assign_pallas_factory()
+
+    q_total = q_changed = 0
+    kf_plan = []     # per kf: (dense, ch, changed, n_run)
+    dev_parts = []   # per kf: (idx_dev, err_dev) device slices
+    for k in range(n_kf):
+        s, e = state.keyframes[k]
+        feats, cand_pal, cand_tile, cand_attrs = per_kf[k]
         # lay the candidates out for the 1-NN path (pad with far points)
-        use_pallas = _use_pallas_nn() and not par
-        c_chunk = 4096 if use_pallas else 8192
         n_c = feats.shape[0]
         n_chunks = max(1, -(-n_c // c_chunk))
         pad_rows = n_chunks * c_chunk - n_c
         if pad_rows:
+            note('eager')
             feats = jnp.concatenate(
                 [feats, jnp.full((pad_rows, feats.shape[1]), 1e9,
                                  jnp.float32)])
-        cands3d = None if use_pallas else feats.reshape(n_chunks, c_chunk,
-                                                        -1)
+        cands = feats if use_pallas else feats.reshape(n_chunks, c_chunk,
+                                                       -1)
+        if not use_pallas:
+            note('eager')
         if par:
-            cands3d = replicate(state.mesh, cands3d)
+            cands = replicate(state.mesh, cands)
 
-        # stage 3: fused per-chunk query features + 1-NN assignment. The
-        # query tiles are device slices of the identity source-tile tensor
-        # (one frames upload per encode) — no per-chunk H2D traffic.
-        src_all = state.device_source_tiles()
-        if par:
-            if src_rep is None:  # one broadcast per encode
-                src_rep = replicate(state.mesh, src_all)
-            src_all = src_rep
         base = s * state.tilemap_size
         cells = state.tilemap_size
         f_kf = e - s + 1
@@ -426,64 +577,64 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         # and palettes change — so the first frame is all-changed.
         ch = ch_all[s:e + 1].copy()
         ch[0, :] = True
-        import os
         if os.environ.get('TILER_NO_QDEDUP') == '1':
             ch[:] = True  # cross-check switch: recompute every cell
         changed = np.flatnonzero(ch.ravel())
         q_total += n_q
         q_changed += len(changed)
-        dense = len(changed) > 0.98 * n_q  # skip gather overhead
-        qchunk = 16384
-        global _query_assign_pallas
-        if _query_assign_pallas is None:
-            _query_assign_pallas = _query_assign_pallas_factory()
-        # queue EVERY chunk's dispatch, sync ONCE at the end: per-chunk
-        # np.asarray blocks on the tunnel RTT and serialized the device
-        # (2 syncs x 22 chunks was most of the assign phase at 720p)
+        dense = len(changed) > 0.98 * n_q  # host fill shortcut only
         n_run = n_q if dense else len(changed)
-        idx_parts, err_parts = [], []
-        for lo in range(0, n_run, qchunk):
-            hi = min(n_run, lo + qchunk)
-            qp = features.pad_pow2(hi - lo)
-            if par:
-                # mesh path: query rows shard across every device; the
-                # gather from the replicated source tensor happens inside
-                # the shard_mapped program (parallel.mesh_pipeline)
-                rows = np.full(qp, base + (lo if dense else changed[lo]),
-                               np.int32)
-                if dense:
-                    rows[:hi - lo] = base + np.arange(lo, hi,
-                                                      dtype=np.int32)
-                else:
-                    rows[:hi - lo] = base + changed[lo:hi]
-                idx, err = assign_sharded(state.mesh, rows, src_all,
-                                          cands3d, _ft_gamma(cfg),
-                                          cfg.use_wavelets)
-                idx_parts.append(idx[:hi - lo])
-                err_parts.append(err[:hi - lo])
-                continue
-            if dense:
-                buf = src_all[base + lo:base + hi]
-                if qp != hi - lo:
-                    buf = jnp.pad(buf, ((0, qp - (hi - lo)), (0, 0),
-                                        (0, 0), (0, 0)))
-            else:
-                rows = np.full(qp, base + changed[lo], np.int32)
-                rows[:hi - lo] = base + changed[lo:hi]
-                buf = src_all[jnp.asarray(rows)]
-            if use_pallas:
-                err, idx = _query_assign_pallas(
-                    buf, feats, min(2048, qp), c_chunk,
-                    _ft_gamma(cfg), cfg.use_wavelets)
-            else:
-                idx, err = _query_assign(buf, cands3d,
-                                         _ft_gamma(cfg), cfg.use_wavelets)
-            idx_parts.append(idx[:hi - lo])
-            err_parts.append(err[:hi - lo])
-        run_idx = np.asarray(jnp.concatenate(idx_parts)
-                             if len(idx_parts) > 1 else idx_parts[0])
-        run_err = np.asarray(jnp.concatenate(err_parts)
-                             if len(err_parts) > 1 else err_parts[0])
+        qp = features.pad_pow2(n_run)
+        rows = np.full(qp, base + (0 if dense else changed[0]), np.int32)
+        if dense:
+            rows[:n_run] = base + np.arange(n_run, dtype=np.int32)
+        else:
+            rows[:n_run] = base + changed
+        note('h2d')
+        note('jit')
+        if par:
+            idx, err = assign_sharded_full(
+                state.mesh, rows, src_all, cands, _ft_gamma(cfg),
+                cfg.use_wavelets, pallas=use_pallas,
+                interpret=(pallas == 'interpret'))
+        elif use_pallas:
+            idx, err = _assign_pallas(
+                jnp.asarray(rows), src_all, cands,
+                min(2048, qp), c_chunk, pallas == 'interpret',
+                _ft_gamma(cfg), cfg.use_wavelets)
+        else:
+            idx, err = _assign_scan(
+                jnp.asarray(rows), src_all, cands, min(16384, qp),
+                _ft_gamma(cfg), cfg.use_wavelets)
+        dev_parts.append((idx[:n_run], err[:n_run]))
+        kf_plan.append((dense, ch, changed, n_run))
+        # release this keyframe's candidate features (the queued dispatch
+        # keeps the device buffers alive until it completes)
+        per_kf[k] = (None, cand_pal, cand_tile, cand_attrs)
+        del feats, cands
+
+    # single sync for the whole step
+    if n_kf > 1:
+        note('eager', 2)
+        all_idx = np.asarray(jnp.concatenate([p[0] for p in dev_parts]))
+        all_err = np.asarray(jnp.concatenate([p[1] for p in dev_parts]))
+    else:
+        all_idx = np.asarray(dev_parts[0][0])
+        all_err = np.asarray(dev_parts[0][1])
+    note('d2h', 2)
+
+    # ---- host: forward fills + tilemap writes ----
+    residual = 0.0
+    off = 0
+    for k in range(n_kf):
+        s, e = state.keyframes[k]
+        _, cand_pal, cand_tile, cand_attrs = per_kf[k]
+        dense, ch, changed, n_run = kf_plan[k]
+        run_idx = all_idx[off:off + n_run]
+        run_err = all_err[off:off + n_run]
+        off += n_run
+        cells = state.tilemap_size
+        f_kf = e - s + 1
         if dense:
             best_idx, best_err = run_idx, run_err
         else:
@@ -497,7 +648,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
             fill = changed_pos[src_flat]
             best_idx = run_idx[fill]
             best_err = run_err[fill]
-        shape = (e - s + 1, state.tilemap_h, state.tilemap_w)
+        shape = (f_kf, state.tilemap_h, state.tilemap_w)
         state.tm_tile[s:e + 1] = cand_tile[best_idx].reshape(shape)
         state.tm_pal[s:e + 1] = cand_pal[best_idx].reshape(shape)
         state.tm_h[s:e + 1] = (cand_attrs[best_idx] & 1).astype(bool) \
@@ -505,7 +656,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         state.tm_v[s:e + 1] = (cand_attrs[best_idx] & 2).astype(bool) \
             .reshape(shape)
         residual += float(best_err.sum())
-        phases['assign'] += time.perf_counter() - t0
+    phases['assign'] = round(time.perf_counter() - t0, 3)
 
     state.metrics['ft_residual_err'] = residual
     state.metrics['ft_knn_sizes'] = knn_sizes

@@ -156,6 +156,10 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
     a_pad = 1 << max(8, (act.size - 1).bit_length())
     act_p = np.full(a_pad, n, np.int32)  # sentinel: clamps to last row
     act_p[:act.size] = act
+    from ..utils.dispatch import note
+    note('h2d')
+    note('jit')
+    note('d2h')
     sigs_dev, sums_dev = _signatures_device_jit()(
         state.device_tiles_pal(), jnp.asarray(act_p),
         cfg.tile_palette_size)

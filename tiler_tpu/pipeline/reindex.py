@@ -34,6 +34,10 @@ def run_reindex(state: EncoderState) -> EncoderState:
         # permute on device; the survivor set is small, so any later host
         # access (save/render) syncs cheaply
         import jax.numpy as jnp
+
+        from ..utils.dispatch import note
+        note('h2d')
+        note('eager')
         state.set_tiles_pal_device(
             state.device_tiles_pal()[jnp.asarray(order.astype(np.int32))])
     else:

@@ -10,10 +10,14 @@ is marked Smoothed for skip encoding. The reference's backward copy
 (PrevTMI := TMI) overwrites the previous frame's cell INCLUDING its
 Smoothed flag — that quirk is preserved.
 
-TPU-first: the whole keyframe runs as ONE device program — a batched
-feature pass over every frame's cells followed by a lax.scan over the
-frame chain carrying (fields, features) of the previous frame. Features
-never leave the device; only the final [F,cells] field arrays come back.
+TPU-first: each keyframe runs as ONE fused device program — the
+palette-render + PsyV feature pass and the lax.scan over the frame chain
+live in the same dispatch; per-keyframe results queue on device and a
+single end-of-step download returns every field (through a high-RTT
+tunnel the per-interaction cost dominates small encodes). Under a device
+mesh the CELL axis shards across every device (the reference's per-row
+thread fan-out, main.pas:1366): cells are independent, so per-shard math
+is unchanged and the stream stays byte-identical.
 """
 from __future__ import annotations
 
@@ -25,17 +29,27 @@ import numpy as np
 
 from ..constants import TILE_DCT_SIZE
 from ..ops import features
+from ..utils.dispatch import note
 from .state import EncoderState
 
 _SQRT_FACTOR = 1.0 / TILE_DCT_SIZE
 
 
-@functools.partial(jax.jit, static_argnames=('strength',))
-def _smooth_kf(feats, tile, pal, hm, vm, strength: float):
-    """One keyframe's smoothing chain.
+def _cell_features(tiles_pal_all, palettes_k, tile_idx, pal_idx, hm, vm):
+    """Device-side gather + PsyV of [F*C] cells: only the reduced tileset
+    (once per encode) and per-cell int32/bool index vectors cross the
+    tunnel — ~11x less H2D traffic than shipping gathered 64B tiles +
+    48B palettes per cell."""
+    t = tiles_pal_all[tile_idx]
+    pals = palettes_k[pal_idx]
+    t = features.mirror_tiles(t, hm, vm)
+    cpn = features.pal_tiles_to_cpn(t, pals, None, False)
+    return features.psyv_from_cpn(cpn, use_wavelets=False, q_weighting=True)
 
-    feats [F,C,192] f32 (device), tile/pal [F,C] i32, hm/vm [F,C] bool.
-    Returns stm (tile, pal, h, v, smooth) each [F,C]."""
+
+def _smooth_chain(feats, tile, pal, hm, vm, strength: float):
+    """The frame-chain scan. feats [F,C,192] f32, tile/pal [F,C] i32,
+    hm/vm [F,C] bool. Returns stm (tile, pal, h, v, smooth) each [F,C]."""
 
     def step(carry, cur):
         p_tile, p_pal, p_h, p_v, p_sm, p_feat = carry
@@ -73,39 +87,21 @@ def _smooth_kf(feats, tile, pal, hm, vm, strength: float):
     return stm_tile, stm_pal, stm_h, stm_v, stm_sm
 
 
-@jax.jit
-def _kf_features_gather(tiles_pal_all, palettes_k, tile_idx, pal_idx,
-                        hm, vm):
-    """Device-side gather + PsyV: only the reduced tileset (once per
-    encode) and per-cell int32/bool index vectors cross the tunnel —
-    ~11x less H2D traffic than shipping gathered 64B tiles + 48B
-    palettes per cell."""
-    t = tiles_pal_all[tile_idx]
-    pals = palettes_k[pal_idx]
-    t = features.mirror_tiles(t, hm, vm)
-    cpn = features.pal_tiles_to_cpn(t, pals, None, False)
-    return features.psyv_from_cpn(cpn, use_wavelets=False, q_weighting=True)
-
-
-def _kf_features(state: EncoderState, k: int, tiles_dev):
-    s, e = state.keyframes[k]
-    idx = state.tm_tile[s:e + 1].ravel()
-    n = len(idx)
-    n_pad = features.pad_pow2(n)
-
-    def pad(a, dtype):
-        out = np.zeros(n_pad, dtype)
-        out[:n] = a
-        return jnp.asarray(out)
-
-    return _kf_features_gather(
-        tiles_dev, jnp.asarray(state.palettes_rgb[k]),
-        pad(idx, np.int32), pad(state.tm_pal[s:e + 1].ravel(), np.int32),
-        pad(state.tm_h[s:e + 1].ravel(), bool),
-        pad(state.tm_v[s:e + 1].ravel(), bool))[:n]
+@functools.partial(jax.jit, static_argnames=('strength',))
+def _smooth_kf_fused(tiles_pal_all, palettes_k, tile, pal, hm, vm,
+                     strength: float):
+    """One keyframe's smoothing as ONE device program: cell features +
+    the frame-chain scan fused (two dispatches and an intermediate
+    [F*C,192] round trip in the unfused form)."""
+    f, c = tile.shape
+    feats = _cell_features(
+        tiles_pal_all, palettes_k, tile.reshape(-1), pal.reshape(-1),
+        hm.reshape(-1), vm.reshape(-1)).reshape(f, c, TILE_DCT_SIZE)
+    return _smooth_chain(feats, tile, pal, hm, vm, strength)
 
 
 def run_smooth(state: EncoderState) -> EncoderState:
+    from ..parallel.mesh_pipeline import mesh_ok, replicate, smooth_sharded
     strength = state.config.smoothing_strength
     cells = state.tilemap_size
     state.stm_tile = state.tm_tile.copy()
@@ -114,28 +110,44 @@ def run_smooth(state: EncoderState) -> EncoderState:
     state.stm_v = state.tm_v.copy()
     state.stm_smooth = np.zeros_like(state.tm_tile, bool)
 
-    smoothed_cells = 0
+    par = mesh_ok(state.mesh)
     tiles_dev = state.device_tiles_pal()  # reduced tileset, resident
+    if par:
+        tiles_dev = replicate(state.mesh, tiles_dev)
+
+    # queue one fused dispatch per keyframe; download everything once
+    todo = []   # (s, e, stm device tuple)
     for k, (s, e) in enumerate(state.keyframes):
         n_f = e - s + 1
         if n_f < 2:
             continue
-        feats = _kf_features(state, k, tiles_dev) \
-            .reshape(n_f, cells, TILE_DCT_SIZE)
+        note('h2d', 5)
+        note('jit')
+        tm = (state.tm_tile[s:e + 1].reshape(n_f, cells),
+              state.tm_pal[s:e + 1].reshape(n_f, cells),
+              state.tm_h[s:e + 1].reshape(n_f, cells),
+              state.tm_v[s:e + 1].reshape(n_f, cells))
+        if par:
+            stm = smooth_sharded(state.mesh, tiles_dev,
+                                 state.palettes_rgb[k], *tm,
+                                 strength=float(strength))
+        else:
+            stm = _smooth_kf_fused(
+                tiles_dev, jnp.asarray(state.palettes_rgb[k]),
+                *(jnp.asarray(a) for a in tm), strength=float(strength))
+        todo.append((s, e, stm))
+
+    smoothed_cells = 0
+    for s, e, stm in todo:
         sh = state.tm_tile[s:e + 1].shape
-        stm = _smooth_kf(
-            feats,
-            jnp.asarray(state.tm_tile[s:e + 1].reshape(n_f, cells)),
-            jnp.asarray(state.tm_pal[s:e + 1].reshape(n_f, cells)),
-            jnp.asarray(state.tm_h[s:e + 1].reshape(n_f, cells)),
-            jnp.asarray(state.tm_v[s:e + 1].reshape(n_f, cells)),
-            float(strength))
-        state.stm_tile[s:e + 1] = np.asarray(stm[0]).reshape(sh)
-        state.stm_pal[s:e + 1] = np.asarray(stm[1]).reshape(sh)
-        state.stm_h[s:e + 1] = np.asarray(stm[2]).reshape(sh)
-        state.stm_v[s:e + 1] = np.asarray(stm[3]).reshape(sh)
-        state.stm_smooth[s:e + 1] = np.asarray(stm[4]).reshape(sh)
-        smoothed_cells += int(np.asarray(stm[4]).sum())
+        note('d2h', 5)
+        state.stm_tile[s:e + 1] = np.asarray(stm[0])[:, :cells].reshape(sh)
+        state.stm_pal[s:e + 1] = np.asarray(stm[1])[:, :cells].reshape(sh)
+        state.stm_h[s:e + 1] = np.asarray(stm[2])[:, :cells].reshape(sh)
+        state.stm_v[s:e + 1] = np.asarray(stm[3])[:, :cells].reshape(sh)
+        sm = np.asarray(stm[4])[:, :cells].reshape(sh)
+        state.stm_smooth[s:e + 1] = sm
+        smoothed_cells += int(sm.sum())
 
     state.metrics['smoothed_cells'] = smoothed_cells
     return state

@@ -89,6 +89,9 @@ class EncoderState:
         key = ('tiles_rgb', id(self.tiles_rgb))
         if self._dev_cache.get('key') != key:
             import jax.numpy as jnp
+
+            from ..utils.dispatch import note
+            note('h2d')
             self._dev_cache = {'key': key,
                                'arr': jnp.asarray(self.tiles_rgb)}
         return self._dev_cache['arr']
@@ -98,6 +101,9 @@ class EncoderState:
         key = ('frames_rgb', id(self.frames_rgb))
         if self._frames_dev_cache.get('key') != key:
             import jax.numpy as jnp
+
+            from ..utils.dispatch import note
+            note('h2d')
             self._frames_dev_cache = {'key': key,
                                       'arr': jnp.asarray(self.frames_rgb)}
         return self._frames_dev_cache['arr']
@@ -120,6 +126,8 @@ class EncoderState:
                     x = x.transpose(0, 1, 3, 2, 4, 5)
                     return x.reshape(f * th * tw, TILE_W, TILE_W, 3)
                 _split_tiles_jit = jax.jit(split)
+            from ..utils.dispatch import note
+            note('jit')
             self._src_tiles_cache = {
                 'key': key, 'arr': _split_tiles_jit(self.device_frames())}
         return self._src_tiles_cache['arr']
@@ -138,6 +146,8 @@ class EncoderState:
         if self._tiles_pal_host is None and self._tiles_pal_dev is not None:
             # np.array (copy): np.asarray of a jax array is read-only and
             # several consumers mutate the host tiles in place
+            from ..utils.dispatch import note
+            note('d2h')
             self._tiles_pal_host = np.array(self._tiles_pal_dev)
         return self._tiles_pal_host
 
@@ -170,6 +180,8 @@ class EncoderState:
         when the host side is authoritative."""
         import jax.numpy as jnp
         if self._tiles_pal_dev is None:
+            from ..utils.dispatch import note
+            note('h2d')
             self._tiles_pal_dev = jnp.asarray(self._tiles_pal_host)
         return self._tiles_pal_dev
 

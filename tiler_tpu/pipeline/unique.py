@@ -105,6 +105,10 @@ def compute_unique_fwd_device(state: EncoderState):
     a_pad = 1 << max(8, (act.size - 1).bit_length())
     act_p = np.full(a_pad, n, np.int32)
     act_p[:act.size] = act
+    from ..utils.dispatch import note
+    note('h2d')
+    note('jit')
+    note('d2h', 2)
     sidx, winner = _unique_fwd_dev_jit()(
         state.device_tiles_pal(), jnp.asarray(act_p))
     sidx = np.asarray(sidx)
@@ -129,6 +133,10 @@ def run_make_unique(state: EncoderState) -> EncoderState:
         fwd, new_use, new_active, losers = compute_unique_fwd_device(state)
         if losers.size:
             import jax.numpy as jnp
+
+            from ..utils.dispatch import note
+            note('h2d')
+            note('eager')
             state.set_tiles_pal_device(
                 state.device_tiles_pal().at[jnp.asarray(
                     losers.astype(np.int32))].set(0))

@@ -1,0 +1,132 @@
+"""Round-4 chip measurement batch — ONE process (each new process
+re-enters the tunnel's first-op stall lottery; see docs/RESULTS.md).
+
+Phases, in order (each prints one JSON line tagged 'phase'):
+  1. warmup      — compile every kernel at the 1080p + CIF shape buckets
+  2. bench1080   — 3 timed 1080p x 16 encodes (median protocol) with the
+                   round-4 dispatch counters
+  3. city        — full 300-frame city_cif re-encode (the VERDICT item-1
+                   reproducibility target: within ~2x of the 18.5 s
+                   best-observed on an ordinary draw)
+  4. football    — full football_cif re-encode (RD sweep anchor)
+  5. rd_sweep    — bytes-vs-PSNR at 3 quality points per demo clip (the
+                   honesty item: the size comparison as a curve)
+  6. nn_ab       — fused whole-keyframe assign: Pallas kernel vs XLA scan
+                   at the 1080p shapes (VERDICT item 3: the batched path
+                   keeps the kernel's speed)
+
+Run:  stdbuf -oL python tools/r4_chip_batch.py 2>&1 | tee /tmp/r4_batch.log
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def encode(frames, fps, cfg, fast=True):
+    from tiler_tpu.pipeline.encoder import Encoder
+    enc = Encoder(cfg)
+    t0 = time.perf_counter()
+    blob = enc.run_all(frames, fps=fps, fast_lzma=fast)
+    return time.perf_counter() - t0, blob, enc.state
+
+
+def psnr_vs(dec, src):
+    mse = np.mean((dec.astype(np.float64) - src.astype(np.float64)) ** 2)
+    return round(float(10 * np.log10(255.0 ** 2 / mse)), 3) if mse else 99.0
+
+
+def disp_total(st):
+    d = st.metrics.get('dispatches') or {}
+    return sum(v.get('total', 0) for v in d.values())
+
+
+def main():
+    from bench import synthetic_clip
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.decode import decode_video
+
+    t_start = time.perf_counter()
+    cfg1080 = EncoderConfig(palette_count=128, tile_palette_size=16)
+    cfg_cif = EncoderConfig(palette_count=64, tile_palette_size=16)
+    frames1080 = synthetic_clip(16, 1080, 1920)
+
+    city = open('/root/reference/docs/demo/city_cif.gtm', 'rb').read()
+    city_frames, _ = decode_video(city)
+    fb = open('/root/reference/docs/demo/football_cif.gtm', 'rb').read()
+    fb_frames, _ = decode_video(fb)
+
+    # 1. warmup (1080p shapes + CIF shapes off a prefix)
+    t0 = time.perf_counter()
+    encode(frames1080, 24.0, cfg1080)
+    encode(city_frames[:64], 30.0, cfg_cif)
+    log(phase='warmup', wall_s=round(time.perf_counter() - t0, 1))
+
+    # 2. 1080p median-of-3
+    runs = []
+    for i in range(3):
+        dt, blob, st = encode(frames1080, 24.0, cfg1080)
+        runs.append(round(16 / dt, 3))
+        log(phase='bench1080', run=i, wall_s=round(dt, 2),
+            fps=round(16 / dt, 3), n_dispatches=disp_total(st),
+            dispatches=st.metrics.get('dispatches'),
+            step_times={k: round(v, 2) for k, v in st.step_times.items()},
+            ft_phases=st.metrics.get('ft_phases'),
+            dither_phases=st.metrics.get('dither_phases'),
+            gt_phases=st.metrics.get('gt_phases'))
+    log(phase='bench1080_median', fps=float(np.median(runs)), runs=runs,
+        gtm_bytes=len(blob), psnr=psnr_vs(decode_video(blob)[0],
+                                          frames1080))
+
+    # 3 + 4. full demo clips
+    for name, ref, fr in (('city', city, city_frames),
+                          ('football', fb, fb_frames)):
+        dt, blob, st = encode(fr, 30.0, cfg_cif)
+        dec, _ = decode_video(blob)
+        log(phase=name, wall_s=round(dt, 2), fps=round(len(fr) / dt, 3),
+            gtm_bytes=len(blob), ref_gtm_bytes=len(ref),
+            psnr=psnr_vs(dec, fr), n_dispatches=disp_total(st),
+            dispatches=st.metrics.get('dispatches'),
+            step_times={k: round(v, 2) for k, v in st.step_times.items()},
+            ft_phases=st.metrics.get('ft_phases'),
+            dither_phases=st.metrics.get('dither_phases'),
+            gt_phases=st.metrics.get('gt_phases'),
+            ft_q_changed_frac=st.metrics.get('ft_q_changed_frac'))
+
+    # 5. RD sweep: quality via the tile budget knob (qb_tiles) at the
+    # demos' own palette budget — bytes vs PSNR as a curve
+    for name, fr in (('city', city_frames), ('football', fb_frames)):
+        for qb in (1.0, 2.0, 4.0):
+            cfg = EncoderConfig(palette_count=64, tile_palette_size=16,
+                                qb_tiles=qb)
+            dt, blob, st = encode(fr, 30.0, cfg)
+            dec, _ = decode_video(blob)
+            log(phase='rd_sweep', clip=name, qb_tiles=qb,
+                gtm_bytes=len(blob), psnr=psnr_vs(dec, fr),
+                wall_s=round(dt, 1))
+
+    # 6. Pallas vs scan A/B on the fused whole-keyframe assign
+    for label, env in (('pallas', None), ('scan', '1')):
+        if env is None:
+            os.environ.pop('TILER_NO_PALLAS', None)
+        else:
+            os.environ['TILER_NO_PALLAS'] = env
+        dt, _, st = encode(frames1080, 24.0, cfg1080)  # warm for path
+        dt, _, st = encode(frames1080, 24.0, cfg1080)
+        log(phase='nn_ab', path=label, wall_s=round(dt, 2),
+            assign_s=(st.metrics.get('ft_phases') or {}).get('assign'))
+    os.environ.pop('TILER_NO_PALLAS', None)
+
+    log(phase='done', total_wall_s=round(time.perf_counter() - t_start, 1))
+
+
+if __name__ == '__main__':
+    main()
