@@ -254,6 +254,24 @@ def test_mesh_assign_pallas_interpret_byte_identical(mesh8, monkeypatch):
         'pallas-per-shard mesh encode differs from the scan-path encode'
 
 
+def test_ft_row_budget_grouping_byte_identical(monkeypatch):
+    """Forcing the FrameTiling HBM row budget down to one keyframe per
+    group (the long-clip memory-bound path with a flush sync between
+    groups) leaves the stream byte-identical to the single-group
+    schedule."""
+    from __graft_entry__ import _dryrun_clip
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    frames = _dryrun_clip()  # two keyframes
+    cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
+                        max_tiles=120)
+    want = Encoder(cfg).run_all(frames, fast_lzma=True)
+    monkeypatch.setenv('TILER_FT_ROW_BUDGET', '1')
+    got = Encoder(cfg).run_all(frames, fast_lzma=True)
+    assert got == want, 'per-keyframe grouping changed the stream'
+
+
 def test_single_device_pallas_interpret_byte_identical(monkeypatch):
     """The single-device whole-keyframe Pallas assign (the TPU
     production path) matches the XLA scan path byte for byte (interpret

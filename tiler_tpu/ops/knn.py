@@ -124,7 +124,7 @@ def nearest_1(queries: np.ndarray, candidates: np.ndarray,
         _note('jit')
         idx, err = _scan_argmin(q, cands)
         parts.append((idx[:qe - qs], err[:qe - qs]))
-    return _download_parts(parts, n_q)
+    return _download_parts(parts, empty_shape=(0,))
 
 
 def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
@@ -144,14 +144,15 @@ def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
         _note('jit')
         idx, err = _scan_topk(q, cands, k)
         parts.append((idx[:qe - qs], err[:qe - qs]))
-    return _download_parts(parts, n_q)
+    return _download_parts(parts, empty_shape=(0, k))
 
 
-def _download_parts(parts, n_q):
+def _download_parts(parts, empty_shape=(0,)):
     """[(idx, err) device slices] -> host arrays with one device concat
     + two downloads (the slicing above is lazy until this point)."""
     if not parts:
-        return (np.empty(0, np.int32), np.empty(0, np.float32))
+        return (np.empty(empty_shape, np.int32),
+                np.empty(empty_shape, np.float32))
     if len(parts) == 1:
         idx, err = parts[0]
     else:

@@ -101,12 +101,21 @@ def _get_assign_full_fn(mesh: Mesh, gamma_value, use_wavelets: bool,
 
     if pallas:
         def local(rows_loc, src_rep, cands_flat):
+            # chunked like the single-device path: Mosaic stack-allocates
+            # the kernel's full output pair in scoped VMEM, so each
+            # pallas_call's query count stays bounded
             from ..ops.pallas_kernels import _nn_call
-            q = features.psyv_features_rgb(
-                src_rep[rows_loc], gamma_value=gamma_value,
-                use_wavelets=use_wavelets)
-            err, idx = _nn_call(q, cands_flat, bq, bc, interpret)
-            return idx, err
+            rows2d = rows_loc.reshape(-1, qchunk)
+
+            def body(carry, r):
+                q = features.psyv_features_rgb(
+                    src_rep[r], gamma_value=gamma_value,
+                    use_wavelets=use_wavelets)
+                err, idx = _nn_call(q, cands_flat, bq, bc, interpret)
+                return carry, (idx, err)
+
+            _, (idx, err) = jax.lax.scan(body, None, rows2d)
+            return idx.reshape(-1), err.reshape(-1)
 
         in_specs = (P(ax), P(None, None, None, None), P(None, None))
     else:
@@ -147,9 +156,10 @@ def assign_sharded_full(mesh: Mesh, rows: np.ndarray, src_rep, cands_rep,
     Pallas kernel and the scan share the lowest-index-wins tie rule)."""
     n_dev = mesh.devices.size
     qp_loc = len(rows) // n_dev
+    qchunk = min(65536 if pallas else 16384, qp_loc)
     fn = _get_assign_full_fn(
-        mesh, gamma_value, use_wavelets, qchunk=min(16384, qp_loc),
-        pallas=pallas, interpret=interpret, bq=min(2048, qp_loc),
+        mesh, gamma_value, use_wavelets, qchunk=qchunk,
+        pallas=pallas, interpret=interpret, bq=min(2048, qchunk),
         bc=4096)
     rows_d = jax.device_put(rows, NamedSharding(mesh, P(mesh.axis_names)))
     return fn(rows_d, src_rep, cands_rep)
@@ -266,7 +276,8 @@ _kmeans_cache: dict = {}
 def _get_kmeans_prepare_fn(mesh: Mesh, n: int, k: int, gamma_value,
                            use_lab: bool, use_wavelets: bool,
                            max_iters: int = 100, seed: int = 0x42381337):
-    key = (mesh, n, k, gamma_value, use_lab, use_wavelets)
+    key = (mesh, n, k, gamma_value, use_lab, use_wavelets, max_iters,
+           seed)
     fn = _kmeans_cache.get(key)
     if fn is not None:
         return fn
@@ -452,4 +463,4 @@ def nearest_k_sharded(mesh: Mesh, queries: np.ndarray, candidates,
         q = jax.device_put(_pad_rows(q_all[qs:qe], qp), sh)
         idx, err = fn(q, cands)
         parts.append((idx[:qe - qs], err[:qe - qs]))
-    return _download_parts(parts, n_q)
+    return _download_parts(parts, empty_shape=(0, k))

@@ -411,20 +411,34 @@ def _assign_pallas_factory():
     import functools
     import jax
 
-    @functools.partial(jax.jit, static_argnames=('bq', 'bc', 'interpret',
+    @functools.partial(jax.jit, static_argnames=('qchunk', 'bq', 'bc',
+                                                 'interpret',
                                                  'gamma_value',
                                                  'use_wavelets'))
-    def step(rows, src_all, cand_feats, bq: int, bc: int, interpret: bool,
-             gamma_value, use_wavelets):
-        """Pallas stage 3 for a WHOLE keyframe in ONE dispatch: device
-        gather + query features + the fused streaming 1-NN kernel (the
-        [Q,C] distance matrix never touches HBM)."""
+    def step(rows, src_all, cand_feats, qchunk: int, bq: int, bc: int,
+             interpret: bool, gamma_value, use_wavelets):
+        """Pallas stage 3 for a WHOLE keyframe in ONE dispatch: a
+        lax.scan over query chunks, each chunk gathering its source
+        tiles, computing PsyV features and running the fused streaming
+        1-NN kernel (the [Q,C] distance matrix never touches HBM).
+
+        The scan keeps each pallas_call's query count bounded: Mosaic
+        stack-allocates the kernel's full [nq] output pair in scoped
+        VMEM, and a whole 1080p keyframe (524k queries) blew the 16 MB
+        limit by 3.3 MB on the real chip — chunked calls stay ~10 MB."""
+        import jax.numpy as jnp
         from ..ops.pallas_kernels import _nn_call
-        q = features.psyv_features_rgb(src_all[rows],
-                                       gamma_value=gamma_value,
-                                       use_wavelets=use_wavelets)
-        err, idx = _nn_call(q, cand_feats, bq, bc, interpret)
-        return idx, err
+        rows2d = rows.reshape(-1, qchunk)
+
+        def body(carry, r):
+            q = features.psyv_features_rgb(src_all[r],
+                                           gamma_value=gamma_value,
+                                           use_wavelets=use_wavelets)
+            err, idx = _nn_call(q, cand_feats, bq, bc, interpret)
+            return carry, (idx, err)
+
+        _, (idx, err) = jax.lax.scan(body, None, rows2d)
+        return idx.reshape(-1), err.reshape(-1)
 
     return step
 
@@ -467,6 +481,77 @@ def _changed_mask(frames_rgb: np.ndarray, th: int, tw: int) -> np.ndarray:
     out = np.ones((f, th * tw), bool)
     out[1:] = ~eq.reshape(f - 1, th * tw)
     return out
+
+
+def _queue_assign(state: EncoderState, k: int, feats, kf_plan, dev_parts,
+                  ch_all, src_all, use_pallas: bool, pallas: str,
+                  c_chunk: int, par: bool) -> None:
+    """Queue keyframe k's fused stage-3 dispatch (no sync): lay out the
+    candidates, build the query row vector (with the temporal dedup),
+    dispatch, and append the device result slices + the host fill plan."""
+    import os
+
+    import jax.numpy as jnp
+    cfg = state.config
+    s, e = state.keyframes[k]
+
+    # lay the candidates out for the 1-NN path (pad with far points)
+    n_c = feats.shape[0]
+    n_chunks = max(1, -(-n_c // c_chunk))
+    pad_rows = n_chunks * c_chunk - n_c
+    if pad_rows:
+        note('eager')
+        feats = jnp.concatenate(
+            [feats, jnp.full((pad_rows, feats.shape[1]), 1e9,
+                             jnp.float32)])
+    cands = feats if use_pallas else feats.reshape(n_chunks, c_chunk, -1)
+    if not use_pallas:
+        note('eager')
+    if par:
+        from ..parallel.mesh_pipeline import replicate
+        cands = replicate(state.mesh, cands)
+
+    base = s * state.tilemap_size
+    cells = state.tilemap_size
+    f_kf = e - s + 1
+    n_q = f_kf * cells
+    # temporal query dedup: cells byte-identical to the previous frame
+    # forward-fill their 1-NN result (exact; see _changed_mask). The
+    # fill must not cross a keyframe boundary — candidate sets and
+    # palettes change — so the first frame is all-changed.
+    ch = ch_all[s:e + 1].copy()
+    ch[0, :] = True
+    if os.environ.get('TILER_NO_QDEDUP') == '1':
+        ch[:] = True  # cross-check switch: recompute every cell
+    changed = np.flatnonzero(ch.ravel())
+    dense = len(changed) > 0.98 * n_q  # host fill shortcut only
+    n_run = n_q if dense else len(changed)
+    qp = features.pad_pow2(n_run)
+    rows = np.full(qp, base + (0 if dense else changed[0]), np.int32)
+    if dense:
+        rows[:n_run] = base + np.arange(n_run, dtype=np.int32)
+    else:
+        rows[:n_run] = base + changed
+    note('h2d')
+    note('jit')
+    if par:
+        from ..parallel.mesh_pipeline import assign_sharded_full
+        idx, err = assign_sharded_full(
+            state.mesh, rows, src_all, cands, _ft_gamma(cfg),
+            cfg.use_wavelets, pallas=use_pallas,
+            interpret=(pallas == 'interpret'))
+    elif use_pallas:
+        qchunk = min(65536, qp)
+        idx, err = _assign_pallas(
+            jnp.asarray(rows), src_all, cands, qchunk,
+            min(2048, qchunk), c_chunk, pallas == 'interpret',
+            _ft_gamma(cfg), cfg.use_wavelets)
+    else:
+        idx, err = _assign_scan(
+            jnp.asarray(rows), src_all, cands, min(16384, qp),
+            _ft_gamma(cfg), cfg.use_wavelets)
+    dev_parts.append((idx[:n_run], err[:n_run]))
+    kf_plan.append((dense, ch, changed, n_run))
 
 
 def run_frame_tiling(state: EncoderState) -> EncoderState:
@@ -520,18 +605,28 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     del mark_q, all_q, idxs_all, errs_all
     phases['mark'] = round(time.perf_counter() - t0, 3)
 
-    # ---- stage 2, ALL keyframes: one batched feature pass ----
-    t0 = time.perf_counter()
-    per_kf = candidate_features_multi(state, list(range(n_kf)), used_list,
-                                      tile_of, attrs_of,
-                                      tiles_pal_dev=tiles_pal_dev)
-    knn_sizes = [int(f.shape[0]) for f, _, _, _ in per_kf]
-    jax.block_until_ready(per_kf[-1][0])
-    phases['cand_feats'] = round(time.perf_counter() - t0, 3)
+    # ---- stages 2+3, batched across keyframes in HBM-bounded groups:
+    # a group's candidate features + queued assign inputs stay resident
+    # until its flush sync, so peak device memory is O(group), not
+    # O(clip). The row estimate is exact (= the marking indicator sum),
+    # known before any feature work. A single keyframe always forms a
+    # valid group regardless of size (same bound as the per-keyframe
+    # schedule this replaced). ----
+    est_rows = [int(u.sum()) for u in used_list]
+    row_budget = int(os.environ.get('TILER_FT_ROW_BUDGET', 3_000_000))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for k in range(n_kf):
+        if cur and cur_rows + est_rows[k] > row_budget:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(k)
+        cur_rows += est_rows[k]
+    if cur:
+        groups.append(cur)
 
-    # ---- stage 3: ONE fused dispatch per keyframe, results queued on
-    # device; a single download at the end of the step ----
-    t0 = time.perf_counter()
+    t_feats = t_assign = 0.0
     pallas = _pallas_mode()
     use_pallas = pallas != 'off'
     c_chunk = 4096 if use_pallas else 8192
@@ -546,72 +641,38 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         _assign_pallas = _assign_pallas_factory()
 
     q_total = q_changed = 0
-    kf_plan = []     # per kf: (dense, ch, changed, n_run)
-    dev_parts = []   # per kf: (idx_dev, err_dev) device slices
-    for k in range(n_kf):
-        s, e = state.keyframes[k]
-        feats, cand_pal, cand_tile, cand_attrs = per_kf[k]
-        # lay the candidates out for the 1-NN path (pad with far points)
-        n_c = feats.shape[0]
-        n_chunks = max(1, -(-n_c // c_chunk))
-        pad_rows = n_chunks * c_chunk - n_c
-        if pad_rows:
-            note('eager')
-            feats = jnp.concatenate(
-                [feats, jnp.full((pad_rows, feats.shape[1]), 1e9,
-                                 jnp.float32)])
-        cands = feats if use_pallas else feats.reshape(n_chunks, c_chunk,
-                                                       -1)
-        if not use_pallas:
-            note('eager')
-        if par:
-            cands = replicate(state.mesh, cands)
-
-        base = s * state.tilemap_size
-        cells = state.tilemap_size
-        f_kf = e - s + 1
-        n_q = f_kf * cells
-        # temporal query dedup: cells byte-identical to the previous
-        # frame forward-fill their 1-NN result (exact; see _changed_mask).
-        # The fill must not cross a keyframe boundary — candidate sets
-        # and palettes change — so the first frame is all-changed.
-        ch = ch_all[s:e + 1].copy()
-        ch[0, :] = True
-        if os.environ.get('TILER_NO_QDEDUP') == '1':
-            ch[:] = True  # cross-check switch: recompute every cell
-        changed = np.flatnonzero(ch.ravel())
-        q_total += n_q
-        q_changed += len(changed)
-        dense = len(changed) > 0.98 * n_q  # host fill shortcut only
-        n_run = n_q if dense else len(changed)
-        qp = features.pad_pow2(n_run)
-        rows = np.full(qp, base + (0 if dense else changed[0]), np.int32)
-        if dense:
-            rows[:n_run] = base + np.arange(n_run, dtype=np.int32)
-        else:
-            rows[:n_run] = base + changed
-        note('h2d')
-        note('jit')
-        if par:
-            idx, err = assign_sharded_full(
-                state.mesh, rows, src_all, cands, _ft_gamma(cfg),
-                cfg.use_wavelets, pallas=use_pallas,
-                interpret=(pallas == 'interpret'))
-        elif use_pallas:
-            idx, err = _assign_pallas(
-                jnp.asarray(rows), src_all, cands,
-                min(2048, qp), c_chunk, pallas == 'interpret',
-                _ft_gamma(cfg), cfg.use_wavelets)
-        else:
-            idx, err = _assign_scan(
-                jnp.asarray(rows), src_all, cands, min(16384, qp),
-                _ft_gamma(cfg), cfg.use_wavelets)
-        dev_parts.append((idx[:n_run], err[:n_run]))
-        kf_plan.append((dense, ch, changed, n_run))
-        # release this keyframe's candidate features (the queued dispatch
-        # keeps the device buffers alive until it completes)
-        per_kf[k] = (None, cand_pal, cand_tile, cand_attrs)
-        del feats, cands
+    knn_sizes = []
+    per_kf_host = {}  # kf -> (cand_pal, cand_tile, cand_attrs)
+    kf_plan = []      # per kf: (dense, ch, changed, n_run)
+    dev_parts = []    # per kf: (idx_dev, err_dev) device slices
+    for gi, group in enumerate(groups):
+        t0 = time.perf_counter()
+        per_kf = candidate_features_multi(
+            state, group, [used_list[k] for k in group], tile_of,
+            attrs_of, tiles_pal_dev=tiles_pal_dev)
+        knn_sizes.extend(int(f.shape[0]) for f, _, _, _ in per_kf)
+        jax.block_until_ready(per_kf[-1][0])
+        t_feats += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for slot, k in enumerate(group):
+            s, e = state.keyframes[k]
+            feats, cand_pal, cand_tile, cand_attrs = per_kf[slot]
+            per_kf_host[k] = (cand_pal, cand_tile, cand_attrs)
+            _queue_assign(state, k, feats, kf_plan, dev_parts,
+                          ch_all, src_all, use_pallas, pallas, c_chunk,
+                          par)
+            per_kf[slot] = None
+        if gi + 1 < len(groups):
+            # flush: a tiny D2H forces every queued dispatch to finish
+            # (block_until_ready does not sync on the tunnel backend),
+            # freeing this group's device buffers before the next
+            # group's features materialize
+            note('d2h')
+            np.asarray(dev_parts[-1][1][-1:])
+        t_assign += time.perf_counter() - t0
+    phases['cand_feats'] = round(t_feats, 3)
+    del per_kf
+    t0 = time.perf_counter()
 
     # single sync for the whole step
     if n_kf > 1:
@@ -628,8 +689,10 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     off = 0
     for k in range(n_kf):
         s, e = state.keyframes[k]
-        _, cand_pal, cand_tile, cand_attrs = per_kf[k]
+        cand_pal, cand_tile, cand_attrs = per_kf_host[k]
         dense, ch, changed, n_run = kf_plan[k]
+        q_total += (e - s + 1) * state.tilemap_size
+        q_changed += len(changed)
         run_idx = all_idx[off:off + n_run]
         run_err = all_err[off:off + n_run]
         off += n_run
@@ -656,7 +719,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         state.tm_v[s:e + 1] = (cand_attrs[best_idx] & 2).astype(bool) \
             .reshape(shape)
         residual += float(best_err.sum())
-    phases['assign'] = round(time.perf_counter() - t0, 3)
+    phases['assign'] = round(t_assign + time.perf_counter() - t0, 3)
 
     state.metrics['ft_residual_err'] = residual
     state.metrics['ft_knn_sizes'] = knn_sizes

@@ -45,8 +45,8 @@ def psnr_vs(dec, src):
 
 
 def disp_total(st):
-    d = st.metrics.get('dispatches') or {}
-    return sum(v.get('total', 0) for v in d.values())
+    from bench import _dispatch_total
+    return _dispatch_total(st)
 
 
 def main():
