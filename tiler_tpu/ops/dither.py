@@ -331,7 +331,10 @@ def knoll_dither_tiles_cached(tiles_rgb, group_pals, pal_group,
     # stays bounded and shapes bucket (no per-size recompiles)
     parts = []
     inv2d = inv.reshape(n, 64)
-    tchunk = 65536
+    # 262144-tile chunks: the [C*64, S] u8 selection intermediate stays
+    # ~268 MB and a 475k-tile CIF clip takes 2 dispatches instead of 8
+    # (each dispatch costs a round trip on degraded tunnel draws)
+    tchunk = 262144
     for lo in range(0, n, tchunk):
         hi = min(n, lo + tchunk)
         note('jit')

@@ -420,16 +420,21 @@ def _batch_gather_solver(k_pad: int, n_modalities: int, max_iters: int):
 
     Labels return as int16 (k_pad <= 32767): through the tunneled TPU the
     [g, n_pad] label download is a visible share of the GlobalTiling
-    step, and halving it is free."""
-    def one(sigs, idx, valid_n, valid_k, s):
+    step, and halving it is free. The valid masks build on device from
+    per-lane lengths (meta = [n_valid, k_valid, start] per lane) — the
+    [g, n_pad] bool uploads were the step's dominant H2D bytes."""
+    def one(sigs, idx, meta):
+        n_pad = idx.shape[0]
+        valid_n = jnp.arange(n_pad) < meta[0]
+        valid_k = jnp.arange(k_pad) < meta[1]
         x = jnp.take(sigs, idx, axis=0)
         labels, cents, cost, it = _kmodes_padded(
-            x, valid_n, valid_k, s, k_pad, n_modalities, max_iters)
+            x, valid_n, valid_k, meta[2], k_pad, n_modalities, max_iters)
         return (labels.astype(jnp.int16), cents,
                 _winner_from(x, valid_n, labels, cents, k_pad), it,
                 jnp.stack(cost))
 
-    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
 
 
 def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
@@ -484,22 +489,17 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
         n_pad, k_pad, g, lane_chunks = bucket['shape']
         for lanes in lane_chunks:
             idxmat = np.zeros((g, n_pad), np.int32)
-            vn = np.zeros((g, n_pad), bool)
-            vk = np.zeros((g, k_pad), bool)
-            starts = np.zeros(g, np.int32)
+            meta = np.zeros((g, 3), np.int32)  # n_valid, k_valid, start
             for j, i in enumerate(lanes):
                 sel = exp_sel[i]
                 idxmat[j, :len(sel)] = sel
-                vn[j, :len(sel)] = True
-                vk[j, :exp_k[i]] = True
-                starts[j] = exp_start[i]
+                meta[j] = (len(sel), exp_k[i], exp_start[i])
             from ..utils.dispatch import note
-            note('h2d', 4)
+            note('h2d', 2)
             note('jit')
             labels, cents, winner, iters, costs = _batch_gather_solver(
                 k_pad, n_modalities, max_iters)(
-                    sigs_dev, jnp.asarray(idxmat), jnp.asarray(vn),
-                    jnp.asarray(vk), jnp.asarray(starts))
+                    sigs_dev, jnp.asarray(idxmat), jnp.asarray(meta))
             pending.append((lanes, labels, cents, winner, iters, costs))
     for lanes, labels, cents, winner, iters, costs in pending:
         from ..utils.dispatch import note

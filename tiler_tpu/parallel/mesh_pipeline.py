@@ -157,10 +157,12 @@ def assign_sharded_full(mesh: Mesh, rows: np.ndarray, src_rep, cands_rep,
     n_dev = mesh.devices.size
     qp_loc = len(rows) // n_dev
     qchunk = min(65536 if pallas else 16384, qp_loc)
+    # pallas blocks 1024x2048: fits the 16 MB scoped-VMEM limit inside
+    # the scan body (see frame_tiling's single-device call site)
     fn = _get_assign_full_fn(
         mesh, gamma_value, use_wavelets, qchunk=qchunk,
-        pallas=pallas, interpret=interpret, bq=min(2048, qchunk),
-        bc=4096)
+        pallas=pallas, interpret=interpret, bq=min(1024, qchunk),
+        bc=2048)
     rows_d = jax.device_put(rows, NamedSharding(mesh, P(mesh.axis_names)))
     return fn(rows_d, src_rep, cands_rep)
 
@@ -178,31 +180,28 @@ def _get_chunk_feats_fn(mesh: Mesh, gamma_value, use_wavelets: bool):
     _evict_other_meshes(_feats_cache, mesh)
     ax = mesh.axis_names
 
-    def local(tp_all, pal_all, tidx, pidx, hm, vm):
-        tp = tp_all[tidx]
-        pals = pal_all[pidx]
-        t = features.mirror_tiles(tp, hm, vm)
-        cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
-        return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
+    def local(tp_all, pal_all, packed):
+        from ..pipeline.frame_tiling import _chunk_feats
+        return _chunk_feats(tp_all, pal_all, packed, gamma_value,
+                            use_wavelets)
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None, None), P(None, None, None),
-                  P(ax), P(ax), P(ax), P(ax)),
+                  P(None, ax)),
         out_specs=P(ax), check_vma=False))
     _feats_cache[key] = fn
     return fn
 
 
-def chunk_feats_sharded(mesh: Mesh, tp_rep, pal_rep, tidx, pidx, hm, vm,
+def chunk_feats_sharded(mesh: Mesh, tp_rep, pal_rep, packed,
                         gamma_value, use_wavelets: bool):
-    """frame_tiling._chunk_feats with the combo index vectors sharded
-    across the mesh; tile tensor + palettes replicated. Returns the
-    [QP,192] features as a mesh-sharded array."""
+    """frame_tiling._chunk_feats with the packed combo index matrix
+    sharded across the mesh (axis 1); tile tensor + palettes replicated.
+    Returns the [QP,192] features as a mesh-sharded array."""
     fn = _get_chunk_feats_fn(mesh, gamma_value, use_wavelets)
-    sh = NamedSharding(mesh, P(mesh.axis_names))
-    put = lambda a: jax.device_put(a, sh)  # noqa: E731
-    return fn(tp_rep, pal_rep, put(tidx), put(pidx), put(hm), put(vm))
+    sh = NamedSharding(mesh, P(None, mesh.axis_names))
+    return fn(tp_rep, pal_rep, jax.device_put(packed, sh))
 
 
 # -- Knoll dither: plan counts + per-pixel rank selection -----------------
@@ -314,7 +313,8 @@ def _get_kmeans_prepare_fn(mesh: Mesh, n: int, k: int, gamma_value,
         cents, labels, _, _ = jax.lax.while_loop(
             cond, body, (cents, labels, jnp.bool_(True), jnp.int32(0)))
         cents, _ = _update(x, labels, k, cents)
-        return labels.astype(jnp.int32), cents
+        # u8 labels: k <= 256, and the download is bandwidth-bound
+        return labels.astype(jnp.uint8), cents
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
@@ -360,18 +360,20 @@ def _get_smooth_fn(mesh: Mesh, strength: float):
     ax = mesh.axis_names
 
     def local(tp_all, pals, tile, pal, hm, vm):
-        from ..pipeline.smooth import _cell_features, _smooth_chain
+        from ..pipeline.smooth import (_cell_features, _pack_stm,
+                                       _smooth_chain)
         f, c_loc = tile.shape
         feats = _cell_features(
             tp_all, pals, tile.reshape(-1), pal.reshape(-1),
             hm.reshape(-1), vm.reshape(-1)).reshape(f, c_loc, -1)
-        return _smooth_chain(feats, tile, pal, hm, vm, strength)
+        return _pack_stm(_smooth_chain(feats, tile, pal, hm, vm,
+                                       strength))
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None, None), P(None, None, None),
                   P(None, ax), P(None, ax), P(None, ax), P(None, ax)),
-        out_specs=(P(None, ax),) * 5, check_vma=False))
+        out_specs=(P(None, ax),) * 3, check_vma=False))
     _smooth_cache[key] = fn
     return fn
 
@@ -383,8 +385,8 @@ def smooth_sharded(mesh: Mesh, tp_rep, palettes_k: np.ndarray,
 
     tile/pal/hm/vm: [F, C] host arrays; the cell axis pads up to a
     device-count multiple (padded cells compute independently and the
-    caller slices them off). Returns the stm field tuple, each
-    [F, C_pad] device-sharded."""
+    caller slices them off). Returns the packed stm tuple (tile i32,
+    pal u8, flags u8), each [F, C_pad] device-sharded."""
     n_dev = mesh.devices.size
     f, c = tile.shape
     cp = -(-c // n_dev) * n_dev

@@ -40,7 +40,9 @@ def _prepare_fused(tiles_all, idx, n: int, k: int, gamma_value, use_lab,
         tiles_all[idx], gamma_value=gamma_value, use_lab=use_lab,
         use_wavelets=use_wavelets)
     labels, cents, _ = kmeans_core(feats[:n], k)
-    return labels, cents
+    # u8 labels: k <= 256 (config), and the download is bandwidth-bound
+    # through the tunnel
+    return labels.astype('uint8'), cents
 
 
 _prepare_fused_jit = None

@@ -215,34 +215,28 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
     chunk_feats = _chunk_feats_jit
 
     def base_feats(b_tiles, b_pals, b_hm, b_vm):
-        # candidate features stay ON DEVICE: only int32 index vectors go
-        # up, nothing comes down (the 1-NN scan consumes them in place).
-        # Mesh path: combo rows shard across devices, same per-row math.
+        # candidate features stay ON DEVICE: only ONE packed int32 index
+        # matrix goes up per chunk ([2, n_pad]: tile idx + pal/mirror
+        # code), nothing comes down (the 1-NN scan consumes them in
+        # place). Mesh path: combo rows shard across devices.
         n = len(b_tiles)
         parts = []
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
             n_pad = features.pad_pow2(hi - lo)
-
-            def pad(a, fill=0):
-                out = np.full(n_pad, fill, a.dtype)
-                out[:hi - lo] = a[lo:hi]
-                return out
-            note('h2d', 4)
+            packed = np.zeros((2, n_pad), np.int32)
+            packed[0, :hi - lo] = b_tiles[lo:hi]
+            packed[1, :hi - lo] = (b_pals[lo:hi].astype(np.int64) * 4
+                                   + b_hm[lo:hi] + 2 * b_vm[lo:hi])
+            note('h2d')
             note('jit')
             if par:
                 res = chunk_feats_sharded(
-                    state.mesh, tiles_pal_d, pals_d,
-                    pad(b_tiles.astype(np.int32)),
-                    pad(b_pals.astype(np.int32)),
-                    pad(b_hm), pad(b_vm),
+                    state.mesh, tiles_pal_d, pals_d, packed,
                     _ft_gamma(cfg), cfg.use_wavelets)
             else:
                 res = chunk_feats(
-                    tiles_pal_d, pals_d,
-                    jnp.asarray(pad(b_tiles.astype(np.int32))),
-                    jnp.asarray(pad(b_pals.astype(np.int32))),
-                    jnp.asarray(pad(b_hm)), jnp.asarray(pad(b_vm)),
+                    tiles_pal_d, pals_d, jnp.asarray(packed),
                     _ft_gamma(cfg), cfg.use_wavelets)
             parts.append(res[:hi - lo])
         if len(parts) > 1:
@@ -287,46 +281,31 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
                 # replicate once (all-gather) instead of per-gather
                 # collectives
                 base = replicate(state.mesh, base)
-            # bucket the base length too: _mirror_expand_one specializes
-            # on (base, seg) shapes and an exact len(uq) would recompile
+            # bucket the base length: the expand jit specializes on the
+            # (base, packed) shapes, an exact len(uq) would recompile
             # per keyframe batch
             b_pad = features.pad_pow2(len(uq))
             if b_pad != base.shape[0]:
                 note('eager')
                 base = jnp.pad(base, ((0, b_pad - base.shape[0]), (0, 0)))
-            order = np.argsort(attrs, kind='stable')
-            ginv = inv[order]
+            # ONE fused expansion over every combo row — the per-row
+            # permutation gather (take_along_axis) replaces the round-4
+            # predecessor's 4 per-attr jits + sort/unsort machinery, so
+            # the combo order is preserved by construction (stage-3
+            # argmin tie-breaks on candidate index, and the direct path
+            # resolves ties in this same order)
+            n_pad = features.pad_pow2(len(inv))
+            packed = np.zeros((2, n_pad), np.int32)
+            packed[0, :len(inv)] = inv
+            packed[1, :len(attrs)] = attrs
             global _mirror_expand_jit
             if _mirror_expand_jit is None:
-                _mirror_expand_jit = jax.jit(
-                    _mirror_expand_one, static_argnames=('attr',))
-            perm_d, sign_d = jnp.asarray(perm4), jnp.asarray(sign4)
-            bounds = np.searchsorted(attrs[order], np.arange(5))
-            parts = []
-            for a in range(4):
-                lo, hi = int(bounds[a]), int(bounds[a + 1])
-                if hi == lo:
-                    continue
-                n_pad = features.pad_pow2(hi - lo)  # bucketed
-                seg = np.zeros(n_pad, np.int32)
-                seg[:hi - lo] = ginv[lo:hi]
-                note('h2d')
-                note('jit')
-                parts.append(_mirror_expand_jit(base, jnp.asarray(seg),
-                                                perm_d, sign_d, a)
-                             [:hi - lo])
-            note('eager')
-            feats = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            # restore the original (pal, dentry) candidate order:
-            # stage-3 argmin breaks exact-distance ties by candidate
-            # index, and the direct path (and the reference's mirror
-            # walk) resolve them in this order — one device row gather
-            # keeps the two paths tie-identical
-            inv_order = np.empty_like(order)
-            inv_order[order] = np.arange(len(order))
+                _mirror_expand_jit = jax.jit(_mirror_expand_all)
             note('h2d')
-            note('eager')
-            feats = feats[jnp.asarray(inv_order.astype(np.int32))]
+            note('jit')
+            feats = _mirror_expand_jit(
+                base, jnp.asarray(packed), jnp.asarray(perm4),
+                jnp.asarray(sign4))[:len(inv)]
         else:
             feats = base_feats(tiles, gpal.astype(np.int64),
                                (attrs & 1).astype(bool),
@@ -351,19 +330,26 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
             for slot, pal_idx, _, tiles, attrs, _ in combos]
 
 
-def _mirror_expand_one(base, ginv, perm4, sign4, attr: int):
-    """One mirror-attr group: row gather from the base (pal,tile)
-    features + static column permutation + sign."""
-    return base[ginv][:, perm4[attr]] * sign4[attr][None, :]
+def _mirror_expand_all(base, packed, perm4, sign4):
+    """All mirror-attr rows in one pass: row gather from the base
+    (pal,tile) features + per-row column permutation and sign
+    (packed [2,N] i32 = base row index, mirror attr)."""
+    rows = base[packed[0]]
+    import jax.numpy as jnp
+    return jnp.take_along_axis(rows, perm4[packed[1]], axis=1) \
+        * sign4[packed[1]]
 
 
-def _chunk_feats(tp_all, pal_all, tidx, pidx, hm, vm, gamma_value,
-                 use_wavelets):
+def _chunk_feats(tp_all, pal_all, packed, gamma_value, use_wavelets):
     """Candidate-combo PsyV features via device gathers (module-level so
-    the jit cache persists across keyframes and encodes)."""
+    the jit cache persists across keyframes and encodes). packed [2,N]
+    i32: row 0 = tile index, row 1 = palette_row*4 + hmir + 2*vmir."""
+    tidx = packed[0]
+    code = packed[1]
     tp = tp_all[tidx]
-    pals = pal_all[pidx]
-    t = features.mirror_tiles(tp, hm, vm)
+    pals = pal_all[code >> 2]
+    t = features.mirror_tiles(tp, (code & 1).astype(bool),
+                              (code & 2).astype(bool))
     cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
     return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
 
@@ -541,10 +527,15 @@ def _queue_assign(state: EncoderState, k: int, feats, kf_plan, dev_parts,
             cfg.use_wavelets, pallas=use_pallas,
             interpret=(pallas == 'interpret'))
     elif use_pallas:
+        # 1024x2048 kernel blocks: the 2048x4096 blocks that ran
+        # standalone in r3 exceed the 16 MB scoped-VMEM limit once the
+        # pallas_call sits inside the scan body (measured on-chip OOM,
+        # 19.3 MB); 1024x2048 is nearest_1_pallas's measured-default
+        # config (~70 TF/s sustained, RESULTS.md)
         qchunk = min(65536, qp)
         idx, err = _assign_pallas(
             jnp.asarray(rows), src_all, cands, qchunk,
-            min(2048, qchunk), c_chunk, pallas == 'interpret',
+            min(1024, qchunk), 2048, pallas == 'interpret',
             _ft_gamma(cfg), cfg.use_wavelets)
     else:
         idx, err = _assign_scan(
@@ -588,9 +579,14 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     all_q = np.concatenate([m[2] for m in mark_q]) if n_kf > 1 \
         else mark_q[0][2]
     if par:
-        idxs_all, errs_all = nearest_k_sharded(state.mesh, all_q, ds, k=8)
+        idxs_all, errs_all = nearest_k_sharded(state.mesh, all_q, ds,
+                                               k=8, q_chunk=16384)
     else:
-        idxs_all, errs_all = knn.nearest_k(all_q, ds, k=8)
+        # 16384-query chunks over the 64-dim dataset: [16k, 8k] f32
+        # distance tiles (512 MB, the stage-3 scan's bound) and half the
+        # dispatches of the 8192 default
+        idxs_all, errs_all = knn.nearest_k(all_q, ds, k=8,
+                                           q_chunk=16384)
     used_list = []
     off = 0
     for k in range(n_kf):
@@ -613,7 +609,10 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     # valid group regardless of size (same bound as the per-keyframe
     # schedule this replaced). ----
     est_rows = [int(u.sum()) for u in used_list]
-    row_budget = int(os.environ.get('TILER_FT_ROW_BUDGET', 3_000_000))
+    # 2M rows ~= 1.5 GB of f32 features (x2 transient for the padded
+    # copy): leaves headroom for the mirror-expansion base + the rest of
+    # the encode's resident tensors on a 16 GB chip
+    row_budget = int(os.environ.get('TILER_FT_ROW_BUDGET', 2_000_000))
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_rows = 0

@@ -269,10 +269,16 @@ def run_global_tiling(state: EncoderState,
     import time
     t0 = time.perf_counter()
     run_make_unique(state)
+    t1 = time.perf_counter()
     run_reindex(state)
     if 'gt_phases' in state.metrics:
         state.metrics['gt_phases']['unique_reindex'] = round(
             time.perf_counter() - t0, 3)
+        state.metrics['gt_phases']['gt_unique'] = round(t1 - t0, 3)
+        state.metrics['gt_phases']['gt_reindex'] = round(
+            time.perf_counter() - t1, 3)
+        state.metrics['gt_phases']['gt_mu'] = state.metrics.get(
+            'mu_phases')
     if gts_out:
         n_active = int(state.tile_active.sum())
         write_gts(gts_out, state.tiles_pal[:n_active],

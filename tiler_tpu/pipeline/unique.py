@@ -105,14 +105,25 @@ def compute_unique_fwd_device(state: EncoderState):
     a_pad = 1 << max(8, (act.size - 1).bit_length())
     act_p = np.full(a_pad, n, np.int32)
     act_p[:act.size] = act
+    import time
+
     from ..utils.dispatch import note
     note('h2d')
     note('jit')
     note('d2h', 2)
+    t0 = time.perf_counter()
     sidx, winner = _unique_fwd_dev_jit()(
         state.device_tiles_pal(), jnp.asarray(act_p))
+    t_queue = time.perf_counter() - t0
+    t0 = time.perf_counter()
     sidx = np.asarray(sidx)
     winner = np.asarray(winner)
+    # queue vs sync split: through the tunnel the D2H of the (tile,
+    # winner) pairs can dominate this step on degraded draws
+    state.metrics['mu_phases'] = {
+        'queue': round(t_queue, 3),
+        'sync': round(time.perf_counter() - t0, 3),
+        'rows': int(a_pad)}
     valid = sidx < n
     fwd[sidx[valid]] = winner[valid]
 
