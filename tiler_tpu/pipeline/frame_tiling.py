@@ -306,11 +306,18 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
             feats = _mirror_expand_jit(
                 base, jnp.asarray(packed), jnp.asarray(perm4),
                 jnp.asarray(sign4))[:len(inv)]
+            del base  # free the (pal,tile) base rows before slicing
         else:
             feats = base_feats(tiles, gpal.astype(np.int64),
                                (attrs & 1).astype(bool),
                                (attrs & 2).astype(bool))
-        # slice the group result back into per-kf-slot views
+        # slice the group result back into per-kf-slot buffers (a
+        # single-keyframe group IS its result — no copy; device slices
+        # materialize new buffers, which doubled peak HBM on huge
+        # single-keyframe candidate sets)
+        if len(group) == 1:
+            feats_by_slot[group[0][0]] = feats
+            return
         off = 0
         for g in group:
             c_k = len(g[1])

@@ -127,10 +127,16 @@ def main():
         # quality via the tile budget knob (qb_tiles) at the demos' own
         # palette budget — bytes vs PSNR as a curve
         for name, fr in (('city', city_frames), ('football', fb_frames)):
-            for qb in (1.0, 2.0, 4.0):
+            for qb in (1.0, 2.0, 3.0):
                 cfg = EncoderConfig(palette_count=64, tile_palette_size=16,
                                     qb_tiles=qb)
-                dt, blob, snap = encode(fr, 30.0, cfg)
+                try:
+                    dt, blob, snap = encode(fr, 30.0, cfg)
+                except Exception as e:  # noqa: BLE001 — log + continue
+                    log(phase='rd_sweep', clip=name, qb_tiles=qb,
+                        error=repr(e)[:200])
+                    gc.collect()
+                    continue
                 dec, _ = decode_video(blob)
                 log(phase='rd_sweep', clip=name, qb_tiles=qb,
                     gtm_bytes=len(blob), psnr=psnr_vs(dec, fr),
