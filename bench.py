@@ -119,9 +119,13 @@ def real_content_entry():
     if n:
         frames = frames[:n]  # debug knob; the driver runs the full clip
     cfg = EncoderConfig(palette_count=64, tile_palette_size=16)
-    # partial warm: compiles the CIF shape buckets at a fraction of a
-    # full-clip encode (full warm would double the bench wall clock)
-    Encoder(cfg).run_all(frames[:64], fps=30.0, fast_lzma=True)
+    # FULL-CLIP warm: a 64-frame prefix warms DIFFERENT pow2 shape
+    # buckets than the full clip (tile counts 101k vs 475k, per-keyframe
+    # candidate sets), so the measured run was paying ~10-20 s of XLA
+    # compile per unwarmed bucket through the tunnel — the round-3
+    # 18.5 s vs 236.9 s "draw variance" was mostly THIS. Doubling the
+    # bench wall for a steady-state measurement is the honest trade.
+    Encoder(cfg).run_all(frames, fps=30.0, fast_lzma=True)
     enc = Encoder(cfg)
     t0 = time.perf_counter()
     blob = enc.run_all(frames, fps=30.0, fast_lzma=True)

@@ -85,7 +85,10 @@ def main():
     if on('bench1080') or on('nn_ab'):
         encode(frames1080, 24.0, cfg1080)
     if on('city') or on('football') or on('rd_sweep'):
-        encode(city_frames[:64], 30.0, cfg_cif)
+        # FULL-clip warm: a prefix warms different pow2 shape buckets
+        # and the measured run then pays the XLA compiles (bench.py
+        # real_content_entry learned the same lesson)
+        encode(city_frames, 30.0, cfg_cif)
     log(phase='warmup', wall_s=round(time.perf_counter() - t0, 1))
 
     if on('bench1080'):
