@@ -420,34 +420,28 @@ def _assign_pallas_factory():
     import functools
     import jax
 
-    @functools.partial(jax.jit, static_argnames=('qchunk', 'bq', 'bc',
-                                                 'interpret',
+    @functools.partial(jax.jit, static_argnames=('bq', 'bc', 'interpret',
                                                  'gamma_value',
                                                  'use_wavelets'))
-    def step(rows, src_all, cand_feats, qchunk: int, bq: int, bc: int,
+    def step(rows, src_all, cand_feats, bq: int, bc: int,
              interpret: bool, gamma_value, use_wavelets):
-        """Pallas stage 3 for a WHOLE keyframe in ONE dispatch: a
-        lax.scan over query chunks, each chunk gathering its source
-        tiles, computing PsyV features and running the fused streaming
-        1-NN kernel (the [Q,C] distance matrix never touches HBM).
+        """Pallas stage 3 for ONE query chunk: device gather + PsyV +
+        the fused streaming 1-NN kernel (the [Q,C] distance matrix
+        never touches HBM). The caller queues one dispatch per 16k-query
+        chunk and syncs once at the end of the step.
 
-        The scan keeps each pallas_call's query count bounded: Mosaic
-        stack-allocates the kernel's full [nq] output pair in scoped
-        VMEM, and a whole 1080p keyframe (524k queries) blew the 16 MB
-        limit by 3.3 MB on the real chip — chunked calls stay ~10 MB."""
-        import jax.numpy as jnp
+        Per-chunk dispatches (not a lax.scan over chunks) on purpose:
+        the 2048x4096 kernel blocks that hit the chip's measured f32
+        ceiling exceed the 16 MB scoped-VMEM limit inside a scan body
+        (19.3 MB — Mosaic stack-allocates the output pair), while this
+        standalone form compiles and runs at full block size; the
+        1024x2048 blocks the scan forces cost ~0.7 s per 1080p encode."""
+        q = features.psyv_features_rgb(src_all[rows],
+                                       gamma_value=gamma_value,
+                                       use_wavelets=use_wavelets)
         from ..ops.pallas_kernels import _nn_call
-        rows2d = rows.reshape(-1, qchunk)
-
-        def body(carry, r):
-            q = features.psyv_features_rgb(src_all[r],
-                                           gamma_value=gamma_value,
-                                           use_wavelets=use_wavelets)
-            err, idx = _nn_call(q, cand_feats, bq, bc, interpret)
-            return carry, (idx, err)
-
-        _, (idx, err) = jax.lax.scan(body, None, rows2d)
-        return idx.reshape(-1), err.reshape(-1)
+        err, idx = _nn_call(q, cand_feats, bq, bc, interpret)
+        return idx, err
 
     return step
 
@@ -550,16 +544,24 @@ def _queue_assign(state: EncoderState, k: int, feats, kf_plan, dev_parts,
             cfg.use_wavelets, pallas=use_pallas,
             interpret=(pallas == 'interpret'))
     elif use_pallas:
-        # 1024x2048 kernel blocks: the 2048x4096 blocks that ran
-        # standalone in r3 exceed the 16 MB scoped-VMEM limit once the
-        # pallas_call sits inside the scan body (measured on-chip OOM,
-        # 19.3 MB); 1024x2048 is nearest_1_pallas's measured-default
-        # config (~70 TF/s sustained, RESULTS.md)
-        qchunk = min(65536, qp)
-        idx, err = _assign_pallas(
-            jnp.asarray(rows), src_all, cands, qchunk,
-            min(1024, qchunk), 2048, pallas == 'interpret',
-            _ft_gamma(cfg), cfg.use_wavelets)
+        # queued per-chunk dispatches at full 2048x4096 blocks (see
+        # _assign_pallas_factory for why not one scan dispatch); the
+        # chunks sync together with everything else at end of step
+        qchunk = min(16384, qp)
+        rows_dev = jnp.asarray(rows).reshape(-1, qchunk)
+        note('jit', rows_dev.shape[0] - 1)  # one noted by the caller
+        parts = [
+            _assign_pallas(rows_dev[i], src_all, cands,
+                           min(2048, qchunk), c_chunk,
+                           pallas == 'interpret',
+                           _ft_gamma(cfg), cfg.use_wavelets)
+            for i in range(rows_dev.shape[0])]
+        if len(parts) > 1:
+            note('eager', 2)
+            idx = jnp.concatenate([p[0] for p in parts])
+            err = jnp.concatenate([p[1] for p in parts])
+        else:
+            idx, err = parts[0]
     else:
         idx, err = _assign_scan(
             jnp.asarray(rows), src_all, cands, min(16384, qp),
