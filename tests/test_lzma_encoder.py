@@ -24,11 +24,14 @@ def _payloads(rng):
     yield b'\xff' * 10000 + bytes(rng.integers(0, 256, 100)) + b'\x00' * 5000
 
 
+@pytest.mark.parametrize('optimal', [False, True],
+                         ids=['greedy', 'optimal'])
 @pytest.mark.parametrize('lc,lp,pb', [(8, 0, 2), (3, 0, 2), (0, 2, 0),
                                       (8, 4, 4), (5, 1, 1)])
-def test_roundtrip_param_matrix(rng, lc, lp, pb):
+def test_roundtrip_param_matrix(rng, lc, lp, pb, optimal):
     for data in _payloads(rng):
-        enc = lzma_encode_alone(data, lc=lc, lp=lp, pb=pb)
+        enc = lzma_encode_alone(data, lc=lc, lp=lp, pb=pb,
+                                optimal=optimal)
         assert enc[0] == (pb * 5 + lp) * 9 + lc
         dec, consumed = lzma_decode_alone(enc)
         assert dec == data
@@ -36,8 +39,9 @@ def test_roundtrip_param_matrix(rng, lc, lp, pb):
 
 
 def test_roundtrip_fuzz(rng):
-    """Randomized content/size/effort sweep; every stream must decode
-    bit-exactly with exact consumed-length accounting."""
+    """Randomized content/size/effort sweep over BOTH parses; every
+    stream must decode bit-exactly with exact consumed-length
+    accounting."""
     for trial in range(60):
         n = int(rng.integers(0, 20000))
         kind = trial % 3
@@ -51,9 +55,51 @@ def test_roundtrip_fuzz(rng):
             data = (unit * (n // max(len(unit), 1) + 1))[:n]
         depth = int(rng.integers(1, 64))
         nice = int(rng.integers(8, 273))
-        enc = lzma_encode_alone(data, depth=depth, nice_len=nice)
+        enc = lzma_encode_alone(data, depth=depth, nice_len=nice,
+                                optimal=bool(trial & 1))
         dec, consumed = lzma_decode_alone(enc)
         assert dec == data and consumed == len(enc)
+
+
+def test_optimal_parse_not_larger(rng):
+    """The price-DP parse must never lose meaningfully to the greedy
+    parse (it prices the greedy path among its candidates; tiny deltas
+    from window-boundary cuts aside) — and on match-structured data it
+    should win outright."""
+    wins = 0
+    for data in _payloads(rng):
+        g = len(lzma_encode_alone(data, optimal=False))
+        o = len(lzma_encode_alone(data, optimal=True))
+        assert o <= g * 1.005 + 2, f'optimal {o} > greedy {g}'
+        wins += o < g
+    assert wins >= 2, 'optimal parse should beat greedy somewhere'
+
+
+def test_optimal_parse_liblzma_class(rng):
+    """Parse-quality regression guard vs liblzma's optimal parse at the
+    SAME lc (isolates parse quality from literal-model size; lc8 only
+    pays off on MB-scale payloads where its 768K literal probs adapt —
+    on the real reference payloads optimal-lc8 wins outright,
+    docs/RESULTS.md round 4). The greedy parse's 6-13% gap is what this
+    guards against."""
+    import lzma as pyl
+    # palette-index-heavy structured payload: repeated tile rows with
+    # small-alphabet noise (the GTM command stream's texture)
+    unit = bytes(rng.integers(0, 16, 64).astype(np.uint8))
+    rows = []
+    for _ in range(400):
+        r = bytearray(unit)
+        for _ in range(4):
+            r[int(rng.integers(0, 64))] = int(rng.integers(0, 16))
+        rows.append(bytes(r))
+    data = b''.join(rows)
+    o3 = len(lzma_encode_alone(data, lc=3, optimal=True))
+    g3 = len(lzma_encode_alone(data, lc=3, optimal=False))
+    lib3 = len(pyl.compress(
+        data, format=pyl.FORMAT_ALONE,
+        filters=[{'id': pyl.FILTER_LZMA1, 'preset': 9 | pyl.PRESET_EXTREME}]))
+    assert o3 <= lib3 * 1.02, f'optimal lc3 {o3} vs liblzma lc3 {lib3}'
+    assert o3 < g3, 'optimal parse must beat greedy on structured data'
 
 
 def test_concat_framing_mixed_modes(rng):

@@ -343,8 +343,12 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
     if lzma_mode in ('lc8', 'auto'):
         try:
             from ..native import lzma_encode_alone
+            # fast: greedy parse at shallow depth; full: the optimal
+            # (price-DP) parse that beats the reference's own lzma.exe
+            # output on its payloads (docs/RESULTS.md round-4 table)
             depth, nice = (16, 32) if fast_lzma else (128, 128)
-            native = lzma_encode_alone(raw, depth=depth, nice_len=nice)
+            native = lzma_encode_alone(raw, depth=depth, nice_len=nice,
+                                       optimal=not fast_lzma)
         except Exception:
             if lzma_mode == 'lc8':
                 raise

@@ -66,6 +66,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_uint,
             ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_int)]
+        lib.tiler_lzma_encode_alone2.restype = ctypes.c_void_p
+        lib.tiler_lzma_encode_alone2.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_int)]
         lib.tiler_dl3_quant.restype = ctypes.c_int
         lib.tiler_dl3_quant.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -137,17 +142,24 @@ def lzma_decode_alone(data: bytes) -> tuple[bytes, int]:
 
 
 def lzma_encode_alone(data: bytes, lc: int = 8, lp: int = 0, pb: int = 2,
-                      depth: int = 128, nice_len: int = 128) -> bytes:
+                      depth: int = 128, nice_len: int = 128,
+                      optimal: bool = True) -> bytes:
     """Encode one LZMA-alone stream with the full lc 0..8 range — the
     `lzma.exe e -lc8 -eos` equivalent (/root/reference/extern.pas:224)
-    liblzma cannot produce (it enforces lc+lp<=4)."""
+    liblzma cannot produce (it enforces lc+lp<=4).
+
+    optimal=True runs the windowed price-DP parse (lzma.exe's own parse
+    class): measured 2,038,816 B on the reference city command payloads
+    vs the reference file's 2,051,899 and liblzma lc3's 2,056,939
+    (docs/RESULTS.md). False = the ~8x-faster greedy+lazy parse."""
     lib = get_lib()
     out_len = ctypes.c_size_t()
     status = ctypes.c_int()
-    ptr = lib.tiler_lzma_encode_alone(data, len(data), lc, lp, pb,
-                                      depth, nice_len,
-                                      ctypes.byref(out_len),
-                                      ctypes.byref(status))
+    ptr = lib.tiler_lzma_encode_alone2(data, len(data), lc, lp, pb,
+                                       depth, nice_len,
+                                       1 if optimal else 0,
+                                       ctypes.byref(out_len),
+                                       ctypes.byref(status))
     if status.value != 0 or not ptr:
         raise ValueError(f'lzma encode failed (status {status.value})')
     try:

@@ -21,10 +21,13 @@
 //                           &out_len, &status)
 //     -> malloc'd stream (caller frees with tiler_free)
 
+#include <algorithm>
+#include <cmath>
 #include <cstddef>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 using std::ptrdiff_t;
@@ -147,6 +150,62 @@ inline unsigned pos_slot_of(uint32_t dist) {
   return unsigned((log << 1) | ((dist >> (log - 1)) & 1));
 }
 
+// -- bit prices (for the optimal parse) -----------------------------------
+//
+// price(prob, bit) = -log2(P(bit)) in 1/16-bit units, exact to rounding
+// (a full 2048-entry table; no need for the SDK's 128-entry quantization).
+
+struct PriceTable {
+  uint32_t p[kBitModelTotal];
+  PriceTable() {
+    p[0] = p[kBitModelTotal - 1] = 0;  // unreachable guards
+    for (int q = 1; q < kBitModelTotal; q++)
+      p[q] = uint32_t(
+          std::lround(-std::log2(double(q) / kBitModelTotal) * 16.0));
+  }
+};
+const PriceTable g_price_table;
+
+inline uint32_t prc(uint16_t prob, int bit) {
+  return g_price_table.p[bit ? (kBitModelTotal - prob) : prob];
+}
+
+inline uint32_t tree_price(const uint16_t* probs, int num_bits,
+                           unsigned sym) {
+  uint32_t price = 0;
+  unsigned m = 1;
+  for (int i = num_bits - 1; i >= 0; i--) {
+    unsigned bit = (sym >> i) & 1;
+    price += prc(probs[m], bit);
+    m = (m << 1) | bit;
+  }
+  return price;
+}
+
+inline uint32_t rev_tree_price(const uint16_t* probs, int num_bits,
+                               unsigned sym) {
+  uint32_t price = 0;
+  unsigned m = 1;
+  for (int i = 0; i < num_bits; i++) {
+    unsigned bit = sym & 1;
+    sym >>= 1;
+    price += prc(probs[m], bit);
+    m = (m << 1) | bit;
+  }
+  return price;
+}
+
+inline uint32_t len_price_of(const LenEncoder& le, unsigned len_coded,
+                             unsigned pos_state) {
+  if (len_coded < 8)
+    return prc(le.choice, 0) + tree_price(le.low[pos_state], 3, len_coded);
+  if (len_coded < 16)
+    return prc(le.choice, 1) + prc(le.choice2, 0) +
+           tree_price(le.mid[pos_state], 3, len_coded - 8);
+  return prc(le.choice, 1) + prc(le.choice2, 1) +
+         tree_price(le.high, 8, len_coded - 16);
+}
+
 // -- hash-chain match finder ---------------------------------------------
 
 struct MatchFinder {
@@ -239,6 +298,63 @@ struct MatchFinder {
     *dist_out = best_dist;
     return best;
   }
+  // all (len, dist) match pairs at p with strictly increasing len, then
+  // post-processed so dists[i] is the NEAREST distance achieving >= len
+  // (a longer match at a closer distance also serves every shorter len).
+  // Returns the pair count (0 = no match).
+  int find_pairs(size_t p, uint32_t* lens, uint32_t* dists) {
+    unsigned cap = unsigned(n - p) < unsigned(kMatchMaxLen)
+                       ? unsigned(n - p)
+                       : unsigned(kMatchMaxLen);
+    int np = 0;
+    unsigned best = kMatchMinLen - 1;
+    if (cap >= 2) {
+      int32_t c = head2[h2(p)];
+      if (c >= 0 && size_t(c) < p && p - size_t(c) <= max_dist) {
+        unsigned l = match_len(size_t(c), p, cap);
+        if (l >= 2) {
+          lens[np] = l;
+          dists[np++] = uint32_t(p - size_t(c) - 1);
+          best = l;
+        }
+      }
+    }
+    if (cap >= 3) {
+      int32_t c = head3[h3(p)];
+      if (c >= 0 && size_t(c) < p && p - size_t(c) <= max_dist) {
+        unsigned l = match_len(size_t(c), p, cap);
+        if (l > best) {
+          lens[np] = l;
+          dists[np++] = uint32_t(p - size_t(c) - 1);
+          best = l;
+        }
+      }
+    }
+    if (cap >= 4) {
+      int32_t c = head4[h4(p)];
+      int steps = depth;
+      while (c >= 0 && size_t(c) < p && p - size_t(c) <= max_dist &&
+             steps-- > 0) {
+        size_t cp = size_t(c);
+        if (best == 0 ||
+            (best < cap && buf[cp + best] == buf[p + best])) {
+          unsigned l = match_len(cp, p, cap);
+          if (l > best) {
+            lens[np] = l;
+            dists[np++] = uint32_t(p - cp - 1);
+            best = l;
+            if (l >= nice_len) break;
+          }
+        }
+        c = prev[cp];
+      }
+    }
+    // nearest-dist monotonicity: a later (longer) pair at a closer dist
+    // dominates earlier pairs for their whole length range
+    for (int i = np - 2; i >= 0; i--)
+      if (dists[i + 1] < dists[i]) dists[i] = dists[i + 1];
+    return np;
+  }
   void insert(size_t p) {
     if (p + 2 <= n) head2[h2(p)] = int32_t(p);
     if (p + 3 <= n) head3[h3(p)] = int32_t(p);
@@ -247,6 +363,13 @@ struct MatchFinder {
       prev[p] = head4[h];
       head4[h] = int32_t(p);
     }
+  }
+  // optimal-parse insert discipline: every position enters the chains
+  // exactly once (a double insert would self-loop prev[]); insert_below(p)
+  // inserts every position < p not yet inserted
+  size_t inserted = 0;
+  void insert_below(size_t p) {
+    while (inserted < p && inserted < n) insert(inserted++);
   }
 };
 
@@ -508,18 +631,349 @@ struct LzmaEncoder {
     encode_eos(unsigned(pos) & pb_mask);
     rc.flush();
   }
+
+  // -- optimal parse ------------------------------------------------------
+  //
+  // Windowed forward DP (Viterbi over positions): nodes are input
+  // positions; each settled node relaxes literal / short-rep / rep r
+  // (all lengths) / nearest-match (all lengths) edges with exact model
+  // prices, tracking (state, reps[4]) per node along its best path.
+  // Prices are frozen at window start (the models only advance when the
+  // window's chosen path is emitted) — the same approximation class as
+  // liblzma's optimal mode, which refreshes its price tables
+  // periodically. A match/rep >= nice_len cuts the window early and is
+  // taken whole (long matches are always worth it, and this keeps the
+  // DP cost bounded on highly repetitive data).
+
+  static constexpr uint32_t kInfPrice = 0xFFFFFFFFu;
+  static constexpr uint32_t kOpLit = 0xFFFFFFFFu;
+  static constexpr uint32_t kOpShortRep = 0xFFFFFFFEu;
+  static constexpr uint32_t kOpMatchBase = 4;  // dist_code = dist + 4
+  static constexpr size_t kOptWindow = 4096;
+
+  struct Opt {
+    uint32_t price;
+    int32_t back;        // predecessor node index
+    uint32_t len;        // bytes consumed by the arriving op
+    uint32_t dist_code;  // kOpLit / kOpShortRep / rep 0..3 / dist+4
+    uint8_t state;
+    uint32_t reps[4];
+  };
+
+  static unsigned lit_next_state(unsigned st) {
+    return st < 4 ? 0 : (st < 10 ? st - 3 : st - 6);
+  }
+  static void rep_reorder(const uint32_t* r, unsigned idx, uint32_t* out) {
+    out[0] = r[idx];
+    out[1] = r[0 + (idx < 1)];
+    out[2] = r[1 + (idx < 2)];
+    out[3] = r[2 + (idx < 3)];
+  }
+
+  uint32_t price_literal(const uint8_t* buf, size_t pos, unsigned st,
+                         uint32_t rep0, unsigned pos_state) const {
+    uint32_t price = prc(is_match[st][pos_state], 0);
+    unsigned prev_byte = pos ? buf[pos - 1] : 0;
+    unsigned lit_state = ((unsigned(pos) & ((1u << lp) - 1)) << lc) +
+                         (prev_byte >> (8 - lc));
+    const uint16_t* probs = &lit_probs[size_t(0x300) * lit_state];
+    unsigned sym = buf[pos];
+    if (st >= 7 && pos > rep0) {
+      unsigned match_byte = buf[pos - rep0 - 1];
+      unsigned ctx = 1;
+      unsigned i = 7;
+      for (;;) {
+        unsigned match_bit = (match_byte >> i) & 1;
+        unsigned bit = (sym >> i) & 1;
+        price += prc(probs[((1 + match_bit) << 8) + ctx], bit);
+        ctx = (ctx << 1) | bit;
+        if (i == 0) break;
+        i--;
+        if (match_bit != bit) {
+          while (true) {
+            bit = (sym >> i) & 1;
+            price += prc(probs[ctx], bit);
+            ctx = (ctx << 1) | bit;
+            if (i == 0) break;
+            i--;
+          }
+          break;
+        }
+      }
+    } else {
+      unsigned ctx = 1;
+      for (int i = 7; i >= 0; i--) {
+        unsigned bit = (sym >> i) & 1;
+        price += prc(probs[ctx], bit);
+        ctx = (ctx << 1) | bit;
+      }
+    }
+    return price;
+  }
+
+  uint32_t price_short_rep(unsigned st, unsigned pos_state) const {
+    return prc(is_match[st][pos_state], 1) + prc(is_rep[st], 1) +
+           prc(is_rep_g0[st], 0) + prc(is_rep0_long[st][pos_state], 0);
+  }
+
+  uint32_t price_rep_prefix(unsigned st, unsigned pos_state,
+                            unsigned r) const {
+    uint32_t price = prc(is_match[st][pos_state], 1) + prc(is_rep[st], 1);
+    if (r == 0)
+      return price + prc(is_rep_g0[st], 0) +
+             prc(is_rep0_long[st][pos_state], 1);
+    price += prc(is_rep_g0[st], 1);
+    if (r == 1) return price + prc(is_rep_g1[st], 0);
+    return price + prc(is_rep_g1[st], 1) +
+           prc(is_rep_g2[st], r == 2 ? 0 : 1);
+  }
+
+  // per-window cached tables: len prices per pos_state, distance prices
+  // per len_to_pos bucket (full spec_pos price under 128, slot+align
+  // above)
+  struct WindowPrices {
+    uint32_t len_tab[1 << kNumPosBitsMax][kMatchMaxLen - kMatchMinLen + 1];
+    uint32_t rep_len_tab[1 << kNumPosBitsMax]
+                        [kMatchMaxLen - kMatchMinLen + 1];
+    uint32_t dist_low[4][kNumFullDistances];
+    uint32_t slot_tab[4][64];
+    uint32_t align_tab[1 << kNumAlignBits];
+  };
+
+  void fill_window_prices(WindowPrices& wp, unsigned pb_mask) const {
+    for (unsigned ps = 0; ps <= pb_mask; ps++)
+      for (unsigned l = 0; l <= kMatchMaxLen - kMatchMinLen; l++) {
+        wp.len_tab[ps][l] = len_price_of(len_enc, l, ps);
+        wp.rep_len_tab[ps][l] = len_price_of(rep_len_enc, l, ps);
+      }
+    for (unsigned a = 0; a < (1u << kNumAlignBits); a++)
+      wp.align_tab[a] = rev_tree_price(align_probs, kNumAlignBits, a);
+    for (unsigned l2p = 0; l2p < 4; l2p++) {
+      for (unsigned slot = 0; slot < 64; slot++)
+        wp.slot_tab[l2p][slot] = tree_price(pos_slot[l2p], 6, slot);
+      for (uint32_t d = 0; d < kNumFullDistances; d++) {
+        unsigned slot = pos_slot_of(d);
+        uint32_t price = wp.slot_tab[l2p][slot];
+        if (slot >= 4) {
+          int nd = int(slot >> 1) - 1;
+          uint32_t base = (2u | (slot & 1)) << nd;
+          price += rev_tree_price(
+              spec_pos + ptrdiff_t(base) - ptrdiff_t(slot) - 1, nd,
+              d - base);
+        }
+        wp.dist_low[l2p][d] = price;
+      }
+    }
+  }
+
+  uint32_t dist_price(const WindowPrices& wp, unsigned l2p,
+                      uint32_t dist) const {
+    if (dist < kNumFullDistances) return wp.dist_low[l2p][dist];
+    unsigned slot = pos_slot_of(dist);
+    uint32_t price = wp.slot_tab[l2p][slot];
+    int nd = int(slot >> 1) - 1;
+    price += uint32_t(nd - kNumAlignBits) << 4;  // direct bits: 16 u/bit
+    return price + wp.align_tab[dist & ((1u << kNumAlignBits) - 1)];
+  }
+
+  // emit the DP-chosen path ending at node `end` (backtrack via back
+  // pointers), advancing the real models
+  void emit_path(const uint8_t* buf, size_t window_start,
+                 std::vector<Opt>& opt, size_t end, unsigned pb_mask) {
+    // collect node indices along the path, then walk forward
+    static thread_local std::vector<uint32_t> chain;
+    chain.clear();
+    for (size_t j = end; opt[j].back >= 0; j = size_t(opt[j].back))
+      chain.push_back(uint32_t(j));
+    for (size_t c = chain.size(); c-- > 0;) {
+      const Opt& o = opt[chain[c]];
+      size_t pos = window_start + size_t(chain[c]) - o.len;
+      unsigned pos_state = unsigned(pos) & pb_mask;
+      if (o.dist_code == kOpLit) {
+        rc.encode_bit(&is_match[state][pos_state], 0);
+        encode_literal(buf, pos, pos_state);
+      } else if (o.dist_code == kOpShortRep) {
+        rc.encode_bit(&is_match[state][pos_state], 1);
+        encode_short_rep(pos_state);
+      } else if (o.dist_code < kOpMatchBase) {
+        rc.encode_bit(&is_match[state][pos_state], 1);
+        encode_rep(o.dist_code, o.len, pos_state);
+      } else {
+        rc.encode_bit(&is_match[state][pos_state], 1);
+        encode_match(o.len, o.dist_code - kOpMatchBase, pos_state);
+      }
+    }
+  }
+
+  void encode_optimal(const uint8_t* buf, size_t n, int depth,
+                      unsigned nice_len, size_t dict_size,
+                      std::vector<uint8_t>& out) {
+    rc.out = &out;
+    init_probs();
+    MatchFinder mf;
+    mf.init(buf, n, depth, nice_len, dict_size);
+    const unsigned pb_mask = (1u << pb) - 1;
+    std::vector<Opt> opt(kOptWindow + kMatchMaxLen + 1);
+    std::vector<uint32_t> plens(kMatchMaxLen + 4), pdists(kMatchMaxLen + 4);
+    auto wp = std::make_unique<WindowPrices>();
+
+    size_t S = 0;
+    while (S < n) {
+      fill_window_prices(*wp, pb_mask);
+      const size_t cut = std::min(kOptWindow, n - S);
+      const size_t limit = std::min(cut + size_t(kMatchMaxLen), n - S);
+      for (size_t j = 0; j <= limit; j++) opt[j].price = kInfPrice;
+      opt[0].price = 0;
+      opt[0].back = -1;
+      opt[0].state = uint8_t(state);
+      std::memcpy(opt[0].reps, reps, sizeof(reps));
+
+      auto relax = [&](size_t j, uint32_t price, size_t i, uint32_t len,
+                       uint32_t dist_code, unsigned new_state,
+                       const uint32_t* new_reps) {
+        Opt& o = opt[j];
+        if (price >= o.price) return;
+        o.price = price;
+        o.back = int32_t(i);
+        o.len = len;
+        o.dist_code = dist_code;
+        o.state = uint8_t(new_state);
+        std::memcpy(o.reps, new_reps, 4 * sizeof(uint32_t));
+      };
+
+      // early cut: a match/rep >= nice_len is taken whole
+      size_t early_i = SIZE_MAX;
+      unsigned early_len = 0;
+      uint32_t early_dist = 0;
+      int early_rep = -1;
+
+      for (size_t i = 0; i < cut; i++) {
+        const Opt cur = opt[i];  // copy: relax may touch opt[i+...]
+        if (cur.price == kInfPrice) continue;
+        const size_t abs = S + i;
+        const unsigned ps = unsigned(abs) & pb_mask;
+        const unsigned st = cur.state;
+        const unsigned cap32 = unsigned(
+            std::min(n - abs, size_t(kMatchMaxLen)));
+        const unsigned span = unsigned(limit - i);  // room in the window
+
+        // literal
+        relax(i + 1,
+              cur.price + price_literal(buf, abs, st, cur.reps[0], ps), i,
+              1, kOpLit, lit_next_state(st), cur.reps);
+        // short rep
+        if (abs > cur.reps[0] && buf[abs] == buf[abs - cur.reps[0] - 1])
+          relax(i + 1, cur.price + price_short_rep(st, ps), i, 1,
+                kOpShortRep, st < 7 ? 9 : 11, cur.reps);
+        // rep matches, all lengths
+        for (unsigned r = 0; r < 4; r++) {
+          if (cur.reps[r] + 1 > abs || cur.reps[r] + 1 > mf.max_dist)
+            continue;
+          unsigned l = mf.match_len(abs - cur.reps[r] - 1, abs, cap32);
+          if (l < 2) continue;
+          if (l >= nice_len &&
+              (early_i == SIZE_MAX || l > early_len)) {
+            early_i = i;
+            early_len = l;
+            early_rep = int(r);
+            early_dist = cur.reps[r];
+          }
+          uint32_t prefix = cur.price + price_rep_prefix(st, ps, r);
+          unsigned new_state = st < 7 ? 8 : 11;
+          uint32_t new_reps[4];
+          rep_reorder(cur.reps, r, new_reps);
+          unsigned lmax = std::min(l, span);
+          for (unsigned L = 2; L <= lmax; L++)
+            relax(i + L,
+                  prefix + wp->rep_len_tab[ps][L - kMatchMinLen], i, L,
+                  r, new_state, new_reps);
+        }
+        // normal matches: nearest dist per length
+        int np = mf.find_pairs(abs, plens.data(), pdists.data());
+        mf.insert_below(abs + 1);
+        if (np > 0) {
+          unsigned longest = plens[np - 1];
+          if (longest >= nice_len &&
+              (early_i == SIZE_MAX || longest > early_len)) {
+            early_i = i;
+            early_len = longest;
+            early_rep = -1;
+            early_dist = pdists[np - 1];
+          }
+          uint32_t prefix =
+              cur.price + prc(is_match[st][ps], 1) + prc(is_rep[st], 0);
+          unsigned new_state = st < 7 ? 7 : 10;
+          int pi = 0;
+          unsigned lmax = std::min(longest, span);
+          for (unsigned L = 2; L <= lmax; L++) {
+            while (plens[pi] < L) pi++;
+            uint32_t d = pdists[pi];
+            unsigned lc2 = L - kMatchMinLen;
+            uint32_t new_reps[4] = {d, cur.reps[0], cur.reps[1],
+                                    cur.reps[2]};
+            relax(i + L,
+                  prefix + wp->len_tab[ps][lc2] +
+                      dist_price(*wp, lc2 < 4 ? lc2 : 3, d),
+                  i, L, d + kOpMatchBase, new_state, new_reps);
+          }
+        }
+        if (early_i != SIZE_MAX) break;
+      }
+
+      if (early_i != SIZE_MAX) {
+        emit_path(buf, S, opt, early_i, pb_mask);
+        size_t abs = S + early_i;
+        unsigned ps = unsigned(abs) & pb_mask;
+        rc.encode_bit(&is_match[state][ps], 1);
+        if (early_rep >= 0) {
+          // recover the rep index under the EMITTED reps (the DP node's
+          // rep order matches the emitted models by construction)
+          encode_rep(unsigned(early_rep), early_len, ps);
+        } else {
+          encode_match(early_len, early_dist, ps);
+        }
+        S = abs + early_len;
+        mf.insert_below(S);
+        continue;
+      }
+
+      // choose the end node: any j >= cut is a fully-priced prefix;
+      // prefer longer prefixes via a completion estimate at the window's
+      // own average cost per byte
+      size_t jend = cut;
+      if (limit > cut) {
+        double unit = opt[cut].price != kInfPrice && cut > 0
+                          ? double(opt[cut].price) / double(cut)
+                          : 128.0;
+        double best_score = 1e300;
+        for (size_t j = cut; j <= limit; j++) {
+          if (opt[j].price == kInfPrice) continue;
+          double score = double(opt[j].price) + double(limit - j) * unit;
+          if (score < best_score) {
+            best_score = score;
+            jend = j;
+          }
+        }
+      }
+      emit_path(buf, S, opt, jend, pb_mask);
+      S += jend;
+      mf.insert_below(S);
+    }
+    encode_eos(unsigned(S) & pb_mask);
+    rc.flush();
+  }
 };
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
-                                 int lp, int pb, int depth,
-                                 unsigned nice_len, size_t* out_len,
-                                 int* status) try {
+uint8_t* encode_alone_impl(const uint8_t* src, size_t n, int lc, int lp,
+                           int pb, int depth, unsigned nice_len, int algo,
+                           size_t* out_len, int* status) try {
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4 ||
-      depth < 1 || nice_len < 8 || nice_len > kMatchMaxLen) {
+      depth < 1 || nice_len < 8 || nice_len > kMatchMaxLen || algo < 0 ||
+      algo > 1) {
     *status = -1;
     *out_len = 0;
     return nullptr;
@@ -540,7 +994,10 @@ uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
   enc.lc = lc;
   enc.lp = lp;
   enc.pb = pb;
-  enc.encode(src, n, depth, nice_len, size_t(dict), out);
+  if (algo == 1)
+    enc.encode_optimal(src, n, depth, nice_len, size_t(dict), out);
+  else
+    enc.encode(src, n, depth, nice_len, size_t(dict), out);
 
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(out.size()));
   if (!buf) {
@@ -556,6 +1013,27 @@ uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
   *status = -6;
   *out_len = 0;
   return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+uint8_t* tiler_lzma_encode_alone(const uint8_t* src, size_t n, int lc,
+                                 int lp, int pb, int depth,
+                                 unsigned nice_len, size_t* out_len,
+                                 int* status) {
+  return encode_alone_impl(src, n, lc, lp, pb, depth, nice_len, 0,
+                           out_len, status);
+}
+
+// algo 0 = greedy+lazy parse, 1 = optimal parse (windowed price DP)
+uint8_t* tiler_lzma_encode_alone2(const uint8_t* src, size_t n, int lc,
+                                  int lp, int pb, int depth,
+                                  unsigned nice_len, int algo,
+                                  size_t* out_len, int* status) {
+  return encode_alone_impl(src, n, lc, lp, pb, depth, nice_len, algo,
+                           out_len, status);
 }
 
 }  // extern "C"
