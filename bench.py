@@ -230,6 +230,7 @@ def main():
         },
         'ft_pair_dedup': st.metrics.get('ft_pair_dedup'),
         'ft_q_changed_frac': st.metrics.get('ft_q_changed_frac'),
+        'mesh_sharded_wall': st.metrics.get('mesh_sharded_wall'),
     }))
 
 

@@ -135,17 +135,19 @@ class Encoder:
         if ok('save'):
             blob = self.save(fast_lzma=fast_lzma)
             done('save')
-        from ..parallel.mesh_pipeline import mesh_ok
-        if mesh_ok(self.state.mesh):
-            self._sharded_wall_metric()
+        self._sharded_wall_metric()
         return blob
 
     def _sharded_wall_metric(self) -> None:
-        """Fraction of the DEVICE wall clock spent in mesh-sharded stages
-        (the Amdahl number for multi-chip scaling): sharded = dither
-        prepare+scan, FrameTiling mark/feats/assign, smooth (+ the KModes
-        solve when mesh_kmodes); device wall excludes host-only phases
-        (load, save, the DL3/VAR quantize pool, the KModes merge)."""
+        """Fraction of the DEVICE wall clock spent in mesh-shardable
+        stages (the Amdahl number for multi-chip scaling): sharded =
+        dither prepare+scan, FrameTiling mark/feats/assign, smooth (+
+        the KModes solve under mesh_kmodes — reported separately as
+        frac_with_kmodes); device wall excludes host-only phases (load,
+        save, the DL3/VAR quantize pool, the KModes merge). Computed on
+        every run: on a single-device run it is the PROJECTED coverage
+        the mesh path shards (the stage set is static), on a mesh run
+        the measured one."""
         st, m = self.state.step_times, self.state.metrics
         dp = m.get('dither_phases') or {}
         gp = m.get('gt_phases') or {}
@@ -153,18 +155,22 @@ class Encoder:
         sharded = (dp.get('prepare_kmeans', 0.0) + dp.get('dither', 0.0)
                    + fp.get('mark', 0.0) + fp.get('cand_feats', 0.0)
                    + fp.get('assign', 0.0) + st.get('smooth', 0.0))
-        if self.config.mesh_kmodes:
-            sharded += gp.get('solve', 0.0)
         device_wall = (st.get('dither', 0.0) - dp.get('quantize', 0.0)
                        + st.get('make_unique', 0.0)
                        + st.get('global_tiling', 0.0)
                        - gp.get('merge_host', 0.0)
                        + st.get('frame_tiling', 0.0)
                        + st.get('smooth', 0.0) + st.get('reindex', 0.0))
+        from ..parallel.mesh_pipeline import mesh_ok
         m['mesh_sharded_wall'] = {
             'sharded_s': round(sharded, 3),
             'device_wall_s': round(device_wall, 3),
-            'frac': round(sharded / max(device_wall, 1e-9), 3)}
+            'frac': round(sharded / max(device_wall, 1e-9), 3),
+            'frac_with_kmodes': round(
+                (sharded + gp.get('solve', 0.0))
+                / max(device_wall, 1e-9), 3),
+            'measured_on_mesh': bool(mesh_ok(self.state.mesh)),
+            'mesh_kmodes': bool(self.config.mesh_kmodes)}
 
     # -- internals ----------------------------------------------------------
 
