@@ -116,16 +116,19 @@ def test_concat_framing_mixed_modes(rng):
     assert list(iter_lzma_streams(blob)) == parts
 
 
-def test_window_limit_respected():
+@pytest.mark.parametrize('optimal', [False, True],
+                         ids=['greedy', 'optimal'])
+def test_window_limit_respected(optimal):
     """A match candidate beyond the declared dict size must not be
     emitted: craft a repeat at distance > 64 KiB with a tiny in-between
     so the only long match is the far one, and verify via an
     independent WINDOWED decoder (liblzma, lc<=4) that the stream stays
-    valid for ring-buffer implementations."""
+    valid for ring-buffer implementations. Both parses ship (greedy =
+    fast_lzma encodes)."""
     unit = bytes(range(256)) * 8  # 2 KiB block
     filler = b'\x00' * (70 * 1024)
     data = unit + filler + unit
-    enc = lzma_encode_alone(data, lc=3, lp=0, pb=2)
+    enc = lzma_encode_alone(data, lc=3, lp=0, pb=2, optimal=optimal)
     dec, consumed = lzma_decode_alone(enc)
     assert dec == data and consumed == len(enc)
     # liblzma enforces the header's dict size with a real window

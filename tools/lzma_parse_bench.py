@@ -10,10 +10,12 @@ compression layer.
 
 Usage: python tools/lzma_parse_bench.py [/path/to/stream.gtm ...]
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, '.')
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from tiler_tpu.bitstream.lzma_codec import (iter_lzma_streams,  # noqa: E402
                                             lzma_compress_alone)

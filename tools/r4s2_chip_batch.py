@@ -28,18 +28,6 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def encode_clip(frames, fps, cfg):
-    from tiler_tpu.pipeline.encoder import Encoder
-    enc = Encoder(cfg)
-    t0 = time.perf_counter()
-    blob = enc.run_all(frames, fps=fps, fast_lzma=cfg_fast(cfg))
-    return time.perf_counter() - t0, blob, enc
-
-
-def cfg_fast(cfg):
-    return getattr(cfg, '_fast_lzma', True)
-
-
 def main():
     import numpy as np
 
