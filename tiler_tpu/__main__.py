@@ -58,10 +58,12 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                         '(the file is removed on successful completion)')
     p.add_argument('--fast-lzma', action='store_true')
     p.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto'),
-                   default='lc3',
-                   help="keyframe stream compressor: liblzma lc=3 "
-                        "(default, smallest measured), native lc=8 "
-                        "(lzma.exe -lc8 parity), or per-keyframe auto")
+                   default='auto',
+                   help="keyframe stream compressor: per-keyframe auto "
+                        "(default: min of native optimal-parse lc=8 and "
+                        "liblzma lc=3 — smallest measured, lc3 fallback "
+                        "without a C++ toolchain), native lc=8 "
+                        "(lzma.exe -lc8 parity), or liblzma lc=3 only")
     p.add_argument('--stream', action='store_true',
                    help='bounded-memory streaming encode: GOPs are '
                         'detected online, encoded independently (per-GOP '

@@ -214,8 +214,10 @@ class GTMWriter:
                  frame_count: int, kf_count: int, fast_lzma: bool = False,
                  total_tile_count: int | None = None,
                  lzma_mode: str = 'lc3'):
-        """lzma_mode: 'lc3' = liblzma optimal parse (default; measured
-        smallest, docs/RESULTS.md), 'lc8' = the native lc=8 encoder
+        """lzma_mode: 'lc3' = liblzma optimal parse (this primitive's
+        default: the no-native-toolchain-safe choice; EncoderConfig
+        defaults to 'auto', the measured-smallest mode —
+        docs/RESULTS.md round 4), 'lc8' = the native lc=8 encoder
         (lzma.exe `-lc8 -eos` parity, extern.pas:224), 'auto' = encode
         both per keyframe and keep the smaller stream."""
         self.fps = fps

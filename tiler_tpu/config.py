@@ -90,11 +90,15 @@ class EncoderConfig:
     # no mesh is attached.
     mesh_kmodes: bool = False
 
-    # keyframe-stream compression: 'lc3' = liblzma optimal parse
-    # (default — measured smallest, docs/RESULTS.md), 'lc8' = the native
-    # lc=8 encoder matching the reference's `lzma.exe e -lc8 -eos`
-    # (extern.pas:224), 'auto' = both per keyframe, smaller wins
-    lzma_mode: str = 'lc3'
+    # keyframe-stream compression: 'auto' (default) = per-keyframe min
+    # of the native optimal-parse lc=8 encoder and liblzma's optimal
+    # lc=3 — measured 25.7%/28.5% smaller than the reference's own
+    # published demo streams (docs/RESULTS.md round 4; degrades to lc3
+    # with a warning on hosts without a C++ toolchain); 'lc8' = native
+    # only, matching the reference's `lzma.exe e -lc8 -eos`
+    # (extern.pas:224); 'lc3' = liblzma only. fast_lzma (the bench/
+    # preview path) uses the fast presets of whichever modes run.
+    lzma_mode: str = 'auto'
 
     # GTS tileset reload instead of global tiling (chkReload)
     reload_tileset: str | None = None
