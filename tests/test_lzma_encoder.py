@@ -154,12 +154,14 @@ def test_writer_auto_mode_picks_smaller():
                               smoothed=np.zeros(cells, bool))])
         return wr.tobytes()
 
-    blobs = {mode: build(mode) for mode in ('lc3', 'lc8', 'auto')}
+    blobs = {mode: build(mode) for mode in ('lc3', 'lc8', 'auto', 'best')}
     assert len(blobs['auto']) == min(len(blobs['lc3']), len(blobs['lc8']))
+    # 'best' sweeps a superset of auto's candidates
+    assert len(blobs['best']) <= len(blobs['auto'])
     # all three decode identically
     from tiler_tpu.decode import decode_video
     ref, _ = decode_video(blobs['lc3'])
-    for mode in ('lc8', 'auto'):
+    for mode in ('lc8', 'auto', 'best'):
         got, _ = decode_video(blobs[mode])
         np.testing.assert_array_equal(got, ref)
 

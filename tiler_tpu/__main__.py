@@ -57,13 +57,15 @@ def _add_encode_flags(p: argparse.ArgumentParser) -> None:
                         'resume from the step after the last completed one '
                         '(the file is removed on successful completion)')
     p.add_argument('--fast-lzma', action='store_true')
-    p.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto'),
+    p.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto', 'best'),
                    default='auto',
                    help="keyframe stream compressor: per-keyframe auto "
                         "(default: min of native optimal-parse lc=8 and "
                         "liblzma lc=3 — smallest measured, lc3 fallback "
                         "without a C++ toolchain), native lc=8 "
-                        "(lzma.exe -lc8 parity), or liblzma lc=3 only")
+                        "(lzma.exe -lc8 parity), liblzma lc=3 only, or "
+                        "best (sweeps native (lc,lp,pb) configs too — "
+                        "~1% smaller again at ~3x the compression cost)")
     p.add_argument('--stream', action='store_true',
                    help='bounded-memory streaming encode: GOPs are '
                         'detected online, encoded independently (per-GOP '
@@ -554,7 +556,7 @@ def main(argv=None) -> int:
                              'decode identically)')
     pt.add_argument('input')
     pt.add_argument('output')
-    pt.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto'),
+    pt.add_argument('--lzma-mode', choices=('lc3', 'lc8', 'auto', 'best'),
                     default='auto')
     pt.set_defaults(fn=cmd_transcode)
 

@@ -222,7 +222,7 @@ class GTMWriter:
         both per keyframe and keep the smaller stream."""
         self.fps = fps
         self.fast_lzma = fast_lzma
-        if lzma_mode not in ('lc3', 'lc8', 'auto'):
+        if lzma_mode not in ('lc3', 'lc8', 'auto', 'best'):
             raise ValueError(f'unknown lzma_mode {lzma_mode!r}')
         self.lzma_mode = lzma_mode
         self.palette_size = palette_size
@@ -333,24 +333,37 @@ def build_keyframe_stream(prefix_parts: list[bytes],
     return b''.join(parts)
 
 
+# native candidate configs for the sweep modes: (lc, lp, pb). lc8/pb2 is
+# the reference toolchain's setting; pb4 wins on tileset-heavy first
+# keyframes and lp1 on command-run keyframes (measured on both published
+# demos, ~1% total under 'best' — docs/RESULTS.md round 4)
+_NATIVE_CFG = (8, 0, 2)
+_BEST_CFGS = ((8, 0, 2), (8, 0, 4), (8, 1, 2))
+
+
 def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
                              lzma_mode: str = 'lc3') -> bytes:
-    """One keyframe stream's LZMA-alone bytes under the configured mode
-    ('lc3' liblzma / 'lc8' native / 'auto' smaller-of-both).
+    """One keyframe stream's LZMA-alone bytes under the configured mode:
+    'lc3' liblzma / 'lc8' native / 'auto' smaller-of-both / 'best'
+    smallest over a small native (lc,lp,pb) sweep + liblzma (~3x the
+    compression cost of 'auto'; for transcode/final distribution).
 
-    'auto' degrades to the liblzma result when the native encoder cannot
-    build (no C++ toolchain on this host) — it would have picked lc3 in
-    the measured cases anyway (docs/RESULTS.md); 'lc8' stays a hard
+    'auto'/'best' degrade to the liblzma result when the native encoder
+    cannot build (no C++ toolchain on this host); 'lc8' stays a hard
     requirement because the caller asked for that exact framing."""
-    if lzma_mode in ('lc8', 'auto'):
+    if lzma_mode in ('lc8', 'auto', 'best'):
         try:
             from ..native import lzma_encode_alone
             # fast: greedy parse at shallow depth; full: the optimal
             # (price-DP) parse that beats the reference's own lzma.exe
             # output on its payloads (docs/RESULTS.md round-4 table)
             depth, nice = (16, 32) if fast_lzma else (128, 128)
-            native = lzma_encode_alone(raw, depth=depth, nice_len=nice,
-                                       optimal=not fast_lzma)
+            cfgs = _BEST_CFGS if lzma_mode == 'best' else (_NATIVE_CFG,)
+            native = min(
+                (lzma_encode_alone(raw, lc=lc, lp=lp, pb=pb, depth=depth,
+                                   nice_len=nice,
+                                   optimal=not fast_lzma)
+                 for lc, lp, pb in cfgs), key=len)
         except Exception:
             if lzma_mode == 'lc8':
                 raise
@@ -358,8 +371,9 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
             if not _warned_no_native_lzma:
                 _warned_no_native_lzma = True
                 import warnings
-                warnings.warn('native LZMA encoder unavailable; '
-                              "lzma_mode='auto' falls back to liblzma lc3")
+                warnings.warn(
+                    'native LZMA encoder unavailable; '
+                    f'lzma_mode={lzma_mode!r} falls back to liblzma lc3')
             return lzma_compress_alone(raw, fast=fast_lzma)
         if lzma_mode == 'lc8':
             return native

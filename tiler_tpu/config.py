@@ -96,7 +96,9 @@ class EncoderConfig:
     # published demo streams (docs/RESULTS.md round 4; degrades to lc3
     # with a warning on hosts without a C++ toolchain); 'lc8' = native
     # only, matching the reference's `lzma.exe e -lc8 -eos`
-    # (extern.pas:224); 'lc3' = liblzma only. fast_lzma (the bench/
+    # (extern.pas:224); 'lc3' = liblzma only; 'best' = sweeps native
+    # (lc,lp,pb) configs too (~1% smaller again, ~3x compression cost —
+    # for final distribution encodes/transcode). fast_lzma (the bench/
     # preview path) uses the fast presets of whichever modes run.
     lzma_mode: str = 'auto'
 
@@ -116,8 +118,9 @@ class EncoderConfig:
         if self.start_step not in _STEP_NAMES or \
                 self.end_step not in _STEP_NAMES:
             raise ValueError(f'steps must be one of {_STEP_NAMES}')
-        if self.lzma_mode not in ('lc3', 'lc8', 'auto'):
-            raise ValueError("lzma_mode must be 'lc3', 'lc8' or 'auto'")
+        if self.lzma_mode not in ('lc3', 'lc8', 'auto', 'best'):
+            raise ValueError(
+                "lzma_mode must be 'lc3', 'lc8', 'auto' or 'best'")
 
     def dithering_gamma_lut(self) -> int:
         """-1 = linear, 0 = encoder gamma LUT index (main.pas:886)."""
