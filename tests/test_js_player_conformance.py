@@ -277,6 +277,37 @@ def test_lc8_stream_roundtrips_and_matches_players(player_vm, web_player_vm,
     np.testing.assert_array_equal(got_web, want)
 
 
+@pytest.mark.parametrize('lc,lp,pb', [(8, 1, 2), (8, 0, 4)])
+def test_best_mode_configs_match_players(player_vm, web_player_vm,
+                                         encoded_blob, lc, lp, pb):
+    """lzma_mode='best' can emit lp=1 / pb=4 native streams
+    (bitstream.gtm._BEST_CFGS); both the unmodified reference player's
+    js-lzma and our web player must decode them (their LZMA decoders
+    parse the full props byte)."""
+    from tiler_tpu.bitstream.gtm import (GTMHeader, GTMKeyFrameInfo,
+                                         HEADER_SIZE, KFINFO_SIZE)
+    from tiler_tpu.bitstream.lzma_codec import iter_lzma_streams
+    from tiler_tpu.native import lzma_encode_alone
+    hdr = GTMHeader.unpack(encoded_blob)
+    infos = [GTMKeyFrameInfo.unpack(encoded_blob,
+                                    HEADER_SIZE + i * KFINFO_SIZE)
+             for i in range(hdr.kf_count)]
+    streams = [lzma_encode_alone(c, lc=lc, lp=lp, pb=pb)
+               for c in iter_lzma_streams(
+                   encoded_blob[hdr.whole_header_size:])]
+    for info, s in zip(infos, streams):
+        info.compressed_size = len(s)
+        assert s[0] == (pb * 5 + lp) * 9 + lc
+    blob = b''.join([hdr.pack()] + [i.pack() for i in infos] + streams)
+    want, _ = decode_video(encoded_blob)
+    got_ours, _ = decode_video(blob)
+    np.testing.assert_array_equal(got_ours, want)
+    got_ref = player_vm.play(blob)
+    np.testing.assert_array_equal(got_ref, want)
+    got_web = play_web(web_player_vm, blob, want.shape[0])
+    np.testing.assert_array_equal(got_web, want)
+
+
 GOLDEN = '/root/reference/docs/demo/city_cif.gtm'
 GOLDEN2 = '/root/reference/docs/demo/football_cif.gtm'
 
