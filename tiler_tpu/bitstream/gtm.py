@@ -356,8 +356,11 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
             from ..native import lzma_encode_alone
             # fast: greedy parse at shallow depth; full: the optimal
             # (price-DP) parse that beats the reference's own lzma.exe
-            # output on its payloads (docs/RESULTS.md round-4 table)
-            depth, nice = (16, 32) if fast_lzma else (128, 128)
+            # output on its payloads (docs/RESULTS.md round-4 table).
+            # depth 32 for the optimal parse: measured ±0.08% vs depth
+            # 128 on both demo payloads at ~1.7x the throughput (deeper
+            # chains mostly add farther matches the price DP rejects)
+            depth, nice = (16, 32) if fast_lzma else (32, 128)
             cfgs = _BEST_CFGS if lzma_mode == 'best' else (_NATIVE_CFG,)
             native = min(
                 (lzma_encode_alone(raw, lc=lc, lp=lp, pb=pb, depth=depth,
