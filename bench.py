@@ -152,6 +152,7 @@ def real_content_entry():
             'global_tiling': st.metrics.get('gt_phases'),
             'frame_tiling': st.metrics.get('ft_phases'),
         },
+        'mesh_sharded_wall': st.metrics.get('mesh_sharded_wall'),
     }
 
 
