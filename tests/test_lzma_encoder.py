@@ -166,6 +166,46 @@ def test_writer_auto_mode_picks_smaller():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_pure_python_decoder_matches_native(rng):
+    """bitstream.pylzma1 (the no-toolchain decode fallback) must match
+    the native decoder byte-for-byte INCLUDING the consumed count (the
+    concatenated keyframe framing depends on it)."""
+    from tiler_tpu.bitstream.pylzma1 import decode_alone as pydec
+    for data in _payloads(rng):
+        for lc, lp, pb in [(8, 0, 2), (3, 0, 2), (8, 1, 2), (8, 0, 4)]:
+            s = lzma_encode_alone(data, lc=lc, lp=lp, pb=pb)
+            want, wcons = lzma_decode_alone(s)
+            got, gcons = pydec(s)
+            assert got == want and gcons == wcons
+    # liblzma-produced alone streams decode too
+    s = pylzma.compress(b'abc' * 2000, format=pylzma.FORMAT_ALONE,
+                        filters=[{'id': pylzma.FILTER_LZMA1, 'preset': 6}])
+    got, cons = pydec(s)
+    assert got == b'abc' * 2000 and cons == len(s)
+
+
+def test_decode_falls_back_without_toolchain(rng, monkeypatch):
+    """With the native library unavailable, lzma_decode_alone degrades
+    to the pure-Python decoder (with a one-time warning) so default
+    'auto'-encoded files (which can contain lc=8 streams) stay
+    decodable on toolchain-less hosts."""
+    import warnings
+
+    import tiler_tpu.native as native
+    data = bytes(rng.integers(0, 16, 30000).astype(np.uint8))
+    blob = lzma_encode_alone(data)  # lc=8: liblzma cannot decode this
+
+    def no_lib():
+        raise RuntimeError('no C++ toolchain')
+    monkeypatch.setattr(native, 'get_lib', no_lib)
+    monkeypatch.setattr(native, '_warned_pure_python_lzma', False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        out, consumed = native.lzma_decode_alone(blob)
+    assert out == data and consumed == len(blob)
+    assert any('pure-Python' in str(x.message) for x in w)
+
+
 def test_cli_transcode_roundtrip(tmp_path):
     """transcode recompresses streams; the decoded video is identical.
     Covers both container forms: headered (repo sample) and legacy

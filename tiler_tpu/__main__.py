@@ -339,57 +339,12 @@ def cmd_transcode(a) -> int:
     (commands and pixels untouched — the decoded video is identical).
     Useful to shrink existing streams or to produce `lzma.exe -lc8`
     -style files from liblzma-encoded ones."""
-    from .bitstream.gtm import (GTMHeader, GTMKeyFrameInfo, HEADER_SIZE,
-                                KFINFO_SIZE, compress_keyframe_streams)
-    from .bitstream.lzma_codec import iter_lzma_streams
+    from .bitstream.gtm import transcode_gtm
     data = open(a.input, 'rb').read()
-
-    if data[:4] == b'GTMv':
-        hdr = GTMHeader.unpack(data)
-        whole = hdr.whole_header_size or (HEADER_SIZE
-                                          + KFINFO_SIZE * hdr.kf_count)
-        infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
-                 for i in range(hdr.kf_count)]
-        raws = list(iter_lzma_streams(data[whole:]))
-        streams = compress_keyframe_streams(raws, lzma_mode=a.lzma_mode)
-        if len(streams) != hdr.kf_count:
-            raise ValueError(f'{a.input}: {len(streams)} streams but '
-                             f'header declares {hdr.kf_count} keyframes')
-        # recompute the bitrate header fields from the NEW sizes
-        # (main.pas:4727-4757 semantics, as GTMWriter.finalize_container);
-        # per-KF frame counts derive from consecutive frame_index values,
-        # fps from stream 0's SET_DIMENSIONS frame length
-        fps = 24.0
-        from .bitstream.gtm import CMD_BITS, GTMCommand
-        if raws and len(raws[0]) >= 14:
-            w0 = raws[0][0] | (raws[0][1] << 8)
-            if (w0 & ((1 << CMD_BITS) - 1)) == GTMCommand.SET_DIMENSIONS:
-                ns = int.from_bytes(raws[0][6:10], 'little')
-                if ns > 0:
-                    fps = 1e9 / ns
-        hdr.kf_max_bytes_per_sec = 0
-        hdr.average_bytes_per_sec = 0
-        for i, (info, s) in enumerate(zip(infos, streams)):
-            info.compressed_size = len(s)
-            nxt = infos[i + 1].frame_index if i + 1 < len(infos) \
-                else hdr.frame_count
-            n_frames = max(nxt - info.frame_index, 1)
-            if info.kf_index > 0 or hdr.kf_count == 1:
-                hdr.kf_max_bytes_per_sec = max(
-                    hdr.kf_max_bytes_per_sec,
-                    int(round(len(s) * fps / n_frames)))
-            hdr.average_bytes_per_sec += len(s)
-        hdr.average_bytes_per_sec = int(round(
-            hdr.average_bytes_per_sec * fps / max(hdr.frame_count, 1)))
-        # the output header region is written dense (no input padding
-        # preserved), so the declared offset must match what we emit
-        hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * hdr.kf_count
-        out = b''.join([hdr.pack()] + [i.pack() for i in infos] + streams)
-    else:
-        # legacy headerless container (the published demos): the whole
-        # file is concatenated LZMA-alone streams
-        out = b''.join(compress_keyframe_streams(
-            list(iter_lzma_streams(data)), lzma_mode=a.lzma_mode))
+    try:
+        out = transcode_gtm(data, lzma_mode=a.lzma_mode)
+    except ValueError as e:
+        raise ValueError(f'{a.input}: {e}') from e
     with open(a.output, 'wb') as fh:
         fh.write(out)
     print(json.dumps(dict(input_bytes=len(data), output_bytes=len(out),

@@ -219,7 +219,8 @@ class GTMWriter:
         defaults to 'auto', the measured-smallest mode —
         docs/RESULTS.md round 4), 'lc8' = the native lc=8 encoder
         (lzma.exe `-lc8 -eos` parity, extern.pas:224), 'auto' = encode
-        both per keyframe and keep the smaller stream."""
+        both per keyframe and keep the smaller stream, 'best' = also
+        sweep native (lc,lp,pb) configs (~1% smaller, ~3x cost)."""
         self.fps = fps
         self.fast_lzma = fast_lzma
         if lzma_mode not in ('lc3', 'lc8', 'auto', 'best'):
@@ -353,20 +354,11 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
     requirement because the caller asked for that exact framing."""
     if lzma_mode in ('lc8', 'auto', 'best'):
         try:
-            from ..native import lzma_encode_alone
-            # fast: greedy parse at shallow depth; full: the optimal
-            # (price-DP) parse that beats the reference's own lzma.exe
-            # output on its payloads (docs/RESULTS.md round-4 table).
-            # depth 32 for the optimal parse: measured ±0.08% vs depth
-            # 128 on both demo payloads at ~1.7x the throughput (deeper
-            # chains mostly add farther matches the price DP rejects)
-            depth, nice = (16, 32) if fast_lzma else (32, 128)
-            cfgs = _BEST_CFGS if lzma_mode == 'best' else (_NATIVE_CFG,)
-            native = min(
-                (lzma_encode_alone(raw, lc=lc, lp=lp, pb=pb, depth=depth,
-                                   nice_len=nice,
-                                   optimal=not fast_lzma)
-                 for lc, lp, pb in cfgs), key=len)
+            # availability check ONLY (lazy g++ build): a genuine encode
+            # failure below must raise, not masquerade as "no toolchain"
+            # and silently ship larger lc3 bytes
+            from ..native import get_lib, lzma_encode_alone
+            get_lib()
         except Exception:
             if lzma_mode == 'lc8':
                 raise
@@ -378,6 +370,18 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
                     'native LZMA encoder unavailable; '
                     f'lzma_mode={lzma_mode!r} falls back to liblzma lc3')
             return lzma_compress_alone(raw, fast=fast_lzma)
+        # fast: greedy parse at shallow depth; full: the optimal
+        # (price-DP) parse that beats the reference's own lzma.exe
+        # output on its payloads (docs/RESULTS.md round-4 table).
+        # depth 32 for the optimal parse: measured ±0.08% vs depth
+        # 128 on both demo payloads at ~1.7x the throughput (deeper
+        # chains mostly add farther matches the price DP rejects)
+        depth, nice = (16, 32) if fast_lzma else (32, 128)
+        cfgs = _BEST_CFGS if lzma_mode == 'best' else (_NATIVE_CFG,)
+        native = min(
+            (lzma_encode_alone(raw, lc=lc, lp=lp, pb=pb, depth=depth,
+                               nice_len=nice, optimal=not fast_lzma)
+             for lc, lp, pb in cfgs), key=len)
         if lzma_mode == 'lc8':
             return native
         lib = lzma_compress_alone(raw, fast=fast_lzma)
@@ -386,6 +390,63 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
 
 
 _warned_no_native_lzma = False
+
+
+def transcode_gtm(data: bytes, lzma_mode: str,
+                  fast_lzma: bool = False) -> bytes:
+    """Recompress a GTM's keyframe streams with another LZMA mode
+    (commands and pixels untouched — the decoded video is identical).
+    Handles both container forms: headered (GTMv; bitrate header fields
+    recomputed from the new sizes, main.pas:4727-4757 semantics) and
+    legacy headerless (the published demos: bare concatenated
+    LZMA-alone streams). The CLI `transcode` command and the bench
+    tooling both route through here."""
+    from .lzma_codec import iter_lzma_streams
+
+    if data[:4] != b'GTMv':
+        return b''.join(compress_keyframe_streams(
+            list(iter_lzma_streams(data)), fast_lzma=fast_lzma,
+            lzma_mode=lzma_mode))
+
+    hdr = GTMHeader.unpack(data)
+    whole = hdr.whole_header_size or (HEADER_SIZE
+                                      + KFINFO_SIZE * hdr.kf_count)
+    infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
+             for i in range(hdr.kf_count)]
+    raws = list(iter_lzma_streams(data[whole:]))
+    streams = compress_keyframe_streams(raws, fast_lzma=fast_lzma,
+                                        lzma_mode=lzma_mode)
+    if len(streams) != hdr.kf_count:
+        raise ValueError(f'{len(streams)} streams but header declares '
+                         f'{hdr.kf_count} keyframes')
+    # recompute the bitrate header fields from the NEW sizes; per-KF
+    # frame counts derive from consecutive frame_index values, fps from
+    # stream 0's SET_DIMENSIONS frame length
+    fps = 24.0
+    if raws and len(raws[0]) >= 14:
+        w0 = raws[0][0] | (raws[0][1] << 8)
+        if (w0 & ((1 << CMD_BITS) - 1)) == GTMCommand.SET_DIMENSIONS:
+            ns = int.from_bytes(raws[0][6:10], 'little')
+            if ns > 0:
+                fps = 1e9 / ns
+    hdr.kf_max_bytes_per_sec = 0
+    hdr.average_bytes_per_sec = 0
+    for i, (info, s) in enumerate(zip(infos, streams)):
+        info.compressed_size = len(s)
+        nxt = infos[i + 1].frame_index if i + 1 < len(infos) \
+            else hdr.frame_count
+        n_frames = max(nxt - info.frame_index, 1)
+        if info.kf_index > 0 or hdr.kf_count == 1:
+            hdr.kf_max_bytes_per_sec = max(
+                hdr.kf_max_bytes_per_sec,
+                int(round(len(s) * fps / n_frames)))
+        hdr.average_bytes_per_sec += len(s)
+    hdr.average_bytes_per_sec = int(round(
+        hdr.average_bytes_per_sec * fps / max(hdr.frame_count, 1)))
+    # the output header region is written dense (no input padding
+    # preserved), so the declared offset must match what we emit
+    hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * hdr.kf_count
+    return b''.join([hdr.pack()] + [i.pack() for i in infos] + streams)
 
 
 def compress_keyframe_streams(raws: list[bytes], fast_lzma: bool = False,

@@ -122,9 +122,28 @@ def available() -> bool:
         return False
 
 
+_warned_pure_python_lzma = False
+
+
 def lzma_decode_alone(data: bytes) -> tuple[bytes, int]:
-    """Decode one LZMA-alone stream (any lc 0..8). Returns (out, consumed)."""
-    lib = get_lib()
+    """Decode one LZMA-alone stream (any lc 0..8). Returns (out, consumed).
+
+    On hosts without a C++ toolchain this degrades to the pure-Python
+    decoder (bitstream.pylzma1, ~1 MB/s, differentially tested against
+    this fast path incl. consumed counts) so default-`auto` encoded
+    files stay decodable everywhere."""
+    try:
+        lib = get_lib()
+    except Exception:
+        global _warned_pure_python_lzma
+        if not _warned_pure_python_lzma:
+            _warned_pure_python_lzma = True
+            import warnings
+            warnings.warn('native LZMA decoder unavailable (no C++ '
+                          'toolchain); using the pure-Python fallback '
+                          '(~1 MB/s)')
+        from ..bitstream.pylzma1 import decode_alone
+        return decode_alone(data)
     out_len = ctypes.c_size_t()
     consumed = ctypes.c_size_t()
     status = ctypes.c_int()

@@ -57,7 +57,8 @@ def main():
         emit({'phase': f'{clip}_fast', 'wall_s': round(dt, 2),
               'fps': round(len(frames) / dt, 2), 'gtm_bytes': len(blob),
               'ref_gtm_bytes': len(src),
-              'psnr': round(float(10 * np.log10(255.0 ** 2 / mse)), 3),
+              'psnr': round(float(10 * np.log10(255.0 ** 2 / mse)), 3)
+              if mse else 99.0,
               'step_times': {k: round(v, 2)
                              for k, v in enc.state.step_times.items()},
               'mesh_sharded_wall': enc.state.metrics.get(

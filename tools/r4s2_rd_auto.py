@@ -1,8 +1,9 @@
-"""Complete the auto-lzma rate-distortion curve: encode the remaining
-sweep points (qb_tiles 1.0 / 3.0, both demo clips) with the fast
-compressor on the chip, then recompress each stream to `--lzma-mode
-auto` full-effort ON THE HOST (`transcode` semantics: identical
-commands, exact auto bytes — no second chip encode needed).
+"""Measure the auto-lzma rate-distortion curve: encode every sweep
+point (qb_tiles 1.0/2.0/3.0, both demo clips — qb 2.0 re-measures the
+r4s2_chip_batch point so the whole curve comes from one protocol) with
+the fast compressor on the chip, then recompress each stream to
+`--lzma-mode auto` full-effort ON THE HOST (`transcode` semantics:
+identical commands, exact auto bytes — no second chip encode needed).
 
 Appends JSONL to docs/r4_batch_run2.jsonl.
 """
@@ -26,21 +27,8 @@ def emit(rec):
 
 def auto_bytes(blob: bytes) -> int:
     """Exact `transcode --lzma-mode auto` output size for a stream."""
-    from tiler_tpu.bitstream.gtm import (GTMHeader, HEADER_SIZE,
-                                         KFINFO_SIZE,
-                                         compress_keyframe_streams)
-    from tiler_tpu.bitstream.lzma_codec import iter_lzma_streams
-    hdr_len = 0
-    if blob[:4] == b'GTMv':
-        hdr = GTMHeader.unpack(blob)
-        hdr_len = HEADER_SIZE + KFINFO_SIZE * hdr.kf_count
-        body = blob[hdr.whole_header_size:]
-    else:
-        body = blob
-    raws = list(iter_lzma_streams(body))
-    comp = compress_keyframe_streams(raws, fast_lzma=False,
-                                     lzma_mode='auto')
-    return hdr_len + sum(len(c) for c in comp)
+    from tiler_tpu.bitstream.gtm import transcode_gtm
+    return len(transcode_gtm(blob, lzma_mode='auto'))
 
 
 def main():
@@ -71,7 +59,8 @@ def main():
                   'auto_vs_ref_pct': round(
                       100.0 * (nb - len(src)) / len(src), 2),
                   'psnr': round(
-                      float(10 * np.log10(255.0 ** 2 / mse)), 3),
+                      float(10 * np.log10(255.0 ** 2 / mse)), 3)
+                  if mse else 99.0,
                   'encode_s': round(wall, 1),
                   'recompress_s': round(time.perf_counter() - t0, 1)})
 
