@@ -206,6 +206,45 @@ def test_decode_falls_back_without_toolchain(rng, monkeypatch):
     assert any('pure-Python' in str(x.message) for x in w)
 
 
+def test_full_decode_without_toolchain(rng, monkeypatch):
+    """End-to-end decode of an lc8-bearing GTM with the native library
+    completely unavailable: pylzma1 handles the LZMA layer and the
+    Python command interpreter handles the rest — a default-'auto' file
+    is fully usable on a host with no C++ toolchain."""
+    from tiler_tpu.bitstream.gtm import GTMWriter
+    from tiler_tpu.decode import decode_video
+
+    r = np.random.default_rng(1)
+    tiles = r.integers(0, 16, (32, 8, 8)).astype(np.uint8)
+    cells = 12
+
+    def build(mode):
+        wr = GTMWriter(width=32, height=24, fps=24.0, tiles_pal=tiles,
+                       palette_size=16, frame_count=1, kf_count=1,
+                       lzma_mode=mode)
+        wr.add_keyframe(0, 0, 0,
+                        r.integers(0, 256, (256, 16, 3)).astype(np.uint8),
+                        [dict(tile_idx=np.arange(cells) % 32,
+                              pal_idx=np.zeros(cells, np.int64),
+                              hmir=np.zeros(cells, bool),
+                              vmir=np.zeros(cells, bool),
+                              smoothed=np.zeros(cells, bool))])
+        return wr.tobytes()
+
+    blob = build('lc8')  # forces an lc=8 stream liblzma cannot decode
+    want, _ = decode_video(blob)
+
+    import tiler_tpu.native as native
+
+    def no_lib():
+        raise RuntimeError('no C++ toolchain')
+    monkeypatch.setattr(native, 'get_lib', no_lib)
+    monkeypatch.setattr(native, 'available', lambda: False)
+    monkeypatch.setattr(native, '_warned_pure_python_lzma', True)
+    got, _ = decode_video(blob)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_transcode_roundtrip(tmp_path):
     """transcode recompresses streams; the decoded video is identical.
     Covers both container forms: headered (repo sample) and legacy
