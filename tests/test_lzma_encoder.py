@@ -206,6 +206,23 @@ def test_decode_falls_back_without_toolchain(rng, monkeypatch):
     assert any('pure-Python' in str(x.message) for x in w)
 
 
+def test_transcode_rejects_truncated_input(rng):
+    """transcode rewrites the container, so a truncated single-keyframe
+    input (which lenient playback tolerates) must raise instead of being
+    laundered into an apparently-valid output file."""
+    import lzma as pyl
+
+    from tiler_tpu.bitstream.gtm import transcode_gtm
+    payload = bytes(rng.integers(0, 16, 30000).astype(np.uint8))
+    blob = pyl.compress(payload, format=pyl.FORMAT_ALONE,
+                        filters=[{'id': pyl.FILTER_LZMA1, 'preset': 6}])
+    # legacy headerless container, last 40 bytes chopped
+    with pytest.raises(ValueError):
+        transcode_gtm(blob[:-40], lzma_mode='lc3')
+    # the intact stream transcodes fine
+    assert transcode_gtm(blob, lzma_mode='lc3')
+
+
 def test_full_decode_without_toolchain(rng, monkeypatch):
     """End-to-end decode of an lc8-bearing GTM with the native library
     completely unavailable: pylzma1 handles the LZMA layer and the

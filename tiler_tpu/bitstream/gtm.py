@@ -291,22 +291,31 @@ class GTMWriter:
         sizes (every stream must have been compressed — via tobytes or
         flush_streams). Stats follow main.pas:4727-4757."""
         hdr = self.header
-        hdr.kf_max_bytes_per_sec = 0
-        hdr.average_bytes_per_sec = 0
-        for i, info in enumerate(self.kf_infos):
-            n_frames = self._kf_frames[i]
-            # KFMaxBytesPerSec excludes KF 0 unless it is the only one
-            # (main.pas:4741-4742): KF 0 carries the tileset burst.
-            if info.kf_index > 0 or hdr.kf_count == 1:
-                hdr.kf_max_bytes_per_sec = max(
-                    hdr.kf_max_bytes_per_sec,
-                    int(round(info.compressed_size * self.fps / n_frames)))
-            hdr.average_bytes_per_sec += info.compressed_size
-        hdr.average_bytes_per_sec = int(round(
-            hdr.average_bytes_per_sec * self.fps / max(hdr.frame_count, 1)))
         hdr.kf_count = len(self.kf_infos)
+        recompute_bitrate_stats(hdr, self.kf_infos, self._kf_frames,
+                                self.fps)
         hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * len(self.kf_infos)
         return b''.join([hdr.pack()] + [i.pack() for i in self.kf_infos])
+
+
+def recompute_bitrate_stats(hdr: GTMHeader,
+                            infos: list[GTMKeyFrameInfo],
+                            kf_frames, fps: float) -> None:
+    """KFMaxBytesPerSec / AverageBytesPerSec from the recorded
+    compressed sizes (main.pas:4727-4757) — shared by the writer's
+    finalize_container and transcode_gtm so the stats semantics cannot
+    drift. KFMaxBytesPerSec excludes KF 0 unless it is the only one
+    (main.pas:4741-4742): KF 0 carries the tileset burst."""
+    hdr.kf_max_bytes_per_sec = 0
+    hdr.average_bytes_per_sec = 0
+    for info, n_frames in zip(infos, kf_frames):
+        if info.kf_index > 0 or len(infos) == 1:
+            hdr.kf_max_bytes_per_sec = max(
+                hdr.kf_max_bytes_per_sec,
+                int(round(info.compressed_size * fps / n_frames)))
+        hdr.average_bytes_per_sec += info.compressed_size
+    hdr.average_bytes_per_sec = int(round(
+        hdr.average_bytes_per_sec * fps / max(hdr.frame_count, 1)))
 
 
 def build_keyframe_stream(prefix_parts: list[bytes],
@@ -403,17 +412,22 @@ def transcode_gtm(data: bytes, lzma_mode: str,
     tooling both route through here."""
     from .lzma_codec import iter_lzma_streams
 
+    # strict split: transcode REWRITES the container, so a truncated or
+    # trailing-garbage input must error rather than be laundered into an
+    # apparently-valid output (playback paths stay lenient)
     if data[:4] != b'GTMv':
         return b''.join(compress_keyframe_streams(
-            list(iter_lzma_streams(data)), fast_lzma=fast_lzma,
-            lzma_mode=lzma_mode))
+            list(iter_lzma_streams(data, strict=True)),
+            fast_lzma=fast_lzma, lzma_mode=lzma_mode))
 
     hdr = GTMHeader.unpack(data)
     whole = hdr.whole_header_size or (HEADER_SIZE
                                       + KFINFO_SIZE * hdr.kf_count)
     infos = [GTMKeyFrameInfo.unpack(data, HEADER_SIZE + i * KFINFO_SIZE)
              for i in range(hdr.kf_count)]
-    raws = list(iter_lzma_streams(data[whole:]))
+    raws = list(iter_lzma_streams(data[whole:],
+                                  expected_count=hdr.kf_count,
+                                  strict=True))
     streams = compress_keyframe_streams(raws, fast_lzma=fast_lzma,
                                         lzma_mode=lzma_mode)
     if len(streams) != hdr.kf_count:
@@ -429,20 +443,13 @@ def transcode_gtm(data: bytes, lzma_mode: str,
             ns = int.from_bytes(raws[0][6:10], 'little')
             if ns > 0:
                 fps = 1e9 / ns
-    hdr.kf_max_bytes_per_sec = 0
-    hdr.average_bytes_per_sec = 0
+    kf_frames = []
     for i, (info, s) in enumerate(zip(infos, streams)):
         info.compressed_size = len(s)
         nxt = infos[i + 1].frame_index if i + 1 < len(infos) \
             else hdr.frame_count
-        n_frames = max(nxt - info.frame_index, 1)
-        if info.kf_index > 0 or hdr.kf_count == 1:
-            hdr.kf_max_bytes_per_sec = max(
-                hdr.kf_max_bytes_per_sec,
-                int(round(len(s) * fps / n_frames)))
-        hdr.average_bytes_per_sec += len(s)
-    hdr.average_bytes_per_sec = int(round(
-        hdr.average_bytes_per_sec * fps / max(hdr.frame_count, 1)))
+        kf_frames.append(max(nxt - info.frame_index, 1))
+    recompute_bitrate_stats(hdr, infos, kf_frames, fps)
     # the output header region is written dense (no input padding
     # preserved), so the declared offset must match what we emit
     hdr.whole_header_size = HEADER_SIZE + KFINFO_SIZE * hdr.kf_count

@@ -24,7 +24,8 @@ def lzma_compress_alone(data: bytes, fast: bool = False) -> bytes:
     return comp.compress(data) + comp.flush()
 
 
-def iter_lzma_streams(data: bytes, expected_count: int | None = None):
+def iter_lzma_streams(data: bytes, expected_count: int | None = None,
+                      strict: bool = False):
     """Lazily decode a concatenation of LZMA-alone streams, yielding one
     decompressed chunk per stream (= per keyframe) — the incremental
     unpack of the JS player (gtm.player.js:157-170) at keyframe
@@ -37,11 +38,19 @@ def iter_lzma_streams(data: bytes, expected_count: int | None = None):
     turns EVERY short read into an error — without it a corrupt/truncated
     FIRST stream returns whatever decoded, because a headerless container
     has no stream count to check against.
+
+    `strict` raises on ANY truncation/corruption/trailing-garbage, even
+    the single-truncated-stream case playback tolerates — for callers
+    that REWRITE the container (transcode), where lenience would launder
+    a detectably-corrupt input into an apparently-valid output.
     """
     rest = data
     n_done = 0
 
     def short_read(reason: str):
+        if strict:
+            raise ValueError(
+                f'{reason} ({n_done} keyframe stream(s) decoded)')
         if expected_count is not None and n_done < expected_count:
             raise ValueError(
                 f'{reason}: {n_done} of {expected_count} keyframe '
@@ -92,7 +101,15 @@ def iter_lzma_streams(data: bytes, expected_count: int | None = None):
                 short_read('unterminated LZMA stream')
                 return
             rest = rest[consumed:]
-    short_read('truncated GTM body')
+    if strict and rest:
+        raise ValueError(f'{len(rest)} trailing bytes after the last '
+                         'keyframe stream')
+    # a clean end is fine even in strict mode; only a missing-stream
+    # count (vs the header's kf_count) is an error here
+    if expected_count is not None and n_done < expected_count:
+        raise ValueError(
+            f'truncated GTM body: {n_done} of {expected_count} keyframe '
+            'streams decoded')
 
 
 def lzma_decompress_concat(data: bytes,

@@ -161,8 +161,8 @@ def decode_alone(data: bytes, max_out: int = 1 << 30):
         if not rc.bit(is_match, state * 16 + pos_state):
             # literal
             prev = out[-1] if out else 0
-            lit_state = ((len(out) & lp_mask) << lc) + (prev >> (8 - lc)) \
-                if lc else ((len(out) & lp_mask) << lc)
+            # (for lc==0, prev >> 8 is simply 0 in Python — no C shift UB)
+            lit_state = ((len(out) & lp_mask) << lc) + (prev >> (8 - lc))
             base = 0x300 * lit_state
             if state >= 7:
                 if rep0 + 1 > len(out):
