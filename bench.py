@@ -212,6 +212,19 @@ def main():
         real = None
 
     st = enc.state
+    headline = {
+        'metric': f'encode_fps_{W}x{H}_{backend}',
+        'value': round(fps, 3),
+        'unit': 'frames/s',
+        'vs_baseline': round(vs_baseline, 3),
+        'runs_fps': [round(v, 3) for v in all_fps],
+        'psnr': psnr,
+        'load_s': round(st.step_times.get('load', 0.0), 2),
+        'quantize_s': round((st.metrics.get('dither_phases') or {})
+                            .get('quantize', 0.0), 2),
+        'real_wall_s': real.get('wall_s') if real else None,
+        'real_fps': real.get('fps') if real else None,
+    }
     print(json.dumps({
         'metric': f'encode_fps_{W}x{H}_{backend}',
         'value': round(fps, 3),
@@ -233,6 +246,11 @@ def main():
         'ft_q_changed_frac': st.metrics.get('ft_q_changed_frac'),
         'mesh_sharded_wall': st.metrics.get('mesh_sharded_wall'),
     }))
+    # Compact headline repeated LAST: the driver records only the final
+    # ~2000 chars of output, and the full line above can exceed that
+    # (BENCH_r04 lost its own 'value' field this way). This short line is
+    # always inside the captured tail.
+    print(json.dumps(headline))
 
 
 if __name__ == '__main__':
