@@ -288,3 +288,32 @@ def test_cli_transcode_roundtrip(tmp_path):
         np.testing.assert_array_equal(got, want)
         # auto never grows the payload beyond the better single mode
         assert os.path.getsize(out) <= os.path.getsize(src) * 1.01
+
+
+def test_auto_mode_fallback_only_on_missing_toolchain(monkeypatch):
+    """'auto' degrades to liblzma lc3 ONLY when the toolchain is missing
+    (native.NoToolchainError); a genuine build breakage (nonzero compile
+    exit) must surface instead of silently shipping larger lc3 bytes
+    (round-4 advisor finding)."""
+    import warnings
+
+    import tiler_tpu.bitstream.gtm as gtm
+    import tiler_tpu.native as native
+
+    raw = bytes(range(256)) * 64
+
+    def no_toolchain():
+        raise native.NoToolchainError('g++ not found on this host')
+    monkeypatch.setattr(gtm, '_warned_no_native_lzma', False)
+    monkeypatch.setattr(native, 'get_lib', no_toolchain)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        out = gtm.compress_keyframe_stream(raw, lzma_mode='auto')
+    assert out == gtm.lzma_compress_alone(raw, fast=False)
+    assert any('falls back to liblzma' in str(x.message) for x in w)
+
+    def broken_build():
+        raise RuntimeError('g++ exited with status 1')
+    monkeypatch.setattr(native, 'get_lib', broken_build)
+    with pytest.raises(RuntimeError, match='status 1'):
+        gtm.compress_keyframe_stream(raw, lzma_mode='auto')

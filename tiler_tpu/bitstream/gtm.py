@@ -362,13 +362,17 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
     cannot build (no C++ toolchain on this host); 'lc8' stays a hard
     requirement because the caller asked for that exact framing."""
     if lzma_mode in ('lc8', 'auto', 'best'):
+        from ..native import NoToolchainError
         try:
             # availability check ONLY (lazy g++ build): a genuine encode
             # failure below must raise, not masquerade as "no toolchain"
-            # and silently ship larger lc3 bytes
+            # and silently ship larger lc3 bytes. Only the MISSING
+            # toolchain is a graceful-degrade condition — a nonzero
+            # compile exit (broken .cc source) propagates even for
+            # 'auto'/'best'.
             from ..native import get_lib, lzma_encode_alone
             get_lib()
-        except Exception:
+        except NoToolchainError:
             if lzma_mode == 'lc8':
                 raise
             global _warned_no_native_lzma

@@ -234,7 +234,13 @@ def decode_alone(data: bytes, max_out: int = 1 << 30):
                 if rep0 == 0xFFFFFFFF:
                     # end-of-stream marker (trailing normalizes already
                     # ran inside the bit decodes — consumed matches the
-                    # native decoder's count exactly)
+                    # native decoder's count exactly). A stream truncated
+                    # inside the final range-coder bytes whose zero-fill
+                    # still decodes to this marker is NOT a clean end:
+                    # reject it (parity with lzma1.cc, which returns -3
+                    # on the same condition).
+                    if rc.overrun:
+                        raise ValueError('lzma: truncated stream')
                     return bytes(out), rc.pos
         if rep0 + 1 > len(out):
             raise ValueError('lzma: match distance before start')

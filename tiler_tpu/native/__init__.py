@@ -31,13 +31,25 @@ def _needs_build() -> bool:
     return False
 
 
+class NoToolchainError(RuntimeError):
+    """No C++ compiler on this host (g++ not found).
+
+    Distinct from a nonzero compile exit: callers that can degrade
+    gracefully (e.g. lzma_mode='auto' falling back to liblzma) should
+    fall back ONLY on this — a compile error in the .cc sources is a
+    real breakage that must surface, not silently downgrade output."""
+
+
 def _build() -> None:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES
             if os.path.exists(os.path.join(_DIR, s))]
     cmd = ['g++', '-O3', '-march=native', '-fno-math-errno',
            '-shared', '-fPIC', '-std=c++17',
            '-o', _SO_PATH] + srcs
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except FileNotFoundError as e:
+        raise NoToolchainError('g++ not found on this host') from e
 
 
 def get_lib():

@@ -261,7 +261,13 @@ struct LzmaDecoder {
           }
           rep0 = dist;
         }
-        if (rep0 == 0xFFFFFFFFu) break;  // end-of-stream marker
+        // end-of-stream marker; a truncated stream whose zero-fill still
+        // decodes to the marker must NOT report a clean end (parity with
+        // pylzma1's check at its EOS return)
+        if (rep0 == 0xFFFFFFFFu) {
+          if (rc.overrun) return -3;
+          break;
+        }
       }
       len += kMatchMinLen;
       if (rep0 + 1 > out.size()) return -4;

@@ -127,6 +127,48 @@ def nearest_1(queries: np.ndarray, candidates: np.ndarray,
     return _download_parts(parts, empty_shape=(0,))
 
 
+@functools.partial(jax.jit, static_argnames=('k',))
+def _scan_topk_keep(q, cands, k: int):
+    """_scan_topk + the consecutive-equal-error keep mask (UseOne's
+    `if errs[j] = errs[j-1] then continue`, main.pas:3832-3837) computed
+    ON DEVICE: the caller downloads [Q,k] i32 + [Q,k] bool instead of
+    i32 + f32 — the f32 errors were half of stage-1's D2H bytes and the
+    mask is all they fed."""
+    idx, err = _scan_topk(q, cands, k)
+    keep = jnp.concatenate(
+        [jnp.ones((err.shape[0], 1), bool), err[:, 1:] != err[:, :-1]],
+        axis=1)
+    return idx, keep
+
+
+def nearest_k_keepmask(queries: np.ndarray, candidates: np.ndarray, k: int,
+                       q_chunk: int = 8192, c_chunk: int = 8192):
+    """Exact k-NN for candidate marking: (idx [Q,k] i32, keep [Q,k] bool)
+    with keep[j] = err[j] != err[j-1] (keep[0] = True)."""
+    q_all = np.asarray(queries, np.float32)
+    n_q = len(q_all)
+    cands = _device_chunks(candidates, c_chunk)
+    parts = []
+    for qs in range(0, n_q, q_chunk):
+        qe = min(n_q, qs + q_chunk)
+        qp = _pad_pow2(qe - qs)
+        q = jnp.asarray(_pad_rows(q_all[qs:qe], qp))
+        _note('h2d')
+        _note('jit')
+        idx, keep = _scan_topk_keep(q, cands, k)
+        parts.append((idx[:qe - qs], keep[:qe - qs]))
+    if not parts:
+        return (np.empty((0, k), np.int32), np.empty((0, k), bool))
+    if len(parts) == 1:
+        idx, keep = parts[0]
+    else:
+        _note('eager', 2)
+        idx = jnp.concatenate([p[0] for p in parts])
+        keep = jnp.concatenate([p[1] for p in parts])
+    _note('d2h', 2)
+    return np.asarray(idx), np.asarray(keep)
+
+
 def nearest_k(queries: np.ndarray, candidates: np.ndarray, k: int,
               q_chunk: int = 8192, c_chunk: int = 8192):
     """Exact k-NN, ascending by distance: (idx [Q,k] i32, err [Q,k] f32).

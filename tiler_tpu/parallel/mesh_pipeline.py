@@ -47,11 +47,20 @@ from ..ops import features
 
 def mesh_ok(mesh) -> bool:
     """Usable production mesh: >1 device, power-of-two size (row padding
-    is pow2-bucketed, so any pow2 device count divides every batch)."""
+    is pow2-bucketed, so any pow2 device count divides every batch).
+
+    TILER_FORCE_MESH=1 admits a 1-device mesh: the sharded programs
+    (shard_map + the Pallas kernel inside it) then compile and EXECUTE
+    on whatever single chip is present — the only way to exercise the
+    compiled Mosaic-under-shard_map path on real TPU hardware when just
+    one chip is reachable (round-4 verdict item #4)."""
     if mesh is None or not isinstance(mesh, Mesh):
         return False
     n = mesh.devices.size
-    return n > 1 and (n & (n - 1)) == 0
+    if n == 1:
+        import os
+        return os.environ.get('TILER_FORCE_MESH') == '1'
+    return (n & (n - 1)) == 0
 
 
 def replicate(mesh: Mesh, arr):
@@ -182,7 +191,7 @@ def _get_chunk_feats_fn(mesh: Mesh, gamma_value, use_wavelets: bool):
 
     def local(tp_all, pal_all, packed):
         from ..pipeline.frame_tiling import _chunk_feats
-        return _chunk_feats(tp_all, pal_all, packed, gamma_value,
+        return _chunk_feats(tp_all, pal_all, packed, 0, gamma_value,
                             use_wavelets)
 
     fn = jax.jit(jax.shard_map(

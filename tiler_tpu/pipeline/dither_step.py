@@ -85,8 +85,17 @@ def prepare_dither_keyframe(state: EncoderState, k: int,
                     _prepare_fused,
                     static_argnames=('n', 'k', 'gamma_value', 'use_lab',
                                      'use_wavelets'))
+            # gather from THIS keyframe's tile slice of the chunked
+            # upload (local indices): keyframe 0's k-means blocks only
+            # on its own frames' H2D, so the host DL3 quantize it gates
+            # starts while later chunks are still in flight. The dither
+            # tilemap is the identity (load built it; dither is its
+            # first consumer), so every referenced tile is in-range.
+            base = s * state.tilemap_size
+            idx_local = np.maximum(idx - base, 0).astype(np.int32)
             labels_d, cents_d = _prepare_fused_jit(
-                state.device_source_tiles(), jnp.asarray(idx), n,
+                state.device_source_tiles_range(s, e),
+                jnp.asarray(idx_local), n,
                 cfg.palette_count, _dithering_gamma(cfg), True,
                 cfg.use_wavelets)
         labels = np.asarray(labels_d)
@@ -235,10 +244,15 @@ def run_dither(state: EncoderState) -> EncoderState:
     tile_kf = np.repeat(kf_of, state.tilemap_size)  # identity layout
     act = np.flatnonzero(state.tile_active)
     act_kf = tile_kf[act]
-    tiles_dev = state.device_source_tiles()
+    # the full-clip tile tensor is built LAZILY at the first scan batch:
+    # the device runs programs in enqueue order, so enqueuing its concat
+    # here would park keyframe 0's prepare behind the whole-clip H2D —
+    # exactly the serialization the per-keyframe upload staging removes
+    tiles_dev = None
     tiles_rep = None
     if mesh_ok(state.mesh):
         from ..parallel.mesh_pipeline import replicate
+        tiles_dev = state.device_source_tiles()
         tiles_rep = replicate(state.mesh, tiles_dev)  # one ICI broadcast
     n_total = state.n_tiles
     buf = jnp.zeros((n_total, TILE_W, TILE_W), jnp.uint8)
@@ -249,8 +263,15 @@ def run_dither(state: EncoderState) -> EncoderState:
     # assign round trips — the dominant cost at small resolutions
     # through a high-RTT link) once per BATCH instead of once per
     # keyframe. Group ids stay distinct per keyframe, so plans and
-    # selections are unchanged — identical bytes.
+    # selections are unchanged — identical bytes. With only a FEW
+    # keyframes the tradeoff flips: per-keyframe scans (kb=1) start each
+    # scan as soon as ITS quantize future resolves, overlapping the
+    # serialized host DL3 tail instead of waiting for a whole batch
+    # (~1 s at the 3-keyframe 1080p operating point vs ~0.2 s of extra
+    # dispatch overhead).
     kb = max(1, 256 // cfg.palette_count)
+    if n_kf <= 4:
+        kb = 1
     t_quant = t_scan = 0.0
     with cf.ThreadPoolExecutor(1) as qpool:
         t0 = time.perf_counter()
@@ -278,6 +299,8 @@ def run_dither(state: EncoderState) -> EncoderState:
                 from ..utils.dispatch import note
                 note('h2d', 2)
                 note('eager', 2)  # tile gather + buf scatter
+                if tiles_dev is None:
+                    tiles_dev = state.device_source_tiles()
                 idx = jnp.asarray(act[rows].astype(np.int32))
                 sel = tiles_dev[idx]
                 dpi_rows = np.maximum(state.tile_dpi[act[rows]], 0)
@@ -318,4 +341,5 @@ def run_dither(state: EncoderState) -> EncoderState:
     state.tm_pal = state.tile_dpi[flat_tiles].reshape(f, th, tw).copy()
     state.tm_h = ((mir & 1) != 0)[flat_tiles].reshape(f, th, tw)
     state.tm_v = ((mir & 2) != 0)[flat_tiles].reshape(f, th, tw)
+    state.drop_source_tile_ranges()  # free the per-keyframe tile slices
     return state

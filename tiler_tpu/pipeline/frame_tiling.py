@@ -91,16 +91,15 @@ def _mark_queries(state: EncoderState, k: int):
     return uq_tiles, tile_inv, queries
 
 
-def _mark_from_knn(state: EncoderState, k: int, idxs, errs, tile_inv,
+def _mark_from_knn(state: EncoderState, k: int, idxs, keep, tile_inv,
                    n_uq: int, n_ds: int, pal_mask: np.ndarray | None):
     """Pure host set logic turning the 8-NN results into the bool[P, 4A]
-    used-combo indicator (UseOne, main.pas:3802-3853)."""
+    used-combo indicator (UseOne, main.pas:3802-3853). `keep` is the
+    consecutive-equal-error skip mask (main.pas:3832-3837), computed on
+    device by knn.nearest_k_keepmask so the f32 errors never download."""
     cfg = state.config
     s, e = state.keyframes[k]
     cell_pals = state.tm_pal[s:e + 1].ravel()
-    # skip consecutive equal-error results (UseOne, main.pas:3832-3837)
-    keep = np.ones_like(errs, bool)
-    keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
 
     # unique (pal, tile) pairs drive the marking; the whole per-palette
     # loop is pure set logic, so it vectorizes exactly: scatter the kept
@@ -137,9 +136,11 @@ def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
     from ..parallel.mesh_pipeline import mesh_ok, nearest_k_sharded
     if mesh_ok(state.mesh):
         idxs, errs = nearest_k_sharded(state.mesh, queries, ds, k=8)
+        keep = np.ones(errs.shape, bool)
+        keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
     else:
-        idxs, errs = knn.nearest_k(queries, ds, k=8)
-    return _mark_from_knn(state, k, idxs, errs, tile_inv, len(uq_tiles),
+        idxs, keep = knn.nearest_k_keepmask(queries, ds, k=8)
+    return _mark_from_knn(state, k, idxs, keep, tile_inv, len(uq_tiles),
                           len(ds), pal_mask)
 
 
@@ -169,7 +170,7 @@ def candidate_features(state: EncoderState, k: int, used, tile_of, attrs_of,
 
 def candidate_features_multi(state: EncoderState, kfs: list[int],
                              used_list, tile_of, attrs_of,
-                             chunk: int = 262144, tiles_pal_dev=None):
+                             chunk: int | None = None, tiles_pal_dev=None):
     """Stage 2 batched across keyframes: ONE feature pass over every
     keyframe's candidate combos (palettes stacked [len(kfs)*P, S, 3] so a
     combo's palette row is kf_slot*P + pal).
@@ -190,10 +191,13 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
     Returns [per kf in `kfs` order]: (feats [C_k,192] device slice,
     pal_idx [C_k] i32, tile_idx [C_k] i32, attrs [C_k])."""
     import functools
+    import os
     import jax
     import jax.numpy as jnp
     cfg = state.config
     n_p = cfg.palette_count
+    if chunk is None:
+        chunk = int(os.environ.get('TILER_FT_CHUNK', 262144))
 
     from ..parallel.mesh_pipeline import (chunk_feats_sharded, mesh_ok,
                                           replicate)
@@ -210,24 +214,41 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
     global _chunk_feats_jit
     if _chunk_feats_jit is None:
         _chunk_feats_jit = functools.partial(
-            jax.jit, static_argnames=('gamma_value', 'use_wavelets'))(
-                _chunk_feats)
+            jax.jit, static_argnames=('code_mult', 'gamma_value',
+                                      'use_wavelets'))(_chunk_feats)
     chunk_feats = _chunk_feats_jit
 
+    # single-int32 index packing: val = tile * code_mult + code where
+    # code = pal_row*4 + h + 2v — HALF the per-chunk H2D bytes of the
+    # old [2, n] matrix (the index uploads are a measurable share of
+    # the stage-2 wall through the degraded tunnel). Falls back to the
+    # two-row form when the product could overflow int32 (very long
+    # clips before GlobalTiling shrinks the tileset).
+    code_mult = 4 * len(kfs) * n_p
+    packable = int(state.n_tiles) * code_mult < 2 ** 31
+
     def base_feats(b_tiles, b_pals, b_hm, b_vm):
-        # candidate features stay ON DEVICE: only ONE packed int32 index
-        # matrix goes up per chunk ([2, n_pad]: tile idx + pal/mirror
-        # code), nothing comes down (the 1-NN scan consumes them in
-        # place). Mesh path: combo rows shard across devices.
+        # candidate features stay ON DEVICE: only the packed int32 index
+        # vector goes up per chunk, nothing comes down (the 1-NN scan
+        # consumes them in place). Mesh path: combo rows shard across
+        # devices.
         n = len(b_tiles)
         parts = []
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
             n_pad = features.pad_pow2(hi - lo)
-            packed = np.zeros((2, n_pad), np.int32)
-            packed[0, :hi - lo] = b_tiles[lo:hi]
-            packed[1, :hi - lo] = (b_pals[lo:hi].astype(np.int64) * 4
-                                   + b_hm[lo:hi] + 2 * b_vm[lo:hi])
+            code = (b_pals[lo:hi].astype(np.int64) * 4
+                    + b_hm[lo:hi] + 2 * b_vm[lo:hi])
+            if packable and not par:
+                packed = np.zeros(n_pad, np.int32)
+                packed[:hi - lo] = (b_tiles[lo:hi].astype(np.int64)
+                                    * code_mult + code)
+                mult = code_mult
+            else:
+                packed = np.zeros((2, n_pad), np.int32)
+                packed[0, :hi - lo] = b_tiles[lo:hi]
+                packed[1, :hi - lo] = code
+                mult = 0
             note('h2d')
             note('jit')
             if par:
@@ -236,7 +257,7 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
                     _ft_gamma(cfg), cfg.use_wavelets)
             else:
                 res = chunk_feats(
-                    tiles_pal_d, pals_d, jnp.asarray(packed),
+                    tiles_pal_d, pals_d, jnp.asarray(packed), mult,
                     _ft_gamma(cfg), cfg.use_wavelets)
             parts.append(res[:hi - lo])
         if len(parts) > 1:
@@ -255,7 +276,15 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
         n_uq = len(np.unique(pair_ids))
         state.metrics.setdefault('ft_pair_dedup', []).append(
             round(c / max(n_uq, 1), 3))
-        use_perm = pp is not None and n_uq <= 0.9 * c
+        # perm expansion only pays when the pair dedup at least HALVES
+        # the base feature work: chip A/B on the 3-keyframe 1080p clip
+        # at dedup 1.27 measured the direct path 1.5 s faster per encode
+        # (0.672 vs 0.612 f/s) — the expansion's extra dispatches,
+        # un-sort gather and grouped copies cost more than the 21% of
+        # base rows they save. (The old 0.9 gate dated from a
+        # perm-variant-only comparison, not perm-vs-direct.)
+        use_perm = pp is not None and n_uq <= 0.5 * c \
+            and os.environ.get('TILER_FT_NO_PERM') != '1'
         combos.append((slot, pal_idx, dentry, tiles, attrs, use_perm))
 
     feats_by_slot: dict = {}
@@ -363,12 +392,19 @@ def _mirror_expand_one(base, ginv, perm4, sign4, attr: int):
     return base[ginv][:, perm4[attr]] * sign4[attr][None, :]
 
 
-def _chunk_feats(tp_all, pal_all, packed, gamma_value, use_wavelets):
+def _chunk_feats(tp_all, pal_all, packed, code_mult: int, gamma_value,
+                 use_wavelets):
     """Candidate-combo PsyV features via device gathers (module-level so
-    the jit cache persists across keyframes and encodes). packed [2,N]
-    i32: row 0 = tile index, row 1 = palette_row*4 + hmir + 2*vmir."""
-    tidx = packed[0]
-    code = packed[1]
+    the jit cache persists across keyframes and encodes). packed is the
+    single-int32 form [N] (tile*code_mult + code) when code_mult > 0,
+    else [2,N] i32: row 0 = tile index, row 1 = code; code =
+    palette_row*4 + hmir + 2*vmir."""
+    if code_mult > 0:
+        tidx = packed // code_mult
+        code = packed % code_mult
+    else:
+        tidx = packed[0]
+        code = packed[1]
     tp = tp_all[tidx]
     pals = pal_all[code >> 2]
     t = features.mirror_tiles(tp, (code & 1).astype(bool),
@@ -546,8 +582,11 @@ def _queue_assign(state: EncoderState, k: int, feats, kf_plan, dev_parts,
     elif use_pallas:
         # queued per-chunk dispatches at full 2048x4096 blocks (see
         # _assign_pallas_factory for why not one scan dispatch); the
-        # chunks sync together with everything else at end of step
-        qchunk = min(16384, qp)
+        # chunks sync together with everything else at end of step.
+        # 16k is the measured sweet spot: the queued dispatches overlap,
+        # so the schedule is kernel-bound, and 64k chunks trip the same
+        # Mosaic 19.3M scoped-VMEM stack allocation as the scan form
+        qchunk = min(int(os.environ.get('TILER_FT_QCHUNK', 16384)), qp)
         rows_dev = jnp.asarray(rows).reshape(-1, qchunk)
         note('jit', rows_dev.shape[0] - 1)  # one noted by the caller
         parts = [
@@ -606,12 +645,16 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     if par:
         idxs_all, errs_all = nearest_k_sharded(state.mesh, all_q, ds,
                                                k=8, q_chunk=16384)
+        keep_all = np.ones(errs_all.shape, bool)
+        keep_all[:, 1:] = errs_all[:, 1:] != errs_all[:, :-1]
+        del errs_all
     else:
         # 16384-query chunks over the 64-dim dataset: [16k, 8k] f32
         # distance tiles (512 MB, the stage-3 scan's bound) and half the
-        # dispatches of the 8192 default
-        idxs_all, errs_all = knn.nearest_k(all_q, ds, k=8,
-                                           q_chunk=16384)
+        # dispatches of the 8192 default; the keep mask replaces the f32
+        # errors on the wire (device-side consecutive-equal skip)
+        idxs_all, keep_all = knn.nearest_k_keepmask(all_q, ds, k=8,
+                                                    q_chunk=16384)
     used_list = []
     off = 0
     for k in range(n_kf):
@@ -620,10 +663,10 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         pal_mask = palette_similarity_mask(state, k) \
             if cfg.ft_quality == FTQuality.MEDIUM else None
         used_list.append(_mark_from_knn(
-            state, k, idxs_all[off:off + n_uq], errs_all[off:off + n_uq],
+            state, k, idxs_all[off:off + n_uq], keep_all[off:off + n_uq],
             tile_inv, n_uq, len(ds), pal_mask))
         off += n_uq
-    del mark_q, all_q, idxs_all, errs_all
+    del mark_q, all_q, idxs_all, keep_all
     phases['mark'] = round(time.perf_counter() - t0, 3)
 
     # ---- stages 2+3, batched across keyframes in HBM-bounded groups:

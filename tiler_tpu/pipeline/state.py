@@ -33,6 +33,7 @@ from ..config import EncoderConfig
 from ..constants import TILE_W
 
 _split_tiles_jit = None
+_slice_split_jit = None
 
 
 @dataclasses.dataclass
@@ -97,16 +98,92 @@ class EncoderState:
         return self._dev_cache['arr']
 
     def device_frames(self):
-        """frames_rgb resident on device, uploaded once per identity."""
+        """frames_rgb resident on device, uploaded once per identity.
+
+        The upload is CHUNKED (~12 MB pieces concatenated on device) and
+        fully async: measured through the tunnel's degraded post-D2H
+        transfer mode, 8 pipelined chunks move ~1.5x faster than one
+        95 MB transfer, and nothing blocks until a consumer reads the
+        result (run_load starts the upload; the dither feature pass is
+        the first consumer)."""
+        parts, per = self._frame_parts()
+        cache = self._frames_dev_cache
+        if 'arr' not in cache:
+            import jax.numpy as jnp
+
+            if len(parts) > 1:
+                from ..utils.dispatch import note
+                note('eager')
+                cache['arr'] = jnp.concatenate(parts)
+            else:
+                cache['arr'] = parts[0]
+        return cache['arr']
+
+    def _frame_parts(self):
+        """The chunked async frame upload: per-~12MB device chunks plus
+        the frames-per-chunk stride. Starts the upload on first call."""
         key = ('frames_rgb', id(self.frames_rgb))
         if self._frames_dev_cache.get('key') != key:
             import jax.numpy as jnp
 
             from ..utils.dispatch import note
             note('h2d')
-            self._frames_dev_cache = {'key': key,
-                                      'arr': jnp.asarray(self.frames_rgb)}
-        return self._frames_dev_cache['arr']
+            fr = self.frames_rgb
+            per = max(1, 12_000_000 // max(fr[0].nbytes, 1))
+            parts = [jnp.asarray(fr[i:i + per])
+                     for i in range(0, len(fr), per)]
+            self._frames_dev_cache = {'key': key, 'parts': parts,
+                                      'per': per}
+        c = self._frames_dev_cache
+        return c['parts'], c['per']
+
+    def device_source_tiles_range(self, s: int, e: int):
+        """[ (e-s+1)*TH*TW, 8, 8, 3] u8 source tiles of frames [s..e]
+        (inclusive), built from only the upload chunks covering that
+        range: a consumer (the per-keyframe dither prepare) blocks only
+        on ITS keyframe's slice of the async H2D, so keyframe 0's
+        k-means — and the host DL3 quantize it gates — start while the
+        rest of the clip is still in flight."""
+        key = (id(self.frames_rgb), s, e)
+        cached = self._src_tiles_cache.get(key)
+        if cached is not None:
+            return cached
+        if s == 0 and e == self.n_frames - 1:
+            return self.device_source_tiles()
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.dispatch import note
+        parts, per = self._frame_parts()
+        lo, hi = s // per, e // per
+        note('jit')
+        global _slice_split_jit
+        if _slice_split_jit is None:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=('off', 'n_f'))
+            def slice_split(fr, off: int, n_f: int):
+                x = fr[off:off + n_f]
+                f, hh, ww, _ = x.shape
+                th, tw = hh // TILE_W, ww // TILE_W
+                x = x.reshape(f, th, TILE_W, tw, TILE_W, 3)
+                x = x.transpose(0, 1, 3, 2, 4, 5)
+                return x.reshape(f * th * tw, TILE_W, TILE_W, 3)
+            _slice_split_jit = slice_split
+        if lo == hi:
+            src = parts[lo]
+        else:
+            note('eager')
+            src = jnp.concatenate(parts[lo:hi + 1])
+        arr = _slice_split_jit(src, s - lo * per, e - s + 1)
+        self._src_tiles_cache[key] = arr
+        return arr
+
+    def drop_source_tile_ranges(self) -> None:
+        """Free the per-keyframe tile tensors (keep the full-clip one)."""
+        full = {k: v for k, v in self._src_tiles_cache.items()
+                if isinstance(k, tuple) and k and k[0] == 'src_tiles'}
+        self._src_tiles_cache = full
 
     def device_source_tiles(self):
         """[F*TH*TW, 8, 8, 3] u8 SOURCE tiles (identity frame-major cell

@@ -63,7 +63,9 @@ class OnlineKeyframeDetector:
             if len(frames) == 0:
                 return []
         stack = np.concatenate([self._prev[None], frames])
-        corr = np.asarray(stats.interframe_correlations(stack))
+        # host correlations (pair-independent => chunk-invariant), same
+        # implementation as the batch detect_keyframes
+        corr = stats.interframe_correlations_host(stack)
         for j in range(len(frames)):
             i = self._i
             v = float(corr[j])
