@@ -288,3 +288,55 @@ def test_single_device_pallas_interpret_byte_identical(monkeypatch):
     got = Encoder(cfg).run_all(frames, fast_lzma=True)
     assert got == want, \
         'pallas whole-keyframe assign differs from the scan path'
+
+
+@pytest.mark.parametrize('n_dev', [1, 2, 8])
+def test_sharded_unique_matches_host(rng, n_dev):
+    """The round-5 distributed MakeUnique (hash-partitioned all_to_all +
+    per-shard radix dedup) must produce the CANONICAL winner map — equal
+    to the host np.unique dedup — at every device count. Tiles include
+    forced duplicates, mirror-baked lookalikes, an all-0xFF row (which
+    shares bytes with the sentinel padding pattern), and zeros."""
+    import jax.numpy as jnp
+
+    from tiler_tpu.pipeline.unique import compute_unique_fwd
+
+    n = 700
+    tiles = rng.integers(0, 16, (n, 8, 8)).astype(np.uint8)
+    tiles[50] = tiles[10]
+    tiles[51] = tiles[10]
+    tiles[600] = tiles[599]
+    tiles[42] = 0xFF
+    tiles[43] = 0xFF
+    tiles[44] = 0
+    active = np.ones(n, bool)
+    active[::13] = False  # inactive rows must not join any group
+    use = rng.integers(1, 5, n).astype(np.int64)
+
+    fwd_want, use_want, act_want, _ = compute_unique_fwd(
+        tiles, active, use)
+
+    mesh = pmesh.make_mesh(n_dev)
+    act = np.flatnonzero(active)
+    sidx, winner = sharded_ops.sharded_unique(
+        mesh, jnp.asarray(tiles), act, n)
+    valid = sidx < n
+    fwd_got = np.arange(n)
+    fwd_got[sidx[valid]] = winner[valid]
+    np.testing.assert_array_equal(fwd_got, fwd_want)
+
+
+def test_mesh_unique_and_sigs_in_full_encode(rng, mesh8):
+    """Full mesh encode exercising the round-5 sharded MakeUnique +
+    GT signature build: still byte-identical to the 1-device encode
+    (the dedup winners are canonical; the signatures are exact ints)."""
+    from __graft_entry__ import _dryrun_clip
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+
+    frames = _dryrun_clip()
+    cfg = EncoderConfig(palette_count=8, tile_palette_size=16,
+                        max_tiles=120)
+    want = Encoder(cfg).run_all(frames, fast_lzma=True)
+    got = Encoder(cfg, mesh=mesh8).run_all(frames, fast_lzma=True)
+    assert got == want

@@ -34,6 +34,12 @@ Sharded here:
   smooth          (cell axis: fused features + frame-chain scan)
   KModes solves   (global_tiling via sharded_ops.sharded_kmodes when
                    config.mesh_kmodes, bit-identical at 1/2/8 devices)
+  MakeUnique      (round 5: hash-partitioned exact dedup, one
+                   all_to_all + per-shard radix dedup —
+                   sharded_ops.sharded_unique; canonical winners keep
+                   streams byte-identical)
+  GT signatures   (round 5: row-parallel signature build,
+                   signatures_sharded below)
 """
 from __future__ import annotations
 
@@ -475,3 +481,47 @@ def nearest_k_sharded(mesh: Mesh, queries: np.ndarray, candidates,
         idx, err = fn(q, cands)
         parts.append((idx[:qe - qs], err[:qe - qs]))
     return _download_parts(parts, empty_shape=(0, k))
+
+
+# -- GlobalTiling signature build (row-parallel) --------------------------
+
+_sigs_cache: dict = {}
+
+
+def signatures_sharded(mesh: Mesh, tiles_pal_dev, act_p: np.ndarray,
+                       palette_size: int):
+    """global_tiling's per-tile [80]-byte KModes signature build with the
+    active-row axis sharded across the mesh (the tiles tensor is
+    replicated). Pure integer math — per-row values are identical to the
+    single-device kernel, so everything downstream (and the stream) is
+    unchanged. Returns (sigs [A,80] u8 sharded, sums [A] i32 host-bound
+    device array), matching _signatures_device_jit's contract."""
+    key = (mesh, palette_size)
+    fn = _sigs_cache.get(key)
+    if fn is None:
+        _evict_other_meshes(_sigs_cache, mesh)
+
+        def local(tiles_rep, act_loc):
+            from ..constants import KMODES_ZONE_COUNT
+            flat = tiles_rep[act_loc].reshape(act_loc.shape[0], 64) \
+                .astype(jnp.int32)
+            zone_of = flat * KMODES_ZONE_COUNT // palette_size
+            acc = jnp.sum(
+                (zone_of[:, :, None] ==
+                 jnp.arange(KMODES_ZONE_COUNT)[None, None, :]
+                 ).astype(jnp.int32), axis=1)
+            thres = palette_size // KMODES_ZONE_COUNT
+            zones = (acc > thres).astype(jnp.uint8)
+            sigs = jnp.concatenate(
+                [flat.astype(jnp.uint8), zones], axis=1)
+            return sigs, jnp.sum(sigs.astype(jnp.int32), axis=1)
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(mesh.axis_names)),
+            out_specs=(P(mesh.axis_names), P(mesh.axis_names))))
+        _sigs_cache[key] = fn
+
+    act_d = jax.device_put(
+        act_p, NamedSharding(mesh, P(mesh.axis_names)))
+    tiles_rep = replicate(mesh, tiles_pal_dev)
+    return fn(tiles_rep, act_d)

@@ -352,3 +352,153 @@ def sharded_nearest_1(mesh: Mesh, queries: np.ndarray,
         check_vma=False))
     idx, err = fn(q, c)
     return np.asarray(idx)[:n], np.asarray(err)[:n]
+
+
+# -- distributed exact tile dedup (MakeUnique across the mesh) ------------
+
+_unique_count_cache: dict = {}
+_unique_dedup_cache: dict = {}
+
+
+def _hash_words(words):
+    """Cheap 32-bit mix of the [L,16] u32 row words (Knuth multiplicative
+    fold + final avalanche). Only bucket BALANCE depends on quality; the
+    dedup is exact regardless — byte-equal rows always hash equal."""
+    h = words[:, 0]
+    for i in range(1, 16):
+        h = (h * jnp.uint32(2654435761)) ^ words[:, i]
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(2246822519)
+    return h ^ (h >> 13)
+
+
+def _rows_to_words(tiles_u8, act_loc, n_tiles: int):
+    """Gather [l] active indices -> ([l,16] u32 big-endian words,
+    [l] bool sentinel mask). Sentinel rows (index == n_tiles, the
+    padding) get all-0xFFFFFFFF words so they form their own group
+    (or join a real all-0xFF group, where the min-index winner is the
+    real row — the host filters sentinel pairs out either way)."""
+    rows = tiles_u8[act_loc].reshape(act_loc.shape[0], 16, 4)
+    w = rows.astype(jnp.uint32)
+    words = (w[..., 0] << 24) | (w[..., 1] << 16) | \
+            (w[..., 2] << 8) | w[..., 3]
+    sent = act_loc >= n_tiles
+    return jnp.where(sent[:, None], jnp.uint32(0xFFFFFFFF), words), sent
+
+
+def _get_unique_count_fn(flat_mesh: Mesh, n_tiles: int):
+    key = (flat_mesh, n_tiles)
+    fn = _unique_count_cache.get(key)
+    if fn is not None:
+        return fn
+    _unique_count_cache.clear()
+    d = flat_mesh.devices.size
+
+    def local(tiles_rep, act_loc):
+        words, _ = _rows_to_words(tiles_rep, act_loc, n_tiles)
+        dst = _hash_words(words) & jnp.uint32(d - 1)
+        return jnp.bincount(dst.astype(jnp.int32), length=d)[None, :]
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=flat_mesh, in_specs=(P(), P('dedup')),
+        out_specs=P('dedup')))
+    _unique_count_cache[key] = fn
+    return fn
+
+
+def _get_unique_dedup_fn(flat_mesh: Mesh, n_tiles: int, cap: int):
+    key = (flat_mesh, n_tiles, cap)
+    fn = _unique_dedup_cache.get(key)
+    if fn is not None:
+        return fn
+    _unique_dedup_cache.clear()
+    d = flat_mesh.devices.size
+
+    def local(tiles_rep, act_loc):
+        l = act_loc.shape[0]
+        words, _ = _rows_to_words(tiles_rep, act_loc, n_tiles)
+        dst = (_hash_words(words) & jnp.uint32(d - 1)).astype(jnp.int32)
+
+        # pack rows into the [d, cap] send buffer: stable-sort by dst,
+        # slot = rank within its dst run
+        order_dst, perm = jax.lax.sort(
+            (dst, jnp.arange(l, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+        counts = jnp.bincount(dst, length=d)
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]
+             .astype(jnp.int32)])
+        slot = jnp.arange(l, dtype=jnp.int32) - starts[order_dst]
+        send_w = jnp.full((d, cap, 16), jnp.uint32(0xFFFFFFFF))
+        send_i = jnp.full((d, cap), jnp.int32(n_tiles))
+        send_w = send_w.at[order_dst, slot].set(jnp.take(words, perm,
+                                                         axis=0))
+        send_i = send_i.at[order_dst, slot].set(jnp.take(act_loc, perm))
+
+        # the shuffle: every byte-equal row lands on the shard its hash
+        # owns, so the local dedup below is globally exact
+        rw = jax.lax.all_to_all(send_w, 'dedup', split_axis=0,
+                                concat_axis=0).reshape(d * cap, 16)
+        ri = jax.lax.all_to_all(send_i, 'dedup', split_axis=0,
+                                concat_axis=0).reshape(d * cap)
+
+        # local dedup (same 16-pass LSD radix as the single-device
+        # kernel): group equal rows, winner = min global tile index
+        r = d * cap
+        perm2 = jnp.arange(r, dtype=jnp.int32)
+        for i in reversed(range(16)):
+            _, perm2 = jax.lax.sort(
+                (jnp.take(rw[:, i], perm2), perm2), num_keys=1,
+                is_stable=True)
+        sw = jnp.take(rw, perm2, axis=0)
+        si = jnp.take(ri, perm2)
+        new = jnp.concatenate(
+            [jnp.ones(1, bool), jnp.any(sw[1:] != sw[:-1], axis=1)])
+        gid = jnp.cumsum(new.astype(jnp.int32)) - 1
+        winner_of_group = jax.ops.segment_min(si, gid, num_segments=r)
+        return si[None], winner_of_group[gid][None]
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=flat_mesh, in_specs=(P(), P('dedup')),
+        out_specs=P('dedup')))
+    _unique_dedup_cache[key] = fn
+    return fn
+
+
+def sharded_unique(mesh: Mesh, tiles_pal_dev, act: np.ndarray,
+                   n_tiles: int):
+    """Exact distributed MakeUnique over the mesh: rows hash-partition
+    across devices (one all_to_all), each shard dedups its partition
+    with the same radix kernel as the single-device path
+    (pipeline.unique._unique_fwd_dev_jit), so per-shard work is
+    ~A/D log A/D instead of A log A — the reference's tile-chunk
+    MakeUnique fan-out (main.pas:933, SURVEY P4) as a real multi-chip
+    program.
+
+    Returns host (sidx, winner) pairs over the padded rows; entries with
+    sidx >= n_tiles are padding. CANONICAL output: winner = min tile
+    index of each byte-equal group, independent of the partitioning —
+    streams stay byte-identical to the single-device encode by
+    construction (asserted at 1/2/8 devices by test)."""
+    devices = mesh.devices.reshape(-1)
+    d = devices.size
+    flat_mesh = Mesh(devices, ('dedup',))
+    a_pad = 1 << max(8, (int(len(act)) - 1).bit_length())
+    a_pad = _pad_to(a_pad, d)
+    act_p = np.full(a_pad, n_tiles, np.int32)
+    act_p[:len(act)] = act
+
+    tiles_rep = jax.device_put(
+        tiles_pal_dev, NamedSharding(flat_mesh, P(None, None, None)))
+    act_d = jax.device_put(act_p, NamedSharding(flat_mesh, P('dedup')))
+
+    counts = np.asarray(_get_unique_count_fn(flat_mesh, n_tiles)(
+        tiles_rep, act_d))                       # [d, d] per-src counts
+    per_dst = counts.sum(axis=0)                  # rows arriving per dst
+    # per-(src,dst) capacity bucket (pow2): static shape for the
+    # all_to_all; a handful of compiles per encode at most
+    cap = 1 << max(4, int(counts.max() - 1).bit_length())
+    sidx, winner = _get_unique_dedup_fn(flat_mesh, n_tiles, cap)(
+        tiles_rep, act_d)
+    del per_dst
+    return np.asarray(sidx).reshape(-1), np.asarray(winner).reshape(-1)

@@ -154,7 +154,14 @@ class Encoder:
         fp = m.get('ft_phases') or {}
         sharded = (dp.get('prepare_kmeans', 0.0) + dp.get('dither', 0.0)
                    + fp.get('mark', 0.0) + fp.get('cand_feats', 0.0)
-                   + fp.get('assign', 0.0) + st.get('smooth', 0.0))
+                   + fp.get('assign', 0.0) + st.get('smooth', 0.0)
+                   # round 5: MakeUnique (hash-partitioned all_to_all
+                   # dedup, sharded_ops.sharded_unique — both the step
+                   # and GlobalTiling's gt_unique rerun) and the GT
+                   # signature build (signatures_sharded)
+                   + st.get('make_unique', 0.0)
+                   + gp.get('gt_unique', 0.0)
+                   + gp.get('sigs_bins', 0.0))
         device_wall = (st.get('dither', 0.0) - dp.get('quantize', 0.0)
                        + st.get('make_unique', 0.0)
                        + st.get('global_tiling', 0.0)

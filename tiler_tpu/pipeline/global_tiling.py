@@ -156,13 +156,22 @@ def compute_global_tiling_fwd_device(state: EncoderState, cfg,
     a_pad = 1 << max(8, (act.size - 1).bit_length())
     act_p = np.full(a_pad, n, np.int32)  # sentinel: clamps to last row
     act_p[:act.size] = act
+    from ..parallel.mesh_pipeline import mesh_ok
     from ..utils.dispatch import note
     note('h2d')
     note('jit')
     note('d2h')
-    sigs_dev, sums_dev = _signatures_device_jit()(
-        state.device_tiles_pal(), jnp.asarray(act_p),
-        cfg.tile_palette_size)
+    if mesh_ok(state.mesh):
+        # row-parallel signature build sharded across the mesh (pure
+        # integer math — identical values, so streams are unchanged)
+        from ..parallel.mesh_pipeline import signatures_sharded
+        sigs_dev, sums_dev = signatures_sharded(
+            state.mesh, state.device_tiles_pal(), act_p,
+            cfg.tile_palette_size)
+    else:
+        sigs_dev, sums_dev = _signatures_device_jit()(
+            state.device_tiles_pal(), jnp.asarray(act_p),
+            cfg.tile_palette_size)
     sums = np.asarray(sums_dev)[:act.size].astype(np.int64)
     dpi = state.tile_dpi[act]
 

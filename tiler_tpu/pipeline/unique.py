@@ -92,32 +92,53 @@ def compute_unique_fwd(tiles_pal: np.ndarray, tile_active: np.ndarray,
 
 def compute_unique_fwd_device(state: EncoderState):
     """compute_unique_fwd against the device-resident tiles: the [A,64]
-    rows never leave the chip; only the (tile, winner) pairs come down."""
+    rows never leave the chip; only the (tile, winner) pairs come down.
+
+    Under a production mesh the dedup runs DISTRIBUTED: rows
+    hash-partition across the devices (one all_to_all) and each shard
+    radix-dedups its partition (parallel.sharded_ops.sharded_unique —
+    the reference's chunked MakeUnique fan-out, main.pas:933, as a
+    multi-chip program). The winner map is canonical (min tile index
+    per byte-equal group), so the stream is byte-identical either way."""
     import jax.numpy as jnp
+
+    from ..parallel.mesh_pipeline import mesh_ok
     n = state.n_tiles
     fwd = np.arange(n)
     act = np.flatnonzero(state.tile_active)
     if act.size == 0:
         return fwd, state.tile_use.copy(), state.tile_active.copy(), act
-    # pow2-pad with sentinel index n: the gather clamps to the last row
-    # (duplicating its bytes — harmless, min-index winner still real) and
-    # the host scatter filters the sentinels out. Bounded compile count.
-    a_pad = 1 << max(8, (act.size - 1).bit_length())
-    act_p = np.full(a_pad, n, np.int32)
-    act_p[:act.size] = act
     import time
 
     from ..utils.dispatch import note
-    note('h2d')
-    note('jit')
-    note('d2h', 2)
-    t0 = time.perf_counter()
-    sidx, winner = _unique_fwd_dev_jit()(
-        state.device_tiles_pal(), jnp.asarray(act_p))
-    t_queue = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sidx = np.asarray(sidx)
-    winner = np.asarray(winner)
+    if mesh_ok(state.mesh):
+        from ..parallel.sharded_ops import sharded_unique
+        note('h2d', 2)
+        note('jit', 2)
+        note('d2h', 3)
+        t0 = time.perf_counter()
+        sidx, winner = sharded_unique(
+            state.mesh, state.device_tiles_pal(), act, n)
+        t_queue, a_pad = time.perf_counter() - t0, len(sidx)
+        t0 = time.perf_counter()
+    else:
+        # pow2-pad with sentinel index n: the gather clamps to the last
+        # row (duplicating its bytes — harmless, min-index winner still
+        # real) and the host scatter filters the sentinels out. Bounded
+        # compile count.
+        a_pad = 1 << max(8, (act.size - 1).bit_length())
+        act_p = np.full(a_pad, n, np.int32)
+        act_p[:act.size] = act
+        note('h2d')
+        note('jit')
+        note('d2h', 2)
+        t0 = time.perf_counter()
+        sidx, winner = _unique_fwd_dev_jit()(
+            state.device_tiles_pal(), jnp.asarray(act_p))
+        t_queue = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sidx = np.asarray(sidx)
+        winner = np.asarray(winner)
     # queue vs sync split: through the tunnel the D2H of the (tile,
     # winner) pairs can dominate this step on degraded draws
     state.metrics['mu_phases'] = {
