@@ -106,11 +106,11 @@ class EncoderState:
         95 MB transfer, and nothing blocks until a consumer reads the
         result (run_load starts the upload; the dither feature pass is
         the first consumer)."""
-        parts, per = self._frame_parts()
-        cache = self._frames_dev_cache
+        cache, per = self._frame_parts()
         if 'arr' not in cache:
             import jax.numpy as jnp
 
+            parts = self._resolve_parts(cache, 0, len(cache['futs']) - 1)
             if len(parts) > 1:
                 from ..utils.dispatch import note
                 note('eager')
@@ -121,21 +121,45 @@ class EncoderState:
 
     def _frame_parts(self):
         """The chunked async frame upload: per-~12MB device chunks plus
-        the frames-per-chunk stride. Starts the upload on first call."""
+        the frames-per-chunk stride. Starts the upload on first call.
+
+        Chunk SUBMISSION runs on a background thread: through the
+        degraded tunnel, jnp.asarray itself blocks once the transfer
+        queue backs up, which would serialize load's host work (shot
+        detection, tile split) behind the upload. Consumers resolve the
+        futures they need — the per-keyframe dither prepare touches only
+        its own keyframe's chunks."""
         key = ('frames_rgb', id(self.frames_rgb))
         if self._frames_dev_cache.get('key') != key:
+            import concurrent.futures as cf
+
             import jax.numpy as jnp
 
             from ..utils.dispatch import note
             note('h2d')
             fr = self.frames_rgb
             per = max(1, 12_000_000 // max(fr[0].nbytes, 1))
-            parts = [jnp.asarray(fr[i:i + per])
-                     for i in range(0, len(fr), per)]
-            self._frames_dev_cache = {'key': key, 'parts': parts,
+            pool = cf.ThreadPoolExecutor(1)
+            futs = [pool.submit(jnp.asarray, fr[i:i + per])
+                    for i in range(0, len(fr), per)]
+            pool.shutdown(wait=False)
+            self._frames_dev_cache = {'key': key, 'futs': futs,
+                                      'parts': [None] * len(futs),
                                       'per': per}
         c = self._frames_dev_cache
-        return c['parts'], c['per']
+        for i, f in enumerate(c['futs']):
+            if c['parts'][i] is None and f.done():
+                c['parts'][i] = f.result()
+        return c, c['per']
+
+    @staticmethod
+    def _resolve_parts(cache, lo: int, hi: int):
+        """Device arrays for chunks [lo, hi] (inclusive), waiting on
+        their submission futures only."""
+        for i in range(lo, hi + 1):
+            if cache['parts'][i] is None:
+                cache['parts'][i] = cache['futs'][i].result()
+        return cache['parts'][lo:hi + 1]
 
     def device_source_tiles_range(self, s: int, e: int):
         """[ (e-s+1)*TH*TW, 8, 8, 3] u8 source tiles of frames [s..e]
@@ -154,8 +178,9 @@ class EncoderState:
         import jax.numpy as jnp
 
         from ..utils.dispatch import note
-        parts, per = self._frame_parts()
+        cache, per = self._frame_parts()
         lo, hi = s // per, e // per
+        parts = self._resolve_parts(cache, lo, hi)  # chunks lo..hi
         note('jit')
         global _slice_split_jit
         if _slice_split_jit is None:
@@ -171,10 +196,10 @@ class EncoderState:
                 return x.reshape(f * th * tw, TILE_W, TILE_W, 3)
             _slice_split_jit = slice_split
         if lo == hi:
-            src = parts[lo]
+            src = parts[0]
         else:
             note('eager')
-            src = jnp.concatenate(parts[lo:hi + 1])
+            src = jnp.concatenate(parts)
         arr = _slice_split_jit(src, s - lo * per, e - s + 1)
         self._src_tiles_cache[key] = arr
         return arr
