@@ -141,3 +141,18 @@ def test_mirror_tiles():
     v = features.mirror_tiles(np.asarray(t), np.array([False]),
                               np.array([True]))
     np.testing.assert_array_equal(np.asarray(v)[0], t[0][::-1, :])
+
+
+def test_interframe_correlation_host_matches_device(rng):
+    """The host (numpy f64) correlations that drive shot detection match
+    the device kernel within f32 tolerance, and are chunk-invariant
+    (each pair computed independently — the streaming detector relies
+    on this)."""
+    frames = rng.integers(0, 256, (7, 24, 32, 3)).astype(np.uint8)
+    host = stats.interframe_correlations_host(frames)
+    dev = np.asarray(stats.interframe_correlations(frames))
+    np.testing.assert_allclose(host, dev, atol=1e-5)
+    # chunk-invariance: feeding overlapping chunks reproduces the pairs
+    a = stats.interframe_correlations_host(frames[:4])
+    b = stats.interframe_correlations_host(frames[3:])
+    np.testing.assert_array_equal(np.concatenate([a, b]), host)
