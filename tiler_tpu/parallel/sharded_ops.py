@@ -494,11 +494,9 @@ def sharded_unique(mesh: Mesh, tiles_pal_dev, act: np.ndarray,
 
     counts = np.asarray(_get_unique_count_fn(flat_mesh, n_tiles)(
         tiles_rep, act_d))                       # [d, d] per-src counts
-    per_dst = counts.sum(axis=0)                  # rows arriving per dst
     # per-(src,dst) capacity bucket (pow2): static shape for the
     # all_to_all; a handful of compiles per encode at most
     cap = 1 << max(4, int(counts.max() - 1).bit_length())
     sidx, winner = _get_unique_dedup_fn(flat_mesh, n_tiles, cap)(
         tiles_rep, act_d)
-    del per_dst
     return np.asarray(sidx).reshape(-1), np.asarray(winner).reshape(-1)
