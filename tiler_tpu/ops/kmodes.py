@@ -501,15 +501,34 @@ def kmodes_batch_gather(sigs_dev, bins_sel: list[np.ndarray],
                 k_pad, n_modalities, max_iters)(
                     sigs_dev, jnp.asarray(idxmat), jnp.asarray(meta))
             pending.append((lanes, labels, cents, winner, iters, costs))
-    for lanes, labels, cents, winner, iters, costs in pending:
-        from ..utils.dispatch import note
-        note('d2h', 4 if need_cents else 3)
-        labels = np.asarray(labels)
-        cents_np = np.asarray(cents) if need_cents else None
-        winner = np.asarray(winner)
-        costs_np = np.asarray(costs)
+    # batched downloads: ONE int16 transfer (labels, the dominant bytes)
+    # and ONE int32 transfer (winner + iters + costs) across ALL buckets
+    # — the per-bucket np.asarray calls each paid a tunnel round trip
+    # (~12-18 D2H per GlobalTiling step before this)
+    from ..utils.dispatch import note
+    note('eager', 2)
+    note('d2h', 2 + (len(pending) if need_cents else 0))
+    flat16 = np.asarray(jnp.concatenate(
+        [p[1].reshape(-1) for p in pending]))
+    flat32 = np.asarray(jnp.concatenate(
+        [jnp.concatenate([p[3].reshape(-1).astype(jnp.int32),
+                          p[4].reshape(-1).astype(jnp.int32),
+                          p[5].reshape(-1).astype(jnp.int32)])
+         for p in pending]))
+    o16 = o32 = 0
+    for lanes, labels_d, cents_d, winner_d, iters_d, costs_d in pending:
+        g, n_pad = labels_d.shape
+        k_pad = winner_d.shape[1]
+        labels = flat16[o16:o16 + g * n_pad].reshape(g, n_pad)
+        o16 += g * n_pad
+        winner = flat32[o32:o32 + g * k_pad].reshape(g, k_pad)
+        o32 += g * k_pad
+        it_np = flat32[o32:o32 + g]
+        o32 += g
+        costs_np = flat32[o32:o32 + g * 3].reshape(g, 3)
+        o32 += g * 3
+        cents_np = np.asarray(cents_d) if need_cents else None
         if iters_out is not None:
-            it_np = np.asarray(iters)
             for j, i in enumerate(lanes):
                 iters_out.append((len(exp_sel[i]), exp_k[i],
                                   int(it_np[j])))

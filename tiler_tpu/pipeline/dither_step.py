@@ -35,14 +35,23 @@ def _prepare_fused(tiles_all, idx, n: int, k: int, gamma_value, use_lab,
     """Device gather + PsyV + Lloyd's k-means for dither clustering, in
     ONE dispatch (module-level so the jit cache persists across
     keyframes/encodes; the k-means already specialized on the exact row
-    count, so fusing the feature pass adds no compiles)."""
+    count, so fusing the feature pass adds no compiles).
+
+    Returns ONE packed u8 vector — [n] u8 labels followed by the [k,192]
+    f32 centroids bitcast to bytes — so the caller pays a single D2H
+    round trip per keyframe instead of two (each transfer costs ~0.1-0.3 s
+    of latency through the degraded tunnel)."""
+    import jax
     feats = features.psyv_features_rgb(
         tiles_all[idx], gamma_value=gamma_value, use_lab=use_lab,
         use_wavelets=use_wavelets)
     labels, cents, _ = kmeans_core(feats[:n], k)
     # u8 labels: k <= 256 (config), and the download is bandwidth-bound
     # through the tunnel
-    return labels.astype('uint8'), cents
+    import jax.numpy as jnp
+    return jnp.concatenate([
+        labels.astype(jnp.uint8),
+        jax.lax.bitcast_convert_type(cents, jnp.uint8).reshape(-1)])
 
 
 _prepare_fused_jit = None
@@ -71,8 +80,8 @@ def prepare_dither_keyframe(state: EncoderState, k: int,
         idx[:n] = cell_tiles
         note('h2d')
         note('jit')
-        note('d2h', 2)
         if mesh_ok(state.mesh):
+            note('d2h', 2)
             labels_d, cents_d = kmeans_prepare_sharded(
                 state.mesh, tiles_rep if tiles_rep is not None
                 else state.device_source_tiles(), idx, n,
@@ -93,11 +102,17 @@ def prepare_dither_keyframe(state: EncoderState, k: int,
             # first consumer), so every referenced tile is in-range.
             base = s * state.tilemap_size
             idx_local = np.maximum(idx - base, 0).astype(np.int32)
-            labels_d, cents_d = _prepare_fused_jit(
+            note('d2h')
+            packed_d = _prepare_fused_jit(
                 state.device_source_tiles_range(s, e),
                 jnp.asarray(idx_local), n,
                 cfg.palette_count, _dithering_gamma(cfg), True,
                 cfg.use_wavelets)
+            packed = np.asarray(packed_d)
+            labels_d = packed[:n]
+            cents_d = np.frombuffer(
+                packed[n:].tobytes(), np.float32).reshape(
+                    cfg.palette_count, 192)
         labels = np.asarray(labels_d)
         state.palette_centroids[k] = np.asarray(cents_d)
     else:

@@ -110,6 +110,19 @@ def _smooth_kf_fused(tiles_pal_all, palettes_k, tile, pal, hm, vm,
     return _pack_stm(_smooth_chain(feats, tile, pal, hm, vm, strength))
 
 
+@functools.partial(jax.jit, static_argnames=('n_f', 'strength'))
+def _smooth_kf_sliced(tiles_pal_all, pals_all, tm_tile, tm_pal, tm_h,
+                      tm_v, s, kf_idx, n_f: int, strength: float):
+    """_smooth_kf_fused gathering its keyframe's rows from the WHOLE-clip
+    tilemap tensors on device (dynamic start, static length): the
+    tilemaps and stacked palettes upload once per encode instead of five
+    arrays per keyframe — each upload costs a tunnel round trip."""
+    args = [jax.lax.dynamic_slice_in_dim(a, s, n_f)
+            for a in (tm_tile, tm_pal, tm_h, tm_v)]
+    return _smooth_kf_fused(tiles_pal_all, pals_all[kf_idx], *args,
+                            strength=strength)
+
+
 def run_smooth(state: EncoderState) -> EncoderState:
     from ..parallel.mesh_pipeline import mesh_ok, replicate, smooth_sharded
     strength = state.config.smoothing_strength
@@ -125,26 +138,39 @@ def run_smooth(state: EncoderState) -> EncoderState:
     if par:
         tiles_dev = replicate(state.mesh, tiles_dev)
 
-    # queue one fused dispatch per keyframe; download everything once
+    # queue one fused dispatch per keyframe; download everything once.
+    # Non-mesh path: the whole-clip tilemaps + stacked palettes upload
+    # ONCE (5 transfers total) and each keyframe's program slices its
+    # rows on device — the per-keyframe uploads were 5 round trips each.
+    f_all = state.n_frames
+    tm_all = None
+    if not par:
+        note('h2d', 5)
+        tm_all = (jnp.asarray(state.tm_tile.reshape(f_all, cells)),
+                  jnp.asarray(state.tm_pal.reshape(f_all, cells)),
+                  jnp.asarray(state.tm_h.reshape(f_all, cells)),
+                  jnp.asarray(state.tm_v.reshape(f_all, cells)),
+                  jnp.asarray(state.palettes_rgb))
     todo = []   # (s, e, stm device tuple)
     for k, (s, e) in enumerate(state.keyframes):
         n_f = e - s + 1
         if n_f < 2:
             continue
-        note('h2d', 5)
         note('jit')
-        tm = (state.tm_tile[s:e + 1].reshape(n_f, cells),
-              state.tm_pal[s:e + 1].reshape(n_f, cells),
-              state.tm_h[s:e + 1].reshape(n_f, cells),
-              state.tm_v[s:e + 1].reshape(n_f, cells))
         if par:
+            note('h2d', 5)
+            tm = (state.tm_tile[s:e + 1].reshape(n_f, cells),
+                  state.tm_pal[s:e + 1].reshape(n_f, cells),
+                  state.tm_h[s:e + 1].reshape(n_f, cells),
+                  state.tm_v[s:e + 1].reshape(n_f, cells))
             stm = smooth_sharded(state.mesh, tiles_dev,
                                  state.palettes_rgb[k], *tm,
                                  strength=float(strength))
         else:
-            stm = _smooth_kf_fused(
-                tiles_dev, jnp.asarray(state.palettes_rgb[k]),
-                *(jnp.asarray(a) for a in tm), strength=float(strength))
+            stm = _smooth_kf_sliced(
+                tiles_dev, tm_all[4], *tm_all[:4],
+                jnp.int32(s), jnp.int32(k), n_f=n_f,
+                strength=float(strength))
         todo.append((s, e, stm))
 
     smoothed_cells = 0
