@@ -15,7 +15,7 @@ uses fewer frames (per-frame work dominates; fixed costs are excluded by
 per-frame normalization) and is skipped gracefully on timeout.
 
 The headline value is the MEDIAN of TILER_BENCH_RUNS timed encodes
-(default 3) — the tunnel's run-to-run load/dither variance is +-1.5 s+
+(default 5) — the tunnel's run-to-run load/dither variance is +-1.5 s+
 (docs/RESULTS.md), so a single draw under- or over-states steady state.
 The headline clip (round 5 on) is `synthetic_clip_v2`: three scenes
 with hard cuts and a ~38%-static band, so the number of record
@@ -30,7 +30,9 @@ Env knobs: TILER_BENCH_SMALL=1 -> 320x240 clip (the round-1 metric);
 TILER_BENCH_NO_CPU=1 -> skip the CPU-baseline subprocess;
 TILER_BENCH_NO_REAL=1 -> skip the real-content entry;
 TILER_BENCH_NO_CONT=1 -> skip the continuity (old-clip) entry;
-TILER_BENCH_RUNS=N -> timed-run count for the median (default 3).
+TILER_BENCH_RUNS=N -> timed-run count for the median (default 5; the
+tunnel's post-D2H transfer degradation makes single draws swing
+0.57-0.91 f/s at identical work — docs/RESULTS.md round 5).
 """
 import json
 import os
@@ -241,7 +243,7 @@ def main():
     import jax
     backend = jax.default_backend()
     frames = synthetic_clip_v2(F, H, W)
-    runs = int(os.environ.get('TILER_BENCH_RUNS', '3'))
+    runs = int(os.environ.get('TILER_BENCH_RUNS', '5'))
     all_fps, enc, blob = encode_once(frames, runs=runs)
     fps = float(np.median(all_fps))
 

@@ -99,13 +99,22 @@ def prepare_dither_keyframe(state: EncoderState, k: int,
             # on its own frames' H2D, so the host DL3 quantize it gates
             # starts while later chunks are still in flight. The dither
             # tilemap is the identity (load built it; dither is its
-            # first consumer), so every referenced tile is in-range.
+            # first consumer), so every referenced tile is in-range —
+            # guarded: a caller driving dither on a hand-mutated state
+            # falls back to the full tensor with global indices.
             base = s * state.tilemap_size
-            idx_local = np.maximum(idx - base, 0).astype(np.int32)
+            lim = (e + 1) * state.tilemap_size
+            in_range = (n == 0 or (cell_tiles.min() >= base
+                                   and cell_tiles.max() < lim))
+            if in_range:
+                tiles_src = state.device_source_tiles_range(s, e)
+                idx_dev = np.maximum(idx - base, 0).astype(np.int32)
+            else:
+                tiles_src = state.device_source_tiles()
+                idx_dev = idx
             note('d2h')
             packed_d = _prepare_fused_jit(
-                state.device_source_tiles_range(s, e),
-                jnp.asarray(idx_local), n,
+                tiles_src, jnp.asarray(idx_dev), n,
                 cfg.palette_count, _dithering_gamma(cfg), True,
                 cfg.use_wavelets)
             packed = np.asarray(packed_d)
