@@ -44,7 +44,14 @@ import numpy as np
 
 SMALL = os.environ.get('TILER_BENCH_SMALL') == '1'
 H, W, F = (240, 320, 16) if SMALL else (1080, 1920, 16)
-F_CPU = 8 if SMALL else 4  # CPU baseline: shorter clip, same per-frame work
+# CPU baseline: shorter clip, same per-frame work (per-frame
+# normalization; 2 frames at 1080p keep the subprocess ~5 min on a
+# 2-core host — it was >20 and the whole-bench wall must stay inside
+# the driver's patience with the 5-run median). Bias note: fixed costs
+# amortize over fewer frames, so cpu_fps is UNDERSTATED and
+# vs_baseline somewhat overstated — read it as order-of-magnitude
+# (~100x), not a calibrated ratio.
+F_CPU = 8 if SMALL else 2
 PAL = 32 if SMALL else 128
 
 
@@ -266,7 +273,7 @@ def main():
             env = dict(os.environ, TILER_BENCH_CPU='1')
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True,
-                                 timeout=1800)
+                                 timeout=1200)
             for line in out.stdout.strip().splitlines():
                 try:
                     cpu_fps = json.loads(line).get('cpu_fps')
