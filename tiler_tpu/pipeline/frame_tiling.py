@@ -632,8 +632,12 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
         tiles_pal_dev = replicate(state.mesh, tiles_pal_dev)
     jax.block_until_ready(tiles_pal_dev)
     phases['upload'] = round(time.perf_counter() - t0, 3)
-    ch_all = _changed_mask(state.frames_rgb, state.tilemap_h,
-                           state.tilemap_w)
+    # load computes the mask once for the motion-aware upload (keyframe
+    # starts forced True there — a no-op for this consumer, which forces
+    # each keyframe's first row itself); states resumed from checkpoints
+    # may lack it
+    ch_all = state.changed_mask if state.changed_mask is not None else \
+        _changed_mask(state.frames_rgb, state.tilemap_h, state.tilemap_w)
 
     # ---- stage 1, ALL keyframes: one k-NN pass over the shared global
     # dataset (per-query results are independent, so batching across

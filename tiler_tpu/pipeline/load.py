@@ -254,11 +254,6 @@ def run_load(state: EncoderState, frames: np.ndarray,
     frames = np.ascontiguousarray(frames[:, :th * TILE_W, :tw * TILE_W])
     state.frames_rgb = frames
     from ..constants import BITS_PER_COMP
-    if BITS_PER_COMP >= 8:
-        # kick off the async H2D frames upload NOW so it overlaps the
-        # host-side tile split below (the tunnel transfer is the dominant
-        # cost of this step; jnp.asarray only blocks when consumed)
-        state.device_frames()
 
     # whole-frame FS posterize (identity at the default 8 bits/comp)
     if BITS_PER_COMP >= 8:
@@ -266,6 +261,11 @@ def run_load(state: EncoderState, frames: np.ndarray,
     else:
         state.fs_pixels = np.stack(
             [floyd_steinberg_posterize(fr, BITS_PER_COMP) for fr in frames])
+
+    # correlations run on the HOST pixels (the device upload below must
+    # stay un-consumed until the dither step's feature pass); the
+    # keyframe ranges then shape the motion-aware upload
+    state.keyframes = detect_keyframes(state.fs_pixels, th * tw)
 
     # global tiles: one per tilemap cell, identity tilemap
     state.tiles_rgb = split_into_tiles(frames, th, tw)
@@ -280,11 +280,20 @@ def run_load(state: EncoderState, frames: np.ndarray,
     state.tm_h = np.zeros((f, th, tw), bool)
     state.tm_v = np.zeros((f, th, tw), bool)
 
-    # correlations run on the HOST pixels: the async chunked device
-    # upload (begun above) stays un-consumed until the dither step's
-    # feature pass, so it overlaps all of load's host work and the
-    # detection below instead of serializing in front of them
-    state.keyframes = detect_keyframes(state.fs_pixels, th * tw)
+    # motion-aware source-tile upload: only cells that differ from the
+    # same cell one frame earlier ship (keyframe starts forced changed so
+    # each keyframe's slice is self-contained); the full tensor
+    # reconstructs on device with one gather. Upload bytes scale with
+    # motion, like the stage-3 assign cost.
+    from .frame_tiling import _changed_mask
+    mask = _changed_mask(frames, th, tw)
+    mask[state.keyframes[:, 0], :] = True
+    state.changed_mask = mask
+    import os
+    if BITS_PER_COMP >= 8 and os.environ.get('TILER_FULL_UPLOAD') == '1':
+        state.device_frames()   # A/B switch: ship every frame instead
+    else:
+        state.begin_tiles_upload(mask)
     k = len(state.keyframes)
     state.palettes_rgb = np.zeros(
         (k, cfg.palette_count, cfg.tile_palette_size, 3), np.uint8)

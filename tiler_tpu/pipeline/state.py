@@ -34,6 +34,7 @@ from ..constants import TILE_W
 
 _split_tiles_jit = None
 _slice_split_jit = None
+_fill_gather_jit = None
 
 
 @dataclasses.dataclass
@@ -66,6 +67,10 @@ class EncoderState:
     keyframes: Optional[np.ndarray] = None
     palettes_rgb: Optional[np.ndarray] = None
     palette_centroids: Optional[np.ndarray] = None
+    # [F, TH*TW] bool: cell differs from the same cell one frame earlier
+    # (keyframe-start rows forced True). Computed once in load; drives
+    # the motion-aware upload AND FrameTiling's temporal query dedup.
+    changed_mask: Optional[np.ndarray] = None
 
     # optional jax.sharding.Mesh: when set (Encoder(mesh=...) or CLI
     # --devices N), the frame-axis-parallel stages run sharded across it
@@ -161,6 +166,97 @@ class EncoderState:
                 cache['parts'][i] = cache['futs'][i].result()
         return cache['parts'][lo:hi + 1]
 
+    # -- motion-aware source-tile upload -----------------------------------
+    # The pipeline's only device pixel consumer is the source-tile tensor
+    # (identity frame-major cell order). Cells byte-equal to the same
+    # cell one frame earlier are EXACT duplicates, so only the changed
+    # tiles ship (the same changed-mask FrameTiling's temporal query
+    # dedup uses) and the full tensor reconstructs with ONE device
+    # gather through a host-computed fill map — upload bytes scale with
+    # motion, exactly like stage-3 assign cost. Keyframe-start rows are
+    # forced changed so every keyframe's slice is self-contained (the
+    # per-keyframe dither staging depends on it).
+
+    def begin_tiles_upload(self, changed_mask: np.ndarray) -> None:
+        """Start the chunked async changed-tiles upload. changed_mask is
+        [F, TH*TW] bool with keyframe-start rows True (run_load forces
+        them). Requires tiles_rgb (the host tile split) to be set."""
+        key = ('tiles_up', id(self.frames_rgb))
+        if self._frames_dev_cache.get('tiles_key') == key:
+            return
+        import concurrent.futures as cf
+
+        import jax.numpy as jnp
+
+        from ..utils.dispatch import note
+        m = changed_mask.ravel()
+        changed_idx = np.flatnonzero(m)
+        f, cells = changed_mask.shape
+        last = np.maximum.accumulate(
+            np.where(changed_mask, np.arange(f)[:, None], -1), axis=0)
+        changed_pos = np.cumsum(m) - 1
+        src_flat = (last * cells + np.arange(cells)[None, :]).ravel()
+        fill = changed_pos[src_flat].astype(np.int32)   # [F*C] -> row
+        note('h2d')
+        per = max(1, 12_000_000 // 192)     # ~12MB of 192-byte tiles
+        n_up = -(-max(len(changed_idx), 1) // per) * per
+        tiles_changed = np.zeros((n_up,) + self.tiles_rgb.shape[1:],
+                                 np.uint8)
+        tiles_changed[:len(changed_idx)] = self.tiles_rgb[changed_idx]
+        pool = cf.ThreadPoolExecutor(1)
+        futs = [pool.submit(jnp.asarray, tiles_changed[i:i + per])
+                for i in range(0, n_up, per)]
+        pool.shutdown(wait=False)
+        c = self._frames_dev_cache
+        c.update(tiles_key=key, t_futs=futs, t_parts=[None] * len(futs),
+                 t_per=per, fill=fill, n_changed=len(changed_idx))
+        self.metrics['upload_changed_frac'] = round(
+            len(changed_idx) / max(len(m), 1), 4)
+
+    @staticmethod
+    def _resolve_tile_parts(cache, lo: int, hi: int):
+        for i in range(lo, hi + 1):
+            if cache['t_parts'][i] is None:
+                cache['t_parts'][i] = cache['t_futs'][i].result()
+        return cache['t_parts'][lo:hi + 1]
+
+    def _reconstruct_tiles(self, s: int, e: int):
+        """[ (e-s+1)*C, 8, 8, 3 ] source tiles for frames [s..e] from
+        the changed-tile chunks covering them (None if the motion-aware
+        upload is not active)."""
+        c = self._frames_dev_cache
+        if c.get('tiles_key') != ('tiles_up', id(self.frames_rgb)):
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.dispatch import note
+        cells = self.tilemap_size
+        fill = c['fill'][s * cells:(e + 1) * cells]
+        lo_row, hi_row = int(fill.min()), int(fill.max())
+        per = c['t_per']
+        lo, hi = lo_row // per, hi_row // per
+        parts = self._resolve_tile_parts(c, lo, hi)
+        note('h2d')
+        note('jit')
+        global _fill_gather_jit
+        if _fill_gather_jit is None:
+            import functools
+
+            @functools.partial(jax.jit)
+            def fill_gather(changed, fill_loc):
+                return changed[fill_loc]
+            _fill_gather_jit = fill_gather
+        if len(parts) > 1:
+            note('eager')
+            src = jnp.concatenate(parts)
+        else:
+            src = parts[0]
+        n_pad = 1 << max(8, (len(fill) - 1).bit_length())
+        fill_p = np.zeros(n_pad, np.int32)
+        fill_p[:len(fill)] = fill - lo * per
+        return _fill_gather_jit(src, jnp.asarray(fill_p))[:len(fill)]
+
     def device_source_tiles_range(self, s: int, e: int):
         """[ (e-s+1)*TH*TW, 8, 8, 3] u8 source tiles of frames [s..e]
         (inclusive), built from only the upload chunks covering that
@@ -174,6 +270,10 @@ class EncoderState:
             return cached
         if s == 0 and e == self.n_frames - 1:
             return self.device_source_tiles()
+        rec = self._reconstruct_tiles(s, e)
+        if rec is not None:
+            self._src_tiles_cache[key] = rec
+            return rec
         import jax
         import jax.numpy as jnp
 
@@ -217,6 +317,11 @@ class EncoderState:
         without shipping the pixels a second time."""
         key = ('src_tiles', id(self.frames_rgb))
         if self._src_tiles_cache.get('key') != key:
+            rec = self._reconstruct_tiles(0, self.n_frames - 1) \
+                if self.n_frames else None
+            if rec is not None:
+                self._src_tiles_cache = {'key': key, 'arr': rec}
+                return rec
             import jax
             import jax.numpy as jnp
             global _split_tiles_jit
