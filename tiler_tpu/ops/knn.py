@@ -141,19 +141,29 @@ def _scan_topk_keep(q, cands, k: int):
     return idx, keep
 
 
-def nearest_k_keepmask(queries: np.ndarray, candidates: np.ndarray, k: int,
-                       q_chunk: int = 8192, c_chunk: int = 8192):
+def nearest_k_keepmask(queries, candidates, k: int,
+                       q_chunk: int = 8192, c_chunk: int = 8192,
+                       n_rows: int | None = None):
     """Exact k-NN for candidate marking: (idx [Q,k] i32, keep [Q,k] bool)
-    with keep[j] = err[j] != err[j-1] (keep[0] = True)."""
-    q_all = np.asarray(queries, np.float32)
-    n_q = len(q_all)
+    with keep[j] = err[j] != err[j-1] (keep[0] = True).
+
+    `queries` may be a DEVICE f32 matrix (e.g. gathered on device from
+    the resident tile tensor — the [Q,64] f32 upload was stage-1's
+    dominant H2D bytes); pass n_rows for the valid row count then."""
+    on_device = isinstance(queries, jnp.ndarray)
+    q_all = queries if on_device else np.asarray(queries, np.float32)
+    n_q = n_rows if n_rows is not None else len(q_all)
     cands = _device_chunks(candidates, c_chunk)
     parts = []
     for qs in range(0, n_q, q_chunk):
         qe = min(n_q, qs + q_chunk)
         qp = _pad_pow2(qe - qs)
-        q = jnp.asarray(_pad_rows(q_all[qs:qe], qp))
-        _note('h2d')
+        if on_device:
+            _note('eager')
+            q = q_all[qs:qs + qp]   # device slice (pre-padded by caller)
+        else:
+            _note('h2d')
+            q = jnp.asarray(_pad_rows(q_all[qs:qe], qp))
         _note('jit')
         idx, keep = _scan_topk_keep(q, cands, k)
         parts.append((idx[:qe - qs], keep[:qe - qs]))

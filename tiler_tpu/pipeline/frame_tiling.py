@@ -80,12 +80,19 @@ _expand_jit = None
 
 # -- stage 1: candidate marking -------------------------------------------
 
+def _mark_queries_idx(state: EncoderState, k: int):
+    """Marking query INDICES for keyframe k: the unique referenced tile
+    ids + the cell->unique inverse (the query rows themselves gather on
+    device from the resident tile tensor)."""
+    s, e = state.keyframes[k]
+    cell_tiles = state.tm_tile[s:e + 1].ravel()
+    return np.unique(cell_tiles, return_inverse=True)
+
+
 def _mark_queries(state: EncoderState, k: int):
     """Host-side marking queries for keyframe k: the unique referenced
     tiles' PalPixels rows."""
-    s, e = state.keyframes[k]
-    cell_tiles = state.tm_tile[s:e + 1].ravel()
-    uq_tiles, tile_inv = np.unique(cell_tiles, return_inverse=True)
+    uq_tiles, tile_inv = _mark_queries_idx(state, k)
     queries = state.tiles_pal[uq_tiles].reshape(len(uq_tiles), -1) \
         .astype(np.float32)
     return uq_tiles, tile_inv, queries
@@ -415,6 +422,7 @@ def _chunk_feats(tp_all, pal_all, packed, code_mult: int, gamma_value,
 
 _chunk_feats_jit = None
 _mirror_expand_jit = None
+_mark_gather_jit = None
 
 
 # -- stage 3: fused query features + streaming 1-NN -----------------------
@@ -643,26 +651,41 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
     # dataset (per-query results are independent, so batching across
     # keyframes changes nothing but the dispatch count) ----
     t0 = time.perf_counter()
-    mark_q = [_mark_queries(state, k) for k in range(n_kf)]
-    all_q = np.concatenate([m[2] for m in mark_q]) if n_kf > 1 \
-        else mark_q[0][2]
+    mark_q = [_mark_queries_idx(state, k) for k in range(n_kf)]
     if par:
+        all_q = np.concatenate(
+            [state.tiles_pal[m[0]].reshape(len(m[0]), -1)
+             .astype(np.float32) for m in mark_q])
         idxs_all, errs_all = nearest_k_sharded(state.mesh, all_q, ds,
                                                k=8, q_chunk=16384)
         keep_all = np.ones(errs_all.shape, bool)
         keep_all[:, 1:] = errs_all[:, 1:] != errs_all[:, :-1]
-        del errs_all
+        del errs_all, all_q
     else:
-        # 16384-query chunks over the 64-dim dataset: [16k, 8k] f32
-        # distance tiles (512 MB, the stage-3 scan's bound) and half the
-        # dispatches of the 8192 default; the keep mask replaces the f32
-        # errors on the wire (device-side consecutive-equal skip)
-        idxs_all, keep_all = knn.nearest_k_keepmask(all_q, ds, k=8,
-                                                    q_chunk=16384)
+        # queries gather ON DEVICE from the resident tile tensor — only
+        # the int32 index vector goes up (the [Q,64] f32 host queries
+        # were stage-1's dominant H2D bytes). 16384-query chunks over
+        # the 64-dim dataset: [16k, 8k] f32 distance tiles (512 MB, the
+        # stage-3 scan's bound); the keep mask replaces the f32 errors
+        # on the wire (device-side consecutive-equal skip)
+        n_q = sum(len(m[0]) for m in mark_q)
+        qcap = -(-n_q // 16384) * 16384
+        q_idx = np.zeros(qcap, np.int32)
+        q_idx[:n_q] = np.concatenate([m[0] for m in mark_q])
+        global _mark_gather_jit
+        if _mark_gather_jit is None:
+            _mark_gather_jit = jax.jit(
+                lambda tp, ix: tp[ix].reshape(ix.shape[0], -1)
+                .astype(jnp.float32))
+        note('h2d')
+        note('jit')
+        qdev = _mark_gather_jit(tiles_pal_dev, jnp.asarray(q_idx))
+        idxs_all, keep_all = knn.nearest_k_keepmask(
+            qdev, ds, k=8, q_chunk=16384, n_rows=n_q)
     used_list = []
     off = 0
     for k in range(n_kf):
-        uq_tiles, tile_inv, _ = mark_q[k]
+        uq_tiles, tile_inv = mark_q[k]
         n_uq = len(uq_tiles)
         pal_mask = palette_similarity_mask(state, k) \
             if cfg.ft_quality == FTQuality.MEDIUM else None
@@ -670,7 +693,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
             state, k, idxs_all[off:off + n_uq], keep_all[off:off + n_uq],
             tile_inv, n_uq, len(ds), pal_mask))
         off += n_uq
-    del mark_q, all_q, idxs_all, keep_all
+    del mark_q, idxs_all, keep_all
     phases['mark'] = round(time.perf_counter() - t0, 3)
 
     # ---- stages 2+3, batched across keyframes in HBM-bounded groups:
