@@ -86,3 +86,33 @@ def test_yliluoma_path(rng):
     blob = enc.save(fast_lzma=True)
     dec, _ = decode_video(blob)
     assert float(psnr(dec, frames)) > 22.0
+
+
+def test_motion_aware_upload_reconstruction(rng):
+    """The changed-tiles upload + device fill-gather must reproduce the
+    source tile tensor EXACTLY (identity order), including across
+    keyframe boundaries and for fully-static spans."""
+    import jax.numpy as jnp
+
+    from tiler_tpu.config import EncoderConfig
+    from tiler_tpu.pipeline.encoder import Encoder
+    from tiler_tpu.pipeline.load import split_into_tiles
+
+    f, h, w = 7, 48, 64
+    frames = rng.integers(0, 255, (f, h, w, 3)).astype(np.uint8)
+    frames[2] = frames[1]                 # fully static frame
+    frames[3, :, :32] = frames[2, :, :32]  # half static
+    frames[5] = frames[4]
+    enc = Encoder(EncoderConfig(palette_count=4, tile_palette_size=16))
+    enc.load(frames)
+    st = enc.state
+    assert st.metrics['upload_changed_frac'] < 1.0
+    want = split_into_tiles(frames, st.tilemap_h, st.tilemap_w)
+    got = np.asarray(st.device_source_tiles())
+    np.testing.assert_array_equal(got, want)
+    # per-keyframe slices too
+    for s, e in st.keyframes:
+        cells = st.tilemap_size
+        got_r = np.asarray(st.device_source_tiles_range(int(s), int(e)))
+        np.testing.assert_array_equal(
+            got_r, want[s * cells:(e + 1) * cells])
