@@ -312,9 +312,11 @@ class EncoderState:
 
     def device_source_tiles(self):
         """[F*TH*TW, 8, 8, 3] u8 SOURCE tiles (identity frame-major cell
-        order, independent of the tilemap) built ON DEVICE from the single
-        frames upload — feeds dither gathers and FrameTiling queries
-        without shipping the pixels a second time."""
+        order, independent of the tilemap) — reconstructed from the
+        motion-aware changed-tiles upload when active (one device
+        gather), else built from the full frames upload. Feeds dither
+        gathers and FrameTiling queries without shipping the pixels a
+        second time."""
         key = ('src_tiles', id(self.frames_rgb))
         if self._src_tiles_cache.get('key') != key:
             rec = self._reconstruct_tiles(0, self.n_frames - 1) \
