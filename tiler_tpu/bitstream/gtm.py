@@ -368,8 +368,12 @@ def compress_keyframe_stream(raw: bytes, fast_lzma: bool = False,
             # failure below must raise, not masquerade as "no toolchain"
             # and silently ship larger lc3 bytes. Only the MISSING
             # toolchain is a graceful-degrade condition — a nonzero
-            # compile exit (broken .cc source) propagates even for
-            # 'auto'/'best'.
+            # compile exit propagates even for 'auto'/'best'.
+            # DELIBERATE scope (r4 advisor): that also surfaces
+            # environmentally-broken toolchains (half-installed g++,
+            # stale incompatible .so) as errors rather than silent
+            # downgrades — a host that CLAIMS a toolchain but cannot
+            # build is a host the operator should hear about.
             from ..native import get_lib, lzma_encode_alone
             get_lib()
         except NoToolchainError:

@@ -127,6 +127,16 @@ def nearest_1(queries: np.ndarray, candidates: np.ndarray,
     return _download_parts(parts, empty_shape=(0,))
 
 
+def keep_from_errs(errs: np.ndarray) -> np.ndarray:
+    """Host form of the consecutive-equal-error skip mask (UseOne,
+    main.pas:3832-3837): keep[:, j] = errs[:, j] != errs[:, j-1],
+    keep[:, 0] = True. The device twin lives in _scan_topk_keep — the
+    two must implement the same rule."""
+    keep = np.ones(errs.shape, bool)
+    keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
+    return keep
+
+
 @functools.partial(jax.jit, static_argnames=('k',))
 def _scan_topk_keep(q, cands, k: int):
     """_scan_topk + the consecutive-equal-error keep mask (UseOne's

@@ -374,14 +374,15 @@ def _hash_words(words):
 
 def _rows_to_words(tiles_u8, act_loc, n_tiles: int):
     """Gather [l] active indices -> ([l,16] u32 big-endian words,
-    [l] bool sentinel mask). Sentinel rows (index == n_tiles, the
-    padding) get all-0xFFFFFFFF words so they form their own group
-    (or join a real all-0xFF group, where the min-index winner is the
-    real row — the host filters sentinel pairs out either way)."""
-    rows = tiles_u8[act_loc].reshape(act_loc.shape[0], 16, 4)
-    w = rows.astype(jnp.uint32)
-    words = (w[..., 0] << 24) | (w[..., 1] << 16) | \
-            (w[..., 2] << 8) | w[..., 3]
+    [l] bool sentinel mask) via the SHARED word packing
+    (pipeline.unique.tile_words — byte-compatibility with the
+    single-device dedup kernel is what keeps mesh streams identical).
+    Sentinel rows (index == n_tiles, the padding) get all-0xFFFFFFFF
+    words so they form their own group (or join a real all-0xFF group,
+    where the min-index winner is the real row — the host filters
+    sentinel pairs out either way)."""
+    from ..pipeline.unique import tile_words
+    words = tile_words(tiles_u8, act_loc)
     sent = act_loc >= n_tiles
     return jnp.where(sent[:, None], jnp.uint32(0xFFFFFFFF), words), sent
 
@@ -442,21 +443,12 @@ def _get_unique_dedup_fn(flat_mesh: Mesh, n_tiles: int, cap: int):
         ri = jax.lax.all_to_all(send_i, 'dedup', split_axis=0,
                                 concat_axis=0).reshape(d * cap)
 
-        # local dedup (same 16-pass LSD radix as the single-device
-        # kernel): group equal rows, winner = min global tile index
-        r = d * cap
-        perm2 = jnp.arange(r, dtype=jnp.int32)
-        for i in reversed(range(16)):
-            _, perm2 = jax.lax.sort(
-                (jnp.take(rw[:, i], perm2), perm2), num_keys=1,
-                is_stable=True)
-        sw = jnp.take(rw, perm2, axis=0)
-        si = jnp.take(ri, perm2)
-        new = jnp.concatenate(
-            [jnp.ones(1, bool), jnp.any(sw[1:] != sw[:-1], axis=1)])
-        gid = jnp.cumsum(new.astype(jnp.int32)) - 1
-        winner_of_group = jax.ops.segment_min(si, gid, num_segments=r)
-        return si[None], winner_of_group[gid][None]
+        # local dedup through THE shared core (pipeline.unique
+        # .dedupe_words — byte-equal rows all landed on this shard, so
+        # the per-shard dedup is globally exact)
+        from ..pipeline.unique import dedupe_words
+        si, winner = dedupe_words(rw, ri)
+        return si[None], winner[None]
 
     fn = jax.jit(jax.shard_map(
         local, mesh=flat_mesh, in_specs=(P(), P('dedup')),

@@ -143,8 +143,7 @@ def mark_candidates(state: EncoderState, k: int, ds, tile_of, attrs_of,
     from ..parallel.mesh_pipeline import mesh_ok, nearest_k_sharded
     if mesh_ok(state.mesh):
         idxs, errs = nearest_k_sharded(state.mesh, queries, ds, k=8)
-        keep = np.ones(errs.shape, bool)
-        keep[:, 1:] = errs[:, 1:] != errs[:, :-1]
+        keep = knn.keep_from_errs(errs)
     else:
         idxs, keep = knn.nearest_k_keepmask(queries, ds, k=8)
     return _mark_from_knn(state, k, idxs, keep, tile_inv, len(uq_tiles),
@@ -593,8 +592,11 @@ def _queue_assign(state: EncoderState, k: int, feats, kf_plan, dev_parts,
         # chunks sync together with everything else at end of step.
         # 16k is the measured sweet spot: the queued dispatches overlap,
         # so the schedule is kernel-bound, and 64k chunks trip the same
-        # Mosaic 19.3M scoped-VMEM stack allocation as the scan form
-        qchunk = min(int(os.environ.get('TILER_FT_QCHUNK', 16384)), qp)
+        # Mosaic 19.3M scoped-VMEM stack allocation as the scan form.
+        # The env knob rounds DOWN to a power of two: qp is pow2-padded
+        # and the reshape below needs qchunk | qp.
+        qreq = max(1024, int(os.environ.get('TILER_FT_QCHUNK', 16384)))
+        qchunk = min(1 << (qreq.bit_length() - 1), qp)
         rows_dev = jnp.asarray(rows).reshape(-1, qchunk)
         note('jit', rows_dev.shape[0] - 1)  # one noted by the caller
         parts = [
@@ -658,8 +660,7 @@ def run_frame_tiling(state: EncoderState) -> EncoderState:
              .astype(np.float32) for m in mark_q])
         idxs_all, errs_all = nearest_k_sharded(state.mesh, all_q, ds,
                                                k=8, q_chunk=16384)
-        keep_all = np.ones(errs_all.shape, bool)
-        keep_all[:, 1:] = errs_all[:, 1:] != errs_all[:, :-1]
+        keep_all = knn.keep_from_errs(errs_all)
         del errs_all, all_q
     else:
         # queries gather ON DEVICE from the resident tile tensor — only

@@ -144,18 +144,23 @@ def run_smooth(state: EncoderState) -> EncoderState:
     # rows on device — the per-keyframe uploads were 5 round trips each.
     f_all = state.n_frames
     tm_all = None
-    if not par:
+
+    def upload_tm_all():
+        # lazy: a clip of all-single-frame keyframes (rapid cuts) skips
+        # every smoothing dispatch and must not pay the uploads either
         note('h2d', 5)
-        tm_all = (jnp.asarray(state.tm_tile.reshape(f_all, cells)),
-                  jnp.asarray(state.tm_pal.reshape(f_all, cells)),
-                  jnp.asarray(state.tm_h.reshape(f_all, cells)),
-                  jnp.asarray(state.tm_v.reshape(f_all, cells)),
-                  jnp.asarray(state.palettes_rgb))
+        return (jnp.asarray(state.tm_tile.reshape(f_all, cells)),
+                jnp.asarray(state.tm_pal.reshape(f_all, cells)),
+                jnp.asarray(state.tm_h.reshape(f_all, cells)),
+                jnp.asarray(state.tm_v.reshape(f_all, cells)),
+                jnp.asarray(state.palettes_rgb))
     todo = []   # (s, e, stm device tuple)
     for k, (s, e) in enumerate(state.keyframes):
         n_f = e - s + 1
         if n_f < 2:
             continue
+        if not par and tm_all is None:
+            tm_all = upload_tm_all()
         note('jit')
         if par:
             note('h2d', 5)

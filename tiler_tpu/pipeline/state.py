@@ -305,9 +305,12 @@ class EncoderState:
         return arr
 
     def drop_source_tile_ranges(self) -> None:
-        """Free the per-keyframe tile tensors (keep the full-clip one)."""
+        """Free the per-keyframe tile tensors (keep the full-clip one,
+        which lives under the string keys 'key'/'arr' — review round 5:
+        a tuple-key filter here dropped it too, forcing FrameTiling to
+        rebuild the whole tensor every encode)."""
         full = {k: v for k, v in self._src_tiles_cache.items()
-                if isinstance(k, tuple) and k and k[0] == 'src_tiles'}
+                if k in ('key', 'arr')}
         self._src_tiles_cache = full
 
     def device_source_tiles(self):

@@ -23,41 +23,56 @@ import numpy as np
 from .state import EncoderState
 
 
+def tile_words(tiles_u8, idx):
+    """Gather [R] tile rows as [R,16] big-endian u32 words (word order ==
+    row byte order). Shared by the single-device dedup kernel and the
+    mesh-distributed one (parallel.sharded_ops.sharded_unique) — the two
+    must stay byte-compatible or mesh streams diverge."""
+    import jax.numpy as jnp
+    rows = tiles_u8[idx].reshape(idx.shape[0], 16, 4)
+    w = rows.astype(jnp.uint32)
+    return (w[..., 0] << 24) | (w[..., 1] << 16) | \
+           (w[..., 2] << 8) | w[..., 3]
+
+
+def dedupe_words(words, idx):
+    """Group byte-equal rows and pick each group's winner.
+
+    words [R,16] u32 (tile_words), idx [R] i32 tile ids. Lexicographic
+    sort as 16 LSD-radix passes of STABLE single-key sorts (a single
+    17-operand lax.sort comparator compiles pathologically slowly on
+    TPU), group equal rows, winner = lowest id per group. Returns
+    (sidx_sorted, winner_sorted) pairs for the host scatter. THE shared
+    dedup core: the single-device MakeUnique kernel and each shard of
+    the distributed one trace this same function."""
+    import jax
+    import jax.numpy as jnp
+    r = words.shape[0]
+    perm = jnp.arange(r, dtype=jnp.int32)
+    for i in reversed(range(16)):
+        _, perm = jax.lax.sort((jnp.take(words[:, i], perm), perm),
+                               num_keys=1, is_stable=True)
+    sw = jnp.take(words, perm, axis=0)
+    sidx = jnp.take(idx, perm)
+    new = jnp.concatenate([
+        jnp.ones(1, bool),
+        jnp.any(sw[1:] != sw[:-1], axis=1)])
+    gid = jnp.cumsum(new.astype(jnp.int32)) - 1
+    winner_of_group = jax.ops.segment_min(sidx, gid, num_segments=r)
+    return sidx, winner_of_group[gid]
+
+
 @functools.lru_cache(maxsize=1)
 def _unique_fwd_dev_jit():
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
     def kernel(tiles_u8, act_idx):
-        """Device dedup: gather the [A,64] active rows, lex-sort them as
-        16 big-endian u32 words (byte order == row byte order), group
-        equal rows, winner = lowest original tile index per group.
-
-        Returns fwd over the ACTIVE rows: fwd_act[i] = winning tile index
-        for active tile act_idx[i]."""
-        rows = tiles_u8[act_idx].reshape(act_idx.shape[0], 16, 4)
-        w = rows.astype(jnp.uint32)
-        words = (w[..., 0] << 24) | (w[..., 1] << 16) | \
-                (w[..., 2] << 8) | w[..., 3]  # [A,16]
-        # lexicographic sort as 16 LSD-radix passes of STABLE single-key
-        # sorts (a single 17-operand lax.sort comparator compiles
-        # pathologically slowly on TPU)
-        perm = jnp.arange(act_idx.shape[0], dtype=jnp.int32)
-        for i in reversed(range(16)):
-            _, perm = jax.lax.sort((jnp.take(words[:, i], perm), perm),
-                                   num_keys=1, is_stable=True)
-        sw = jnp.take(words, perm, axis=0)
-        sidx = jnp.take(act_idx, perm)
-        new = jnp.concatenate([
-            jnp.ones(1, bool),
-            jnp.any(sw[1:] != sw[:-1], axis=1)])
-        gid = jnp.cumsum(new.astype(jnp.int32)) - 1
-        a = act_idx.shape[0]
-        winner_of_group = jax.ops.segment_min(sidx, gid, num_segments=a)
-        winner_sorted = winner_of_group[gid]
-        # (tile index, its winner) pairs in sorted order; host scatters
-        return sidx, winner_sorted
+        """Device dedup: gather the [A,64] active rows, group equal
+        rows, winner = lowest original tile index per group. Returns
+        (tile index, its winner) pairs in sorted order for the host
+        scatter."""
+        return dedupe_words(tile_words(tiles_u8, act_idx), act_idx)
 
     return kernel
 
