@@ -233,6 +233,59 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
     code_mult = 4 * len(kfs) * n_p
     packable = int(state.n_tiles) * code_mult < 2 ** 31
 
+    # device combo enumeration (round 5): the combo index stream CAN
+    # derive on device from the used-combo BITMASK (~32x fewer upload
+    # bytes); jnp.nonzero's ascending flat order IS np.nonzero(used)'s
+    # row-major order, so candidate order — and stage-3 tie resolution —
+    # is unchanged. OPT-IN (TILER_FT_ENUM=1): the same-phase chip A/B
+    # measured it a net LOSS at the healthy-tunnel operating point
+    # (0.853 vs 0.936 f/s; the 16.8M-element device unpack+nonzero per
+    # keyframe costs more than the ~17 MB of index uploads it saves).
+    # It should win only when H2D is in the deep-degraded mode.
+    enum_path = not par and os.environ.get('TILER_FT_ENUM') == '1'
+    tile_of_dev = attrs_of_dev = None
+    if enum_path:
+        note('h2d', 2)
+        tile_of_dev = jnp.asarray(tile_of.astype(np.int32))
+        attrs_of_dev = jnp.asarray(attrs_of.astype(np.int32))
+
+    def slot_feats_device_enum(slot: int, used) -> None:
+        global _enum_jit, _chunk_feats_enum_jit
+        if _enum_jit is None:
+            _enum_jit = functools.partial(
+                jax.jit, static_argnames=('size',))(_enum_used)
+        if _chunk_feats_enum_jit is None:
+            _chunk_feats_enum_jit = functools.partial(
+                jax.jit, static_argnames=('n_pad', 'n_p', 'n_ds',
+                                          'gamma_value',
+                                          'use_wavelets'))(
+                _chunk_feats_enum)
+        c_k = int(used.sum())
+        if c_k == 0:
+            from ..constants import TILE_DCT_SIZE
+            feats_by_slot[slot] = jnp.zeros((0, TILE_DCT_SIZE),
+                                            jnp.float32)
+            return
+        n_ds_l = used.shape[1]
+        c_pad = features.pad_pow2(c_k)
+        note('h2d')
+        note('jit')
+        combo = _enum_jit(jnp.asarray(np.packbits(used.reshape(-1))),
+                          c_pad)
+        parts = []
+        for lo in range(0, c_k, chunk):
+            hi = min(c_k, lo + chunk)
+            n_pad = features.pad_pow2(hi - lo)
+            note('jit')
+            parts.append(_chunk_feats_enum_jit(
+                tiles_pal_d, pals_d, combo, tile_of_dev, attrs_of_dev,
+                jnp.int32(lo), jnp.int32(slot), n_pad, n_p, n_ds_l,
+                _ft_gamma(cfg), cfg.use_wavelets)[:hi - lo])
+        if len(parts) > 1:
+            note('eager')
+        feats_by_slot[slot] = jnp.concatenate(parts) \
+            if len(parts) > 1 else parts[0]
+
     def base_feats(b_tiles, b_pals, b_hm, b_vm):
         # candidate features stay ON DEVICE: only the packed int32 index
         # vector goes up per chunk, nothing comes down (the 1-NN scan
@@ -385,7 +438,11 @@ def candidate_features_multi(state: EncoderState, kfs: list[int],
     if perm_group:
         run_group(perm_group, True)
     if direct_group:
-        run_group(direct_group, False)
+        if enum_path:
+            for g in direct_group:
+                slot_feats_device_enum(g[0], used_list[g[0]])
+        else:
+            run_group(direct_group, False)
 
     return [(feats_by_slot[slot], pal_idx.astype(np.int32),
              tiles.astype(np.int32), attrs)
@@ -419,9 +476,46 @@ def _chunk_feats(tp_all, pal_all, packed, code_mult: int, gamma_value,
     return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
 
 
+def _enum_used(bits_u8, size: int):
+    """Unpack the used-combo bitmask (np.packbits MSB-first) and
+    enumerate set positions in ascending flat order — exactly
+    np.nonzero(used)'s row-major candidate order (stage-3 tie
+    resolution depends on it). Trailing packbits padding bits are zero
+    and never enumerate."""
+    import jax.numpy as jnp
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    flat = ((bits_u8[:, None] >> shifts[None, :]) & 1).reshape(-1)
+    return jnp.nonzero(flat, size=size, fill_value=0)[0].astype(jnp.int32)
+
+
+def _chunk_feats_enum(tp_all, pal_all, combo, tile_of, attrs_of, lo,
+                      slot, n_pad: int, n_p: int, n_ds: int, gamma_value,
+                      use_wavelets):
+    """_chunk_feats with the per-chunk combo indices sliced from the
+    device-enumerated list (dynamic start, static length) and decoded
+    through the device tile/attr maps — no per-chunk index upload. The
+    caller guarantees lo + n_pad <= len(combo) (the enumeration pads to
+    a chunk-covering power of two), so the dynamic slice never clamps."""
+    import jax
+    d = jax.lax.dynamic_slice_in_dim(combo, lo, n_pad)
+    pal = d // n_ds
+    dentry = d % n_ds
+    tile = tile_of[dentry]
+    attr = attrs_of[dentry]
+    code = (slot * n_p + pal) * 4 + (attr & 1) + (attr & 2)
+    tp = tp_all[tile]
+    pals = pal_all[code >> 2]
+    t = features.mirror_tiles(tp, (code & 1).astype(bool),
+                              (code & 2).astype(bool))
+    cpn = features.pal_tiles_to_cpn(t, pals, gamma_value, False)
+    return features.psyv_from_cpn(cpn, use_wavelets=use_wavelets)
+
+
 _chunk_feats_jit = None
 _mirror_expand_jit = None
 _mark_gather_jit = None
+_enum_jit = None
+_chunk_feats_enum_jit = None
 
 
 # -- stage 3: fused query features + streaming 1-NN -----------------------
